@@ -1,0 +1,528 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational / OLAP surface over the TPC-H-ish star schema
+  * (SURVEY.md §2.B). All plans are declarative DataFrame expressions, so
+  * Catalyst provides predicate pushdown, column pruning, and join
+  * selection; the only hand-made physical decisions are `broadcast()` on
+  * dimension tables (≤20k rows at every SF — and at 100 TB a dimension
+  * that no longer fits the broadcast threshold simply falls back to a
+  * shuffled join by removing the hint).
+  *
+  * Engine-parity rules used throughout (see SURVEY.md §2 determinism):
+  *  - Money sums go through exact DECIMAL casts: the generated prices are
+  *    exact 2-decimal values, so `CAST(x AS DECIMAL(p,2))` is lossless and
+  *    decimal aggregation is order-independent integer arithmetic —
+  *    bitwise identical in Spark and DuckDB. Plain double sums differ at
+  *    ~1e-5 across summation orders (measured), which breaks 6-dp hashing.
+  *  - Averages are spelled `CAST(exact_sum AS DOUBLE)/count` — one
+  *    double division, identical on both engines.
+  *  - Scalar-function showcases aggregate with min/max (order-independent)
+  *    rather than sums of irrational doubles.
+  *  - Every output is totally ordered with a unique-key tie-break.
+  */
+object Relational {
+
+  // Exact lossless money arithmetic (prices < 1e7, 2-decimal).
+  private val decPrice = "CAST(l_extendedprice AS DECIMAL(9,2))"
+  private val decDisc  = "(1 - CAST(l_discount AS DECIMAL(3,2)))"
+  private val decTax   = "(1 + CAST(l_tax AS DECIMAL(3,2)))"
+
+  /** B1/B2: scan + projection + predicate pushdown. The filter and the
+    * 4-column projection both reach the parquet scan (PushedFilters /
+    * ReadSchema in explain). */
+  def scanFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") <  lit("1996-02-01").cast("timestamp") &&
+             col("l_quantity") >= 47)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** B3: broadcast-hash star join — revenue per nation. Dims broadcast;
+    * the fact side streams. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE)").as("total"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** B4: large-large equi-join (lineitem ⋈ orders). Above the broadcast
+    * threshold Spark plans a shuffled join on the key; AQE handles skew. */
+  def joinShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact
+        expr(s"CAST(sum($decPrice * $decDisc) AS DOUBLE)").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  /** B5: left outer join — every customer, including the order-less,
+    * counted per nation. */
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val n = Tables.nation(s, d)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") === 0, 1).otherwise(0)).as("n_orderless"))
+      .orderBy(col("n_name"))
+  }
+
+  /** B6: left anti join — parts never shipped in the first year. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .join(
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate") < lit("1996-01-01").cast("timestamp")),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_never_ordered"))
+      .orderBy(col("p_brand"))
+
+  /** B6: left semi join — customers with at least one URGENT order. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** B7: TPC-H Q1-shape hash aggregate — partial (map-side) aggregation
+    * then a 6-group final merge; the canonical scale-out aggregate. */
+  def aggQ1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        expr(s"CAST(sum($decPrice) AS DOUBLE)").as("sum_base_price"),
+        expr(s"CAST(sum($decPrice * $decDisc) AS DOUBLE)").as("sum_disc_price"),
+        expr(s"CAST(sum($decPrice * $decDisc * $decTax) AS DOUBLE)").as("sum_charge"),
+        expr("round(sum(l_quantity) / count(1), 6)").as("avg_qty"),
+        expr(s"round(CAST(sum($decPrice) AS DOUBLE) / count(1), 6)").as("avg_price"),
+        expr("round(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(1), 6)").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** B8: exact distinct + count-distinct. */
+  def distinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("nd_ps"))
+      .orderBy(col("l_returnflag"))
+
+  /** B9: approximate distinct (HyperLogLog++). Sketches are not portable
+    * across engines, so this is declared WITHOUT an oracle (rows-only
+    * check); the exact twin above is the hash-checked one. At 100 TB the
+    * approx form is the only affordable one — fixed-size sketch per
+    * group, mergeable map-side. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** B10: rollup with grouping-null coalescing (region → nation → total). */
+  def rollupAgg(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        expr("CAST(sum(CAST(c_acctbal AS DECIMAL(9,2))) AS DOUBLE)").as("sum_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("sum_bal"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** B10b: cube over two independent dimensions. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE)").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** B11/B12: global ORDER BY + LIMIT — Spark plans TakeOrderedAndProject
+    * (per-partition top-k, then a k-row merge on the driver: no global
+    * sort, scale-safe). */
+  def sortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** B12: global top-k by computed revenue per customer. */
+  def topkCustomers(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(expr(s"CAST(sum($decPrice * $decDisc) AS DOUBLE)").as("revenue"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(10)
+  }
+
+  /** B13: per-group top-k via ranking window. */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
+  /** B14: ranking window functions over suppliers within nation. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    Tables.supplier(s, d)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"))
+      .orderBy(col("s_nationkey"), col("s_suppkey"))
+  }
+
+  /** B15: lag/lead — day gaps between consecutive orders per customer,
+    * aggregated per market segment. Gaps are integer days: exact. */
+  def windowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val gaps = Tables.orders(s, d)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .where(col("prev_date").isNotNull)
+      .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")))
+    gaps.join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("gap_days")).as("min_gap"),
+        max(col("gap_days")).as("max_gap"),
+        round(sum(col("gap_days")).cast("double") / count(lit(1)), 6).as("avg_gap"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** B16: running-total window frame (ROWS UNBOUNDED PRECEDING..CURRENT),
+    * restricted to a customer slice to keep declared output modest. The
+    * running sum is decimal-exact. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .where(col("o_custkey") < 100)
+      .withColumn("running_total",
+        sum(expr("CAST(o_totalprice AS DECIMAL(9,2))")).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** B17: set operations — segment membership via UNION/INTERSECT/EXCEPT
+    * on customer keys, reported as tagged counts. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val hiBal = c.where(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val auto = c.where(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    val u = hiBal.union(auto).distinct().agg(count(lit(1)).as("n"))
+      .select(lit("union").as("op"), col("n"))
+    val i = hiBal.intersect(auto).agg(count(lit(1)).as("n"))
+      .select(lit("intersect").as("op"), col("n"))
+    val e = hiBal.except(auto).agg(count(lit(1)).as("n"))
+      .select(lit("except").as("op"), col("n"))
+    val ua = hiBal.unionAll(auto).agg(count(lit(1)).as("n"))
+      .select(lit("union_all").as("op"), col("n"))
+    u.union(i).union(e).union(ua).orderBy(col("op"))
+  }
+
+  /** B18: scalar subquery — orders above the global average price. The
+    * threshold is decimal-exact so both engines cut the same rows. */
+  def subqueryAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val avgPrice = o.agg(
+      (expr("CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE)") /
+        count(lit(1))).as("avg_price"))
+    o.crossJoin(broadcast(avgPrice))
+      .where(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE)").as("total_above"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** B19: CASE / COALESCE / NULLIF over supplier balances (includes
+    * genuine negatives). */
+  def caseNull(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .withColumn("bucket",
+        when(col("s_acctbal") < 0, "negative")
+          .when(col("s_acctbal") < 5000, "mid")
+          .otherwise("high"))
+      .withColumn("flag", coalesce(nullif(col("bucket"), lit("mid")), lit("is_mid")))
+      .groupBy(col("bucket"), col("flag"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(s_acctbal AS DECIMAL(9,2))) AS DOUBLE)").as("sum_bal"))
+      .orderBy(col("bucket"))
+
+  /** E: scalar-function kitchen sink — math/string/date built-ins in one
+    * projection, aggregated order-independently (min/max/count only). */
+  def scalarKitchen(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(round(sqrt(col("l_quantity")), 6)).as("min_sqrt_qty"),
+        max(round(log(col("l_extendedprice")), 6)).as("max_ln_price"),
+        min(round(pow(col("l_discount"), 2), 6)).as("min_disc_sq"),
+        max(round(exp(col("l_tax")), 6)).as("max_exp_tax"),
+        max(abs(col("l_quantity") - 25)).as("max_abs_dev"),
+        min(concat(upper(col("l_linestatus")), lit("-"), lower(col("l_returnflag")))).as("min_concat"),
+        max(length(trim(col("l_linestatus")))).as("max_len"),
+        min(substring(col("l_linestatus"), 1, 1)).as("min_sub"),
+        max(year(col("l_shipdate"))).as("max_year"),
+        min(month(col("l_shipdate"))).as("min_month"),
+        max(datediff(col("l_shipdate"), lit("1995-01-01").cast("timestamp"))).as("max_days_since"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b01_scan_filter" -> (scanFilter _),
+    "b03_join_broadcast" -> (joinBroadcast _),
+    "b04_join_shuffle" -> (joinShuffle _),
+    "b05_join_left" -> (joinLeft _),
+    "b06_join_anti" -> (joinAnti _),
+    "b06_join_semi" -> (joinSemi _),
+    "b07_agg_q1" -> (aggQ1 _),
+    "b08_distinct" -> (distinctAgg _),
+    "b09_approx_distinct" -> (approxDistinct _),
+    "b10_rollup" -> (rollupAgg _),
+    "b10_cube" -> (cubeAgg _),
+    "b11_sort_limit" -> (sortLimit _),
+    "b12_topk_customers" -> (topkCustomers _),
+    "b13_topk_pergroup" -> (topkPerGroup _),
+    "b14_window_rank" -> (windowRank _),
+    "b15_window_lag" -> (windowLag _),
+    "b16_window_running" -> (windowRunning _),
+    "b17_setops" -> (setOps _),
+    "b18_subquery" -> (subqueryAgg _),
+    "b19_case_null" -> (caseNull _),
+    "e01_scalar_kitchen" -> (scalarKitchen _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "b01_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-02-01'
+        |  AND l_quantity >= 47
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "b03_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "b04_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_lines, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "b05_join_left" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, c_nationkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey, c_nationkey)
+        |SELECT n_name, count(*) AS n_customers,
+        |  sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS n_orderless
+        |FROM per_cust JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "b06_join_anti" ->
+      """SELECT p_brand, count(*) AS n_never_ordered
+        |FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey
+        |                    AND l_shipdate < TIMESTAMP '1996-01-01')
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "b06_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "b07_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b08_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT l_suppkey) AS nd_supps,
+        |  count(DISTINCT (l_partkey, l_suppkey)) AS nd_ps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "b10_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(9,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "b10_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "b11_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "b12_topk_customers" ->
+      """SELECT c_custkey, c_name, revenue FROM (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey) r
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "b13_topk_pergroup" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+    "b14_window_rank" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS prank
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+    "b15_window_lag" ->
+      """WITH gaps AS (
+        |  SELECT o_custkey,
+        |    date_diff('day',
+        |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |      o_orderdate) AS gap_days
+        |  FROM orders)
+        |SELECT c_mktsegment, count(*) AS n_gaps,
+        |  min(gap_days) AS min_gap, max(gap_days) AS max_gap,
+        |  round(CAST(sum(gap_days) AS DOUBLE) / count(*), 6) AS avg_gap
+        |FROM gaps JOIN customer ON o_custkey = c_custkey
+        |WHERE gap_days IS NOT NULL
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "b16_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(9,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "b17_setops" ->
+      """WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        |auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM hi EXCEPT SELECT * FROM auto)
+        |UNION ALL
+        |SELECT 'intersect', count(*) FROM (SELECT * FROM hi INTERSECT SELECT * FROM auto)
+        |UNION ALL
+        |SELECT 'union', count(*) FROM (SELECT * FROM hi UNION SELECT * FROM auto)
+        |UNION ALL
+        |SELECT 'union_all', count(*) FROM (SELECT * FROM hi UNION ALL SELECT * FROM auto)
+        |ORDER BY op""".stripMargin,
+    "b18_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_above,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS total_above
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) / count(*)
+        |  FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "b19_case_null" ->
+      """WITH b AS (
+        |  SELECT s_acctbal,
+        |    CASE WHEN s_acctbal < 0 THEN 'negative'
+        |         WHEN s_acctbal < 5000 THEN 'mid'
+        |         ELSE 'high' END AS bucket
+        |  FROM supplier)
+        |SELECT bucket, coalesce(nullif(bucket, 'mid'), 'is_mid') AS flag,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(9,2))) AS DOUBLE) AS sum_bal
+        |FROM b GROUP BY bucket, flag ORDER BY bucket""".stripMargin,
+    "e01_scalar_kitchen" ->
+      """SELECT l_returnflag,
+        |  min(round(sqrt(l_quantity), 6)) AS min_sqrt_qty,
+        |  max(round(ln(l_extendedprice), 6)) AS max_ln_price,
+        |  min(round(pow(l_discount, 2), 6)) AS min_disc_sq,
+        |  max(round(exp(l_tax), 6)) AS max_exp_tax,
+        |  max(abs(l_quantity - 25)) AS max_abs_dev,
+        |  min(concat(upper(l_linestatus), '-', lower(l_returnflag))) AS min_concat,
+        |  max(length(trim(l_linestatus))) AS max_len,
+        |  min(substring(l_linestatus, 1, 1)) AS min_sub,
+        |  max(year(l_shipdate)) AS max_year,
+        |  min(month(l_shipdate)) AS min_month,
+        |  max(date_diff('day', TIMESTAMP '1995-01-01', l_shipdate)) AS max_days_since
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.Relational
+
+/** Relational-surface tests: result sanity on sf0.001 plus physical-plan
+  * assertions — the properties that actually matter at 100 TB (filters
+  * and projections reaching the parquet scan, dimensions broadcast,
+  * order+limit planned as a per-partition top-k).
+  */
+class RelationalSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Relational.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("b01: filter and projection are pushed to the parquet scan") {
+    val p = plan("b01_scan_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // pruned read schema: only the 5 referenced columns, not all 11
+    assert(!p.contains("l_tax"), "scan should not read unreferenced columns")
+  }
+
+  test("b03: dimension joins are broadcast, no shuffle of dims") {
+    val p = plan("b03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("b11: global sort+limit plans TakeOrderedAndProject") {
+    val p = plan("b11_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("b07: Q1 aggregate uses partial (map-side) hash aggregation") {
+    val p = plan("b07_agg_q1")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), "expected map-side partial aggregation")
+  }
+
+  test("q1 values match hand-computed slice") {
+    import spark.implicits._
+    val q1 = Relational.aggQ1(spark, sf0001)
+    val row = q1.where($"l_returnflag" === "A" && $"l_linestatus" === "F")
+      .collect()(0)
+    // independently recompute with a second, simpler plan
+    val li = Tables.lineitem(spark, sf0001)
+      .where($"l_shipdate" <= org.apache.spark.sql.functions.lit("1998-09-02").cast("timestamp"))
+      .where($"l_returnflag" === "A" && $"l_linestatus" === "F")
+    val expected = li.agg(
+      org.apache.spark.sql.functions.sum($"l_quantity"),
+      org.apache.spark.sql.functions.count($"l_quantity")).collect()(0)
+    assert(row.getAs[Double]("sum_qty") === expected.getDouble(0))
+    assert(row.getAs[Long]("count_order") === expected.getLong(1))
+  }
+
+  test("all declared relational queries run on sf0.001 and are non-empty") {
+    Relational.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every relational query except approx_distinct has an oracle") {
+    val noOracle = Relational.queries.keySet -- Relational.oracles.keySet
+    assert(noOracle === Set("b09_approx_distinct"), noOracle.toString)
+  }
+}
