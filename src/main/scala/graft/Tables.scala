@@ -34,7 +34,9 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$d/events.parquet")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", (col("ts_ns") / lit(1000000000L)).cast("timestamp"))
+      // exact integer floor to seconds (double division would round and
+      // could disagree with the oracle's truncation near boundaries)
+      .withColumn("ts", timestamp_seconds(expr("ts_ns div 1000000000")))
   }
 
   /** Default parallelism for explicit repartitions. Single-file parquet

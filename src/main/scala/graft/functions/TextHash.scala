@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Deterministic 64-bit hashing primitives for document sketching
+  * (fingerprints, MinHash, SimHash — SURVEY.md §2.C scale paths).
+  *
+  * All hashes are seeded FNV-1a over UTF-8 bytes: fully deterministic,
+  * engine-independent, no reliance on JVM `hashCode`. These run as
+  * map-side projections — constant state per row, no shuffle — which is
+  * what makes the sketch-based dedup paths linear at 100 TB.
+  */
+object TextHash extends Serializable {
+
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime  = 0x100000001b3L
+
+  @inline private def fnv1a(s: String, seed: Long): Long = {
+    var h = FnvOffset ^ (seed * FnvPrime)
+    var i = 0
+    val bytes = s.getBytes("UTF-8")
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** n-permutation MinHash signature of a token set. */
+  private def minhash(tokens: Seq[String], n: Int): Array[Long] = {
+    val sig = Array.fill(n)(Long.MaxValue)
+    tokens.foreach { t =>
+      var i = 0
+      while (i < n) {
+        val h = fnv1a(t, i + 1)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Collapse a MinHash signature into `nBands` band-bucket hashes
+    * (rows-per-band = sig.length / nBands). Docs sharing any band bucket
+    * become LSH candidates. */
+  private def bands(sig: Seq[Long], nBands: Int): Array[Long] = {
+    val rows = sig.length / nBands
+    Array.tabulate(nBands) { b =>
+      var h = FnvOffset
+      var i = 0
+      while (i < rows) {
+        h ^= sig(b * rows + i)
+        h *= FnvPrime
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** 64-bit SimHash over a token set: sign of per-bit weighted sums. */
+  private def simhash(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv1a(t, 0)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Winnowing-style fingerprint: min FNV-1a hash over all k-gram
+    * character shingles of the text (single pass, rolling window). */
+  private def winnow(text: String, k: Int): Long = {
+    if (text.length < k) fnv1a(text, 7)
+    else {
+      var best = Long.MaxValue
+      var i = 0
+      while (i + k <= text.length) {
+        val h = fnv1a(text.substring(i, i + k), 7)
+        if (h < best) best = h
+        i += 1
+      }
+      best
+    }
+  }
+
+  private val minhashUdf = udf(minhash _)
+  private val bandsUdf   = udf(bands _)
+  private val simhashUdf = udf(simhash _)
+  private val winnowUdf  = udf(winnow _)
+
+  def minhash_signature(tokens: Column, n: Column): Column = minhashUdf(tokens, n)
+  def lsh_bands(sig: Column, nBands: Column): Column = bandsUdf(sig, nBands)
+  def simhash64(tokens: Column): Column = simhashUdf(tokens)
+  def winnow_fingerprint(text: Column, k: Column): Column = winnowUdf(text, k)
+}

@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Events / time-series surface (SURVEY.md §2.D). The reference is pure
+  * batch, so this block is driver-mandated scope: the declared queries
+  * are batch over the `events` table; `graft.streaming.Streams` holds the
+  * Structured Streaming twins (watermarks, stateful dedup, session
+  * state), exercised by tests rather than the oracle harness.
+  *
+  * Engine parity: DuckDB reads `events.ts` as TIMESTAMP_NS while our
+  * Spark view floors it to whole seconds, so every oracle first rebuilds
+  * the identical second-precision timestamp
+  * (`make_timestamp((epoch_ns(ts)//1000000000)*1000000)`). Timestamps in
+  * declared outputs are formatted as strings — engines disagree on
+  * timestamp physical types, strings hash identically.
+  *
+  * Scale design: every query here keys its shuffle by (time-bucket,
+  * type) or by user — both high-cardinality and well-distributed at
+  * 100 TB. Session/lag windows partition by user_id, which is the
+  * natural key a production stream would also be sharded on.
+  */
+object EventOps {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+  // DuckDB twin of Tables.events' second-floored timestamp.
+  private val duckSecTs = "make_timestamp((epoch_ns(ts) // 1000000000) * 1000000)"
+  private val decValue = "CAST(value AS DECIMAL(9,2))" // values are exact 2-dp
+
+  /** D1: tumbling 1-hour window per event type. */
+  def windowTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr(s"CAST(sum($decValue) AS DOUBLE)").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(date_format(col("h"), fmt).as("wstart"), col("event_type"),
+        col("n"), col("sum_value"), col("min_value"), col("max_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** D2: sliding 1-hour window, 15-minute slide — Spark's native
+    * overlapping-window operator; each event lands in 4 windows. */
+  def windowSliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"CAST(sum($decValue) AS DOUBLE)").as("sum_value"))
+      .select(date_format(col("window.start"), fmt).as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** D3: sessionization — gap > 30 minutes starts a new session. Declared
+    * in the portable lag+cumulative-sum form (identical SQL in DuckDB);
+    * the streaming twin uses session_window/state. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(runSum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), fmt).as("session_start"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_sec"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        max(col("duration_sec")).as("max_session_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  /** D4: keep-first dedup per (user, event_type) — the batch equivalent
+    * of streaming dropDuplicatesWithinWatermark. */
+  def dedupFirst(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        date_format(col("ts"), fmt).as("first_ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** D5: JSON extraction from the props payload. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  /** D6: as-of join — each event matched to the user's most recent order
+    * at or before the event time. Expressed as range-join + per-event
+    * rank (portable); at scale this becomes a sort-merge as-of: both
+    * sides hash-partitioned by user and time-sorted, one linear merge
+    * pass per partition (see plans.AsOfJoin notes). */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(col("o_orderkey")).as("n_matched"),
+        count(lit(1)).as("n_events"),
+        sum(datediff(col("ts"), col("o_orderdate"))).as("sum_days_since"))
+      .orderBy(col("event_type"))
+  }
+
+  /** D7: time-series diff — per-user consecutive value deltas (ordered
+    * by raw nanos + id: total order), aggregated order-independently. */
+  def timeseriesDiff(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("dv", col("value") - lag(col("value"), 1).over(w))
+      .where(col("dv").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_diffs"),
+        round(min(col("dv")), 6).as("min_dv"),
+        round(max(col("dv")), 6).as("max_dv"),
+        expr("CAST(sum(CAST(dv AS DECIMAL(11,2))) AS DOUBLE)").as("sum_dv"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_window_tumbling" -> (windowTumbling _),
+    "d02_window_sliding" -> (windowSliding _),
+    "d03_sessionize" -> (sessionize _),
+    "d04_dedup_first" -> (dedupFirst _),
+    "d05_json_extract" -> (jsonExtract _),
+    "d06_asof_join" -> (asofJoin _),
+    "d07_timeseries_diff" -> (timeseriesDiff _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_window_tumbling" ->
+      s"""SELECT strftime(date_trunc('hour', $duckSecTs), '%Y-%m-%d %H:%M:%S') AS wstart,
+         |  event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "d02_window_sliding" ->
+      s"""WITH e AS (SELECT $duckSecTs AS sts, event_type, value FROM events),
+         |slid AS (
+         |  SELECT time_bucket(INTERVAL '15 minutes', sts)
+         |           - (s.i * INTERVAL '15 minutes') AS wstart, event_type, value
+         |  FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) s)
+         |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
+         |FROM slid GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "d03_sessionize" ->
+      s"""WITH e AS (SELECT event_id, user_id, $duckSecTs AS sts FROM events),
+         |lagged AS (
+         |  SELECT user_id, sts, event_id,
+         |    lag(sts) OVER (PARTITION BY user_id ORDER BY sts ASC, event_id ASC) AS prev_ts
+         |  FROM e),
+         |flagged AS (
+         |  SELECT user_id, sts, event_id,
+         |    CASE WHEN prev_ts IS NULL
+         |           OR epoch(sts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+         |  FROM lagged),
+         |sess AS (
+         |  SELECT user_id, sts,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sts ASC, event_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged),
+         |per_sess AS (
+         |  SELECT user_id, session_id, count(*) AS n_events,
+         |    epoch(max(sts)) - epoch(min(sts)) AS duration_sec
+         |  FROM sess GROUP BY user_id, session_id)
+         |SELECT user_id, count(*) AS n_sessions,
+         |  max(n_events) AS max_session_events,
+         |  max(duration_sec) AS max_session_sec
+         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "d04_dedup_first" ->
+      s"""SELECT user_id, event_type, event_id,
+         |  strftime($duckSecTs, '%Y-%m-%d %H:%M:%S') AS first_ts
+         |FROM (
+         |  SELECT user_id, event_type, event_id, ts,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |                       ORDER BY ts ASC, event_id ASC) AS rn
+         |  FROM events) t
+         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "d05_json_extract" ->
+      """SELECT event_type, count(k) AS n, min(k) AS min_k, max(k) AS max_k,
+        |  sum(k) AS sum_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d06_asof_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, $duckSecTs AS sts FROM events),
+         |j AS (
+         |  SELECT e.event_id, e.event_type, o.o_orderkey, o.o_orderdate, e.sts,
+         |    row_number() OVER (PARTITION BY e.event_id
+         |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+         |  FROM e LEFT JOIN orders o
+         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.sts)
+         |SELECT event_type, count(o_orderkey) AS n_matched, count(*) AS n_events,
+         |  sum(date_diff('day', o_orderdate, sts)) AS sum_days_since
+         |FROM j WHERE rn = 1
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d07_timeseries_diff" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    value - lag(value) OVER (PARTITION BY user_id
+        |                             ORDER BY ts ASC, event_id ASC) AS dv
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_diffs,
+        |  round(min(dv), 6) AS min_dv, round(max(dv), 6) AS max_dv,
+        |  CAST(sum(CAST(dv AS DECIMAL(11,2))) AS DOUBLE) AS sum_dv
+        |FROM d WHERE dv IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,357 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextHash
+
+/** LLM-training-data pipeline: deduplication + text analysis over the
+  * `documents` table (SURVEY.md §2.C).
+  *
+  * Scale design (100 TB of documents):
+  *  - Exact dedup is a hash-partitioned group-by on the normalized text —
+  *    one shuffle keyed by content, the canonical distributed dedup.
+  *  - The exact pairwise-Jaccard form is deliberately blocked by `source`
+  *    (pair space per block, never global O(n²)). The global-scale path is
+  *    MinHash-LSH banding (c10): signatures are a fixed-size map-side
+  *    projection, band buckets shuffle only (band, hash) keys, and only
+  *    bucket-colliding candidates get the exact-Jaccard re-check. SimHash
+  *    (c11) is the bit-sketch alternative with the same shape.
+  *  - Tokenization/quality/language scoring are stateless per-row
+  *    projections: embarrassingly parallel, whole-stage-codegen'd.
+  */
+object TextOps {
+
+  /** Distinct-token column, identical formulation in both engines:
+    * text is single-space separated, so a plain split is exact. */
+  private def tokens = array_distinct(split(col("text"), " "))
+
+  /** C1: exact deduplication — keep the smallest doc_id per normalized
+    * text. One shuffle on the content key; at scale the key would be a
+    * 256-bit content hash (sha2) to shrink shuffle payloads, but grouping
+    * on the normalized text itself is oracle-portable. */
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("norm_text")).orderBy(col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("norm_text", lower(trim(col("text"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C1b: dedup summary — duplicate-group census (how many texts occur
+    * 1×, 2×, …): the cheap global view of duplication. */
+  def dedupStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(lower(trim(col("text"))).as("norm_text"))
+      .agg(count(lit(1)).as("occurrences"))
+      .groupBy(col("occurrences"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("occurrences"))
+
+  /** C2: near-duplicate pairs by exact token-set Jaccard, blocked by
+    * `source`. |A∪B| is computed as |A|+|B|-|A∩B| (pure integers; the
+    * single double division is engine-identical). */
+  val JaccardTau = 0.9
+  def jaccardNearDup(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokens.as("tok"))
+    val a = t.select(col("doc_id").as("a_id"), col("source"), col("tok").as("a_tok"))
+    val b = t.select(col("doc_id").as("b_id"), col("source").as("b_source"), col("tok").as("b_tok"))
+    a.join(b, col("source") === col("b_source") && col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_tok"), col("b_tok"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("a_tok")) + size(col("b_tok")) - col("inter")))
+      .where(col("jac") >= JaccardTau)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** C5: word frequency — classic explode/count, global top 50. */
+  def wordCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(50)
+
+  /** C6: language/source rollup over document metadata. */
+  def langStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  /** C-text: statistical language-ID heuristic — char-class ratios and
+    * token-length statistics bucketed to a prediction. (The corpus text
+    * is synthetic, so the value is the operator shape: a stateless scored
+    * classifier over cheap text features, the same structure as an
+    * n-gram langid at scale.) */
+  def langIdHeuristic(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
+      .withColumn("n_vowel", length(regexp_replace(col("text"), "[^aeiou]", "")))
+      .withColumn("avg_tok_len",
+        (length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("vowel_ratio",
+        col("n_vowel").cast("double") / greatest(col("n_alpha"), lit(1)))
+      .withColumn("pred_lang",
+        when(col("avg_tok_len") >= 7.0, "de")
+          .when(col("vowel_ratio") >= 0.42, "es")
+          .when(col("vowel_ratio") >= 0.38, "en")
+          .when(col("avg_tok_len") < 5.0, "zh")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        round(col("avg_tok_len"), 6).as("avg_tok_len"),
+        round(col("vowel_ratio"), 6).as("vowel_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** C-text: quality scoring — length/type-token/stopword-style features
+    * combined into a bounded score (the standard pre-training filter
+    * shape). All features are integer-derived; the score is a single
+    * arithmetic expression, identical across engines. */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("n_types", size(tokens))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+      .withColumn("len_ok",
+        when(col("n_chars").between(100, 450), 1.0).otherwise(0.0))
+      .withColumn("quality",
+        round(lit(0.5) * col("len_ok") + lit(0.5) * col("ttr"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("ttr"), 6).as("ttr"), col("len_ok"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** C-text: token counting — whitespace tokens plus a BPE-ish
+    * alphanumeric-run count (regex `[a-z0-9]+`), aggregated per lang with
+    * order-independent stats. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws_tokens", size(split(col("text"), " ")))
+      // runs of non-[a-z0-9] collapse to one separator; count runs:
+      .withColumn("alnum_runs",
+        size(split(trim(regexp_replace(col("text"), "[^a-z0-9]+", " ")), " ")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("sum_ws_tokens"),
+        min(col("ws_tokens")).as("min_ws_tokens"),
+        max(col("ws_tokens")).as("max_ws_tokens"),
+        sum(col("alnum_runs")).as("sum_alnum_runs"))
+      .orderBy(col("lang"))
+
+  /** C-text (no oracle): document fingerprinting — a deterministic 64-bit
+    * rolling-hash winnowing fingerprint per document (min FNV-1a hash
+    * over 5-gram character shingles). Pure map-side projection. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextHash.winnow_fingerprint(col("text"), lit(16)).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** C2-scale (no oracle): MinHash-LSH near-dup candidates — 16-perm
+    * MinHash signatures, banded 4×4; pairs sharing any band bucket are
+    * candidates, then re-checked with exact Jaccard. This is the shape
+    * that replaces O(n²) pairing at 100 TB: the only shuffle is on
+    * (band, bucket-hash) keys. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokens.as("tok"))
+    // 32 permutations, 4 bands × 8 rows: P(candidate) = 1-(1-j^8)^4 —
+    // ≈0.90 at j=0.9, ≈0.015 at j=0.5: tuned to the 0.9 near-dup bar.
+    val sig = docs.select(col("doc_id"), col("tok"),
+      TextHash.minhash_signature(col("tok"), lit(32)).as("sig"))
+    val bands = sig.select(col("doc_id"), col("tok"),
+      posexplode(TextHash.lsh_bands(col("sig"), lit(4))).as(Seq("band", "bucket")))
+    val a = bands.select(col("doc_id").as("a_id"), col("tok").as("a_tok"),
+      col("band"), col("bucket"))
+    val b = bands.select(col("doc_id").as("b_id"), col("tok").as("b_tok"),
+      col("band").as("b_band"), col("bucket").as("b_bucket"))
+    a.join(b, col("band") === col("b_band") && col("bucket") === col("b_bucket") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_tok"), col("b_tok")).distinct()
+      .withColumn("inter", size(array_intersect(col("a_tok"), col("b_tok"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("a_tok")) + size(col("b_tok")) - col("inter")), 6))
+      .where(col("jaccard") >= JaccardTau) // exact re-check of candidates
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** C2-scale (no oracle): SimHash near-dup — 64-bit simhash per doc;
+    * same-source pairs within Hamming distance 6. */
+  val SimhashMaxHamming = 6
+  def simhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextHash.simhash64(tokens).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("source"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("source").as("b_source"),
+      col("sh").as("b_sh"))
+    a.join(b, col("source") === col("b_source") && col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .where(col("hamming") <= SimhashMaxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** C-near-dup via embeddings: documents joined to their embedding row
+    * (doc_id = vec_id aligns 1:1 in the corpus), cosine-close pairs. */
+  val EmbedDupTau = 0.5
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val de = docs.join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("source"), col("embedding"))
+    val a = Tables.repartitioned(de, s)
+      .select(col("doc_id").as("a_id"), col("source").as("a_source"), col("embedding").as("a_emb"))
+    val b = de.select(col("doc_id").as("b_id"), col("source").as("b_source"), col("embedding").as("b_emb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("dist", graft.functions.Distances.cosine_distance(col("a_emb"), col("b_emb")))
+      .where(col("dist") < EmbedDupTau)
+      .select(col("a_id"), col("b_id"), col("a_source"), col("b_source"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** C7: array/vector column ops on embeddings (the multimodal-metadata
+    * shape: fixed-width vector columns manipulated with array built-ins). */
+  def vectorOps(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("emb_d", col("embedding").cast("array<double>"))
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(graft.functions.Distances.l2_norm(col("embedding")), 6).as("l2_norm"),
+        round(array_max(col("emb_d")), 6).as("vmax"),
+        round(array_min(col("emb_d")), 6).as("vmin"),
+        round(element_at(col("emb_d"), 1), 6).as("first"),
+        round(aggregate(slice(col("emb_d"), 1, 8), lit(0.0), (acc, x) => acc + x), 6)
+          .as("head8_sum"))
+      .orderBy(col("vec_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_dedup_exact" -> (dedupExact _),
+    "c01_dedup_stats" -> (dedupStats _),
+    "c02_jaccard_neardup" -> (jaccardNearDup _),
+    "c03_wordcount" -> (wordCount _),
+    "c04_lang_stats" -> (langStats _),
+    "c05_langid" -> (langIdHeuristic _),
+    "c06_quality" -> (qualityScore _),
+    "c07_token_count" -> (tokenCount _),
+    "c08_fingerprint" -> (fingerprint _),
+    "c10_minhash_lsh" -> (minhashLsh _),
+    "c11_simhash" -> (simhashNearDup _),
+    "c12_embedding_neardup" -> (embeddingNearDup _),
+    "c13_vector_ops" -> (vectorOps _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c01_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id ASC) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "c01_dedup_stats" ->
+      """SELECT occurrences, count(*) AS n_groups FROM (
+        |  SELECT lower(trim(text)) AS norm_text, count(*) AS occurrences
+        |  FROM documents GROUP BY 1) g
+        |GROUP BY occurrences ORDER BY occurrences""".stripMargin,
+    "c02_jaccard_neardup" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    list_distinct(string_split(text, ' ')) AS tok FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+         |    (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))), 6) AS jaccard
+         |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+         |    (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= $JaccardTau
+         |ORDER BY a_id, b_id""".stripMargin,
+    "c03_wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""".stripMargin,
+    "c04_lang_stats" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "c05_langid" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+        |    length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowel,
+        |    length(text) AS n_len
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    CAST(n_len - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_tok_len,
+        |    CAST(n_vowel AS DOUBLE) / greatest(n_alpha, 1) AS vowel_ratio
+        |  FROM f)
+        |SELECT doc_id, lang,
+        |  CASE WHEN avg_tok_len >= 7.0 THEN 'de'
+        |       WHEN vowel_ratio >= 0.42 THEN 'es'
+        |       WHEN vowel_ratio >= 0.38 THEN 'en'
+        |       WHEN avg_tok_len < 5.0 THEN 'zh'
+        |       ELSE 'fr' END AS pred_lang,
+        |  round(avg_tok_len, 6) AS avg_tok_len,
+        |  round(vowel_ratio, 6) AS vowel_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "c06_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_types
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_types,
+        |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+        |  CASE WHEN n_chars BETWEEN 100 AND 450 THEN 1.0 ELSE 0.0 END AS len_ok,
+        |  round(0.5 * (CASE WHEN n_chars BETWEEN 100 AND 450 THEN 1.0 ELSE 0.0 END)
+        |      + 0.5 * (CAST(n_types AS DOUBLE) / n_tokens), 6) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "c07_token_count" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    len(string_split(text, ' ')) AS ws_tokens,
+        |    len(string_split(trim(regexp_replace(text, '[^a-z0-9]+', ' ', 'g')), ' '))
+        |      AS alnum_runs
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(ws_tokens) AS sum_ws_tokens,
+        |  min(ws_tokens) AS min_ws_tokens, max(ws_tokens) AS max_ws_tokens,
+        |  sum(alnum_runs) AS sum_alnum_runs
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    "c12_embedding_neardup" ->
+      s"""WITH de AS (
+         |  SELECT doc_id, source, embedding
+         |  FROM documents JOIN embeddings ON doc_id = vec_id)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  a.source AS a_source, b.source AS b_source,
+         |  round(1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                                     CAST(b.embedding AS DOUBLE[])), 6) AS dist
+         |FROM de a JOIN de b ON a.doc_id < b.doc_id
+         |WHERE 1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                                   CAST(b.embedding AS DOUBLE[])) < $EmbedDupTau
+         |ORDER BY a_id, b_id""".stripMargin,
+    "c13_vector_ops" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |                  len(embedding) AS dim FROM embeddings)
+        |SELECT vec_id, dim,
+        |  round(sqrt(list_sum(list_transform(emb, x -> x * x))), 6) AS l2_norm,
+        |  round(list_max(emb), 6) AS vmax,
+        |  round(list_min(emb), 6) AS vmin,
+        |  round(emb[1], 6) AS first,
+        |  round(list_sum(emb[1:8]), 6) AS head8_sum
+        |FROM e ORDER BY vec_id""".stripMargin,
+  )
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event queries (SURVEY.md
+  * §2.D). The oracle harness is batch-only, so these are capability
+  * demos driven by StreamingSpec: the same `events` parquet is replayed
+  * through a file stream source and must agree with the batch results.
+  *
+  * Scale notes: the streaming shapes here are exactly the ones that
+  * survive a production deployment — event-time windows + watermark
+  * (bounded state), dropDuplicatesWithinWatermark (bounded dedup state),
+  * and per-key session state via mapGroupsWithState (state sharded by
+  * user key, the same partitioning as the batch twin's shuffle).
+  */
+object Streams {
+
+  /** Schema of events.parquet once nanos-as-long is enabled. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** File-source stream over the events parquet with the same
+    * second-floored event-time column as Tables.events. */
+  def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(d)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_seconds(expr("ts_ns div 1000000000")))
+  }
+
+  /** D1-stream: tumbling 1-hour window with a 10-minute watermark. */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    eventStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** D4-stream: stateful dedup bounded by the watermark. */
+  def dedup(s: SparkSession, d: String): DataFrame =
+    eventStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  case class SessionState(lastTsSec: Long, nSessions: Int)
+  case class UserSessions(user_id: Long, n_sessions: Int)
+
+  /** D3-stream: per-user session counting with explicit state
+    * (mapGroupsWithState). Events are sorted per key within the batch;
+    * state carries (last event time, session count) across batches —
+    * constant-size per user. */
+  def sessionCounts(s: SparkSession, d: String): Dataset[UserSessions] = {
+    import s.implicits._
+    val gapSec = 1800L
+    eventStream(s, d)
+      .select(col("user_id"), col("ts").cast("long").as("ts_sec"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0))
+          sorted.foreach { t =>
+            if (st.lastTsSec == Long.MinValue || t - st.lastTsSec > gapSec)
+              st = SessionState(t, st.nSessions + 1)
+            else st = SessionState(t, st.nSessions)
+          }
+          state.update(st)
+          UserSessions(user, st.nSessions)
+      }
+  }
+
+  /** Run a streaming DataFrame to a named in-memory table, synchronously
+    * processing everything currently available. Returns the query
+    * (stopped) — read results from `spark.table(name)`. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    q
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+
+/** Streaming twins must agree with their batch counterparts when the
+  * whole table is replayed through the file stream source. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming tumbling window agrees with batch tumbling window") {
+    Streams.runToMemory(Streams.tumbling(spark, sf0001), "stream_tumbling",
+      OutputMode.Complete())
+    val streamed = spark.table("stream_tumbling")
+      .select(date_format($"wstart", "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        $"event_type", $"n")
+      .orderBy($"wstart", $"event_type")
+      .as[(String, String, Long)].collect()
+    val batch = ops.EventOps.windowTumbling(spark, sf0001)
+      .select($"wstart", $"event_type", $"n")
+      .as[(String, String, Long)].collect()
+    assert(streamed.sameElements(batch))
+  }
+
+  test("streaming session counts agree with batch sessionize") {
+    Streams.runToMemory(Streams.sessionCounts(spark, sf0001).toDF(),
+      "stream_sessions", OutputMode.Update())
+    val streamed = spark.table("stream_sessions")
+      .orderBy($"user_id").as[(Long, Int)].collect()
+    val batch = ops.EventOps.sessionize(spark, sf0001)
+      .select($"user_id", $"n_sessions".cast("int"))
+      .as[(Long, Int)].collect()
+    assert(streamed.sameElements(batch))
+  }
+
+  test("streaming dedup emits one row per (user, event_type)") {
+    Streams.runToMemory(Streams.dedup(spark, sf0001), "stream_dedup",
+      OutputMode.Append())
+    val n = spark.table("stream_dedup")
+      .select($"user_id", $"event_type").distinct().count()
+    val total = spark.table("stream_dedup").count()
+    assert(n === total, "dedup emitted duplicate keys")
+    val batch = ops.EventOps.dedupFirst(spark, sf0001).count()
+    assert(total === batch)
+  }
+}

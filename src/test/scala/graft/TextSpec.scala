@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.TextOps
+
+/** Text/dedup surface tests: hand fixtures + sketch-vs-exact recall. */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup is idempotent and keeps the min doc_id survivor") {
+    val docs = Seq(
+      (3L, "spark join window", "en", "s1", 17L),
+      (1L, "spark join window", "en", "s1", 17L),
+      (2L, "  SPARK JOIN WINDOW ", "en", "s1", 20L), // normalizes equal
+      (4L, "unique text", "en", "s1", 11L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("tmp_docs")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lower(trim($"text"))).orderBy($"doc_id".asc)
+    val kept = docs.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 4L)))
+  }
+
+  test("minhash-LSH candidates achieve high recall of exact near-dups") {
+    val exact = TextOps.jaccardNearDup(spark, sf0001)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val lsh = TextOps.minhashLsh(spark, sf0001)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near-dups")
+    // LSH is cross-source too, so compare only on the exact (blocked) set
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} pairs")
+  }
+
+  test("simhash: identical token sets hash identically; hamming<=6 finds dups") {
+    val pairs = TextOps.simhashNearDup(spark, sf0001)
+    assert(pairs.count() > 0)
+    assert(pairs.where($"hamming" < 0 || $"hamming" > TextOps.SimhashMaxHamming).count() === 0)
+  }
+
+  test("fingerprint is deterministic across runs") {
+    val a = TextOps.fingerprint(spark, sf0001).as[(Long, Long)].collect()
+    val b = TextOps.fingerprint(spark, sf0001).as[(Long, Long)].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("quality score is bounded in [0,1] and ttr <= 1") {
+    val q = TextOps.qualityScore(spark, sf0001)
+    assert(q.where($"quality" < 0 || $"quality" > 1).count() === 0)
+    assert(q.where($"ttr" > 1).count() === 0)
+  }
+
+  test("langid covers every doc with a prediction from the closed set") {
+    val l = TextOps.langIdHeuristic(spark, sf0001)
+    assert(l.count() === 500)
+    assert(l.where(!$"pred_lang".isin("en", "fr", "es", "de", "zh")).count() === 0)
+  }
+
+  test("declared text queries with oracles are consistent sets") {
+    val noOracle = TextOps.queries.keySet -- TextOps.oracles.keySet
+    assert(noOracle === Set("c08_fingerprint", "c10_minhash_lsh", "c11_simhash"))
+  }
+}
