@@ -43,7 +43,8 @@ object Knn {
     q.crossJoin(broadcast(c))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), col("clabel"),
-        Distances.cosine_distance(col("qv"), col("cv")).as("dist"))
+        graft.functions.VectorExpressions
+          .cosine_distance(s, col("qv"), col("cv")).as("dist"))
   }
 
   private def topkRanked(s: SparkSession, d: String): DataFrame = {
@@ -53,15 +54,23 @@ object Knn {
     pairs(s, d).withColumn("rnk", row_number().over(w)).where(col("rnk") <= K)
   }
 
+  // topk/classify/accuracy all consume the same ranked neighbor set; the
+  // O(m·n) pair scan is its only expensive input, so share one persisted
+  // copy (k rows per query — tiny) per (session, dataset).
+  private val topkCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def topkRankedShared(s: SparkSession, d: String): DataFrame =
+    topkCache.getOrElseUpdate((s, d), topkRanked(s, d).persist())
+
   def knnTopk(s: SparkSession, d: String): DataFrame =
-    topkRanked(s, d)
+    topkRankedShared(s, d)
       .select(col("qid"), col("rnk"), col("cid"), round(col("dist"), 6).as("dist"))
       .orderBy(col("qid"), col("rnk"))
 
   /** A1→A5: classify every embedding by majority vote of its 10 nearest
     * (leave-one-out); vote ties break to the smallest label. */
   def knnClassify(s: SparkSession, d: String): DataFrame = {
-    val votes = topkRanked(s, d).groupBy(col("qid"), col("clabel"))
+    val votes = topkRankedShared(s, d).groupBy(col("qid"), col("clabel"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("qid")).orderBy(col("n").desc, col("clabel").asc)
     votes.withColumn("vr", row_number().over(w)).where(col("vr") === 1)
@@ -95,7 +104,8 @@ object Knn {
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val p = q.crossJoin(broadcast(c)).where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        Distances.euclidean_distance(col("qv"), col("cv")).as("dist"))
+        graft.functions.VectorExpressions
+          .euclidean_distance(s, col("qv"), col("cv")).as("dist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cid").asc)
     p.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
       .select(col("qid"), col("rnk"), col("cid"), round(col("dist"), 6).as("dist"))

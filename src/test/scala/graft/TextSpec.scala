@@ -22,15 +22,15 @@ class TextSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 4L)))
   }
 
-  test("minhash-LSH candidates achieve high recall of exact near-dups") {
+  test("minhash-LSH clustering co-locates exact near-dup pairs (recall)") {
     val exact = TextOps.jaccardNearDup(spark, sf0001)
-      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
-    val lsh = TextOps.minhashLsh(spark, sf0001)
-      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    val cluster = TextOps.minhashLsh(spark, sf0001)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
     assert(exact.nonEmpty, "fixture should contain near-dups")
-    // LSH is cross-source too, so compare only on the exact (blocked) set
-    val recall = exact.count(lsh.contains).toDouble / exact.size
-    assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} pairs")
+    val recall = exact.count { case (a, b) => cluster(a) == cluster(b) }
+      .toDouble / exact.length
+    assert(recall >= 0.8, s"LSH cluster recall $recall over ${exact.length} pairs")
   }
 
   test("simhash: identical token sets hash identically; hamming<=6 finds dups") {
