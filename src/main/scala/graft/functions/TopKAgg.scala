@@ -1,0 +1,149 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Bounded-heap neighbor buffer: keeps the k smallest (dist, id, label)
+  * triples, ordered by (dist, id). */
+final class TopKBuffer(val k: Int) extends Serializable {
+  // max-heap on (dist, id) so the current worst neighbor is at the root
+  val heap = new java.util.PriorityQueue[(Double, Long, Int)](
+    k.max(1),
+    (a: (Double, Long, Int), b: (Double, Long, Int)) => {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+    })
+
+  def insert(dist: Double, id: Long, label: Int): Unit = {
+    if (heap.size < k) heap.add((dist, id, label))
+    else {
+      val worst = heap.peek()
+      if (dist < worst._1 || (dist == worst._1 && id < worst._2)) {
+        heap.poll(); heap.add((dist, id, label))
+      }
+    }
+  }
+
+  def mergeFrom(other: TopKBuffer): Unit = {
+    val it = other.heap.iterator()
+    while (it.hasNext) { val t = it.next(); insert(t._1, t._2, t._3) }
+  }
+
+  /** ascending (dist, id) */
+  def sorted: Array[(Double, Long, Int)] = {
+    val arr = new Array[(Double, Long, Int)](heap.size)
+    var i = arr.length - 1
+    val copy = new java.util.PriorityQueue[(Double, Long, Int)](heap)
+    while (i >= 0) { arr(i) = copy.poll(); i -= 1 }
+    arr
+  }
+}
+
+/** `top_k_by(dist, id, label, k)` — a TypedImperativeAggregate that keeps
+  * a bounded priority queue per group with map-side partial aggregation:
+  * the Spark-native form of the reference's MapReduce combiner→reducer
+  * top-k (SURVEY.md §2.F). Returns array<struct<dist,id,label>> sorted by
+  * (dist, id) ascending.
+  *
+  * Scale rationale: the window-function top-k shuffles every candidate
+  * pair (O(m·n) rows) to rank them; this aggregate reduces each map-side
+  * partition to ≤k rows per query before the exchange, so the shuffle
+  * carries O(m·k) — the difference between feasible and not at 100 TB.
+  */
+case class TopKByAggregate(
+    distExpr: Expression,
+    idExpr: Expression,
+    labelExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(distExpr, idExpr, labelExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("dist", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("label", IntegerType, nullable = false))))
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val d = distExpr.eval(input)
+    val id = idExpr.eval(input)
+    val lb = labelExpr.eval(input)
+    if (d != null && id != null) {
+      buf.insert(d.asInstanceOf[Double], id.asInstanceOf[Long],
+        if (lb == null) 0 else lb.asInstanceOf[Int])
+    }
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val rows: Array[Any] = buf.sorted.map { case (d, id, lb) =>
+      InternalRow(d, id, lb)
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val arr = buf.sorted
+    val bb = ByteBuffer.allocate(8 + arr.length * 20)
+    bb.putInt(buf.k)
+    bb.putInt(arr.length)
+    arr.foreach { case (d, id, lb) => bb.putDouble(d); bb.putLong(id); bb.putInt(lb) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val kk = bb.getInt
+    val n = bb.getInt
+    val buf = new TopKBuffer(kk)
+    var i = 0
+    while (i < n) { buf.insert(bb.getDouble, bb.getLong, bb.getInt); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKByAggregate =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKByAggregate =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(distExpr = c(0), idExpr = c(1), labelExpr = c(2))
+  override def prettyName: String = "top_k_by"
+}
+
+object TopKAgg {
+  /** Register `top_k_by(dist, id, label, k)` in the session's function
+    * registry (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("top_k_by",
+      exprs => {
+        val k = exprs(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"top_k_by k must be a literal, got $other")
+        }
+        TopKByAggregate(exprs(0), exprs(1), exprs(2), k).toAggregateExpression()
+      }, "scala_udf")
+
+  def top_k_by(spark: SparkSession, dist: Column, id: Column, label: Column,
+      k: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("top_k_by", dist, id, label,
+      org.apache.spark.sql.functions.lit(k))
+  }
+}

@@ -112,7 +112,24 @@ object Knn {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** knn_topk computed through the bounded-heap `top_k_by` aggregate
+    * instead of a ranking window: map-side partial top-k shrinks every
+    * partition to ≤k rows per query BEFORE the exchange (the reference's
+    * combiner semantics) — the shape that survives a candidate set too
+    * large to broadcast. Output and oracle are identical to knn_topk. */
+  def knnTopkAgg(s: SparkSession, d: String): DataFrame = {
+    val nbrs = pairs(s, d)
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg
+        .top_k_by(s, col("dist"), col("cid"), col("clabel"), K).as("nbrs"))
+    nbrs.select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
+        col("nbr.id").as("cid"), round(col("nbr.dist"), 6).as("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_topk_agg" -> (knnTopkAgg _),
     "knn_topk" -> (knnTopk _),
     "knn_classify" -> (knnClassify _),
     "knn_accuracy" -> (knnAccuracy _),
@@ -128,6 +145,13 @@ object Knn {
       |WHERE q.vec_id <> c.vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "knn_topk_agg" ->
+      s"""WITH pairs AS ($cosPairs),
+         |ranked AS (SELECT qid, cid, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rnk
+         |  FROM pairs)
+         |SELECT qid, rnk, cid, round(dist, 6) AS dist
+         |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin,
     "knn_topk" ->
       s"""WITH pairs AS ($cosPairs),
          |ranked AS (SELECT qid, cid, dist,

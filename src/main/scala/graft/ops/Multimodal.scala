@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2 driver-mandated scope):
+  * image/audio/video treated as opaque `binary` payloads with typed
+  * metadata, plus decode / feature-extract / resize / frame-sample
+  * operators.
+  *
+  * The container has no media codecs, so the *decode* step is a
+  * clearly-marked deterministic fake (parse of our own synthetic header)
+  * — but everything Spark-cares-about is real and tested: the
+  * binary+struct schema, the mapPartitions batch shape (one decoder
+  * instance per partition, streaming rows through it — exactly how a
+  * JNI/FFmpeg decoder would be mounted), partitioning, and the byte-level
+  * feature extractor (a genuine computation feeding the similarity ops).
+  *
+  * Scale notes: payloads stay opaque bytes end-to-end (no driver
+  * collect); per-partition decoder setup amortizes model/codec init;
+  * frame-sample explodes rows map-side without shuffle; features are
+  * fixed-width float arrays ready for the Ann/Knn operators.
+  */
+object Multimodal {
+
+  /** Synthesize a deterministic binary corpus from `documents`: payload =
+    * 8-byte header (2-byte magic, 2-byte width, 2-byte height, 2-byte
+    * fps) + UTF-8 body. Stand-in for reading real image/audio blobs. */
+  def assets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      // header fields derived deterministically from doc metadata
+      (col("n_chars") % 640 + 16).cast("int").as("width"),
+      (col("n_chars") % 480 + 9).cast("int").as("height"),
+      when(col("lang") === "en", 24).otherwise(30).cast("int").as("fps"),
+      encode(col("text"), "UTF-8").as("body"))
+      .select(col("asset_id"), col("width"), col("height"), col("fps"),
+        concat(
+          lit(Array[Byte](0x47.toByte, 0x4d.toByte)), // "GM" magic
+          headerBytes(col("width")), headerBytes(col("height")),
+          headerBytes(col("fps")), col("body")).as("payload"))
+
+  private def headerBytes(v: org.apache.spark.sql.Column) =
+    udf((x: Int) => Array[Byte](((x >> 8) & 0xff).toByte, (x & 0xff).toByte))
+      .apply(v)
+
+  case class AssetMeta(asset_id: Long, format: String, width: Int,
+      height: Int, fps: Int, n_body_bytes: Int)
+
+  /** Decode stub: parse the synthetic header out of the binary payload.
+    * A real deployment replaces `parseHeader` with the codec call; the
+    * mapPartitions mounting (per-partition decoder lifecycle) is the
+    * production shape and is what this operator actually exercises. */
+  def decodeMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    assets(s, d).select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "decoder" init happens here (once, not per row)
+        rows.map { case (id, bytes) =>
+          val (fmt, w, h, fps) = parseHeader(bytes)
+          AssetMeta(id, fmt, w, h, fps, bytes.length - 8)
+        }
+      }
+      .toDF()
+  }
+
+  private def parseHeader(bytes: Array[Byte]): (String, Int, Int, Int) = {
+    val fmt = if (bytes.length >= 2 && bytes(0) == 0x47 && bytes(1) == 0x4d) "gm"
+      else "unknown" // a real decoder would sniff magic numbers the same way
+    def u16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    if (bytes.length >= 8) (fmt, u16(2), u16(4), u16(6)) else (fmt, 0, 0, 0)
+  }
+
+  /** Feature extraction: 16-bin byte histogram of the body, L1-normalized
+    * to float — a real (if simple) content feature, shaped exactly like
+    * an image/audio embedding and consumable by the Ann/Knn operators. */
+  def byteHistogram(s: SparkSession, d: String): DataFrame = {
+    val hist = udf { (bytes: Array[Byte]) =>
+      val h = new Array[Float](16)
+      var i = 8 // skip header
+      while (i < bytes.length) { h((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+      val n = (bytes.length - 8).max(1).toFloat
+      h.map(_ / n)
+    }
+    assets(s, d).select(col("asset_id"), hist(col("payload")).as("features"))
+  }
+
+  /** "Resize" stub: a payload→payload transform that rewrites the header
+    * (new dimensions) and passes the body through ??? -- here a
+    * deterministic truncation stands in for the pixel resample. */
+  def resize(s: SparkSession, d: String, newW: Int, newH: Int): DataFrame = {
+    import s.implicits._
+    assets(s, d).select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val body = bytes.drop(8)
+          // REAL resample would go here; deterministic stand-in keeps a
+          // proportional prefix of the body.
+          val scaled = body.take(math.max(1, body.length / 2))
+          val hdr = Array[Byte](0x47, 0x4d,
+            ((newW >> 8) & 0xff).toByte, (newW & 0xff).toByte,
+            ((newH >> 8) & 0xff).toByte, (newH & 0xff).toByte,
+            bytes(6), bytes(7))
+          (id, hdr ++ scaled)
+        }
+      }
+      .toDF("asset_id", "payload")
+  }
+
+  /** Frame sampling: split the body into fixed-size "frames" and emit one
+    * row per sampled frame (every `stride`-th) — the map-side explode
+    * shape of video-frame extraction. */
+  def frameSample(s: SparkSession, d: String, frameBytes: Int = 64,
+      stride: Int = 4): DataFrame = {
+    import s.implicits._
+    assets(s, d).select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val body = bytes.drop(8)
+        val nFrames = (body.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).map { f =>
+          (id, f, body.slice(f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+      .toDF("asset_id", "frame_no", "frame")
+  }
+
+  /** Declared metadata query — the oracle-checkable slice of the binary
+    * pipeline (byte lengths and header-derived fields are pure SQL on
+    * both engines; the docs are ASCII so octet_length(text) = body bytes). */
+  def assetMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      (col("n_chars") % 640 + 16).cast("int").as("width"),
+      (col("n_chars") % 480 + 9).cast("int").as("height"),
+      when(col("lang") === "en", 24).otherwise(30).cast("int").as("fps"),
+      octet_length(col("text")).as("n_body_bytes"))
+      .orderBy(col("asset_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_asset_meta" -> (assetMeta _),
+    "m02_decode_meta" -> (decodeMeta _),
+    "m03_byte_histogram" -> (byteHistogram _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m01_asset_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(n_chars % 640 + 16 AS INTEGER) AS width,
+        |  CAST(n_chars % 480 + 9 AS INTEGER) AS height,
+        |  CAST(CASE WHEN lang = 'en' THEN 24 ELSE 30 END AS INTEGER) AS fps,
+        |  octet_length(CAST(text AS BLOB)) AS n_body_bytes
+        |FROM documents ORDER BY asset_id""".stripMargin,
+  )
+}

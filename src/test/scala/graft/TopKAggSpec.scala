@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TopKAgg
+
+/** The bounded-heap aggregate must agree exactly with the window-rank
+  * formulation — including tie-breaks — and keep map-side partial
+  * aggregation in its physical plan. */
+class TopKAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("top_k_by equals window row_number top-k on the embeddings pipeline") {
+    val aggResult = ops.Knn.knnTopkAgg(spark, sf0001)
+      .select($"qid", $"rnk".cast("long"), $"cid", $"dist")
+      .as[(Long, Long, Long, Double)].collect()
+    val winResult = ops.Knn.knnTopk(spark, sf0001)
+      .select($"qid", $"rnk".cast("long"), $"cid", $"dist")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(aggResult.length === winResult.length)
+    assert(aggResult.sameElements(winResult))
+  }
+
+  test("top_k_by breaks distance ties on the id") {
+    val df = Seq(
+      (1L, 0.5, 30L, 0), (1L, 0.5, 10L, 1), (1L, 0.5, 20L, 2), (1L, 0.1, 40L, 3),
+    ).toDF("qid", "dist", "cid", "clabel")
+    val out = df.groupBy($"qid")
+      .agg(TopKAgg.top_k_by(spark, $"dist", $"cid", $"clabel", 3).as("nbrs"))
+      .select(posexplode($"nbrs").as(Seq("pos", "nbr")))
+      .select($"nbr.id").as[Long].collect()
+    assert(out.sameElements(Array(40L, 10L, 20L))) // 0.1 first, then ties by id
+  }
+
+  test("top_k_by plans partial aggregation before the exchange") {
+    val plan = ops.Knn.knnTopkAgg(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_by") || plan.contains("partial_"), plan)
+  }
+
+  test("buffer serialization round-trips through sorted order") {
+    val buf = new graft.functions.TopKBuffer(2)
+    buf.insert(0.3, 1, 7); buf.insert(0.1, 2, 8); buf.insert(0.2, 3, 9)
+    assert(buf.sorted.toSeq === Seq((0.1, 2L, 8), (0.2, 3L, 9)))
+  }
+}
