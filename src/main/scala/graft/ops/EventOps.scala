@@ -137,7 +137,21 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** D3b: Spark's native session_window operator in batch. Note the
+    * boundary semantics: session_window starts a NEW session when the gap
+    * is >= 30 min (an event at exactly session-end falls outside), so the
+    * portable oracle uses `>=`, unlike d03's strictly-greater form. */
+  def sessionWindowNative(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d08_session_window" -> (sessionWindowNative _),
     "d01_window_tumbling" -> (windowTumbling _),
     "d02_window_sliding" -> (windowSliding _),
     "d03_sessionize" -> (sessionize _),
@@ -148,6 +162,28 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "d08_session_window" ->
+      s"""WITH e AS (SELECT event_id, user_id, $duckSecTs AS sts FROM events),
+         |lagged AS (
+         |  SELECT user_id, sts, event_id,
+         |    lag(sts) OVER (PARTITION BY user_id ORDER BY sts ASC, event_id ASC) AS prev_ts
+         |  FROM e),
+         |flagged AS (
+         |  SELECT user_id, sts, event_id,
+         |    CASE WHEN prev_ts IS NULL
+         |           OR epoch(sts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END AS new_session
+         |  FROM lagged),
+         |sess AS (
+         |  SELECT user_id,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sts ASC, event_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged),
+         |per_sess AS (
+         |  SELECT user_id, session_id, count(*) AS n_events
+         |  FROM sess GROUP BY user_id, session_id)
+         |SELECT user_id, count(*) AS n_sessions,
+         |  max(n_events) AS max_session_events
+         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     "d01_window_tumbling" ->
       s"""SELECT strftime(date_trunc('hour', $duckSecTs), '%Y-%m-%d %H:%M:%S') AS wstart,
          |  event_type, count(*) AS n,

@@ -137,6 +137,14 @@ object Relational {
         countDistinct(col("l_partkey"), col("l_suppkey")).as("nd_ps"))
       .orderBy(col("l_returnflag"))
 
+  /** B8b: dropDuplicates on a key subset — the set-semantics dedup
+    * operator (deterministic because only the key columns are kept). */
+  def dropDup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .dropDuplicates("l_returnflag", "l_linestatus")
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   /** B9: approximate distinct (HyperLogLog++). Sketches are not portable
     * across engines, so this is declared WITHOUT an oracle (rows-only
     * check); the exact twin above is the hash-checked one. At 100 TB the
@@ -227,22 +235,32 @@ object Relational {
       .orderBy(col("s_nationkey"), col("s_suppkey"))
   }
 
-  /** B15: lag/lead — day gaps between consecutive orders per customer,
-    * aggregated per market segment. Gaps are integer days: exact. */
+  /** B15: lag/lead/first/last analytics — day gaps between consecutive
+    * orders per customer plus each customer's full order span, aggregated
+    * per market segment. All values are integer days: exact. */
   def windowLag(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val gaps = Tables.orders(s, d)
       .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .withColumn("first_date", first(col("o_orderdate")).over(wf))
+      .withColumn("last_date", last(col("o_orderdate")).over(wf))
       .where(col("prev_date").isNotNull)
       .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")))
+      .withColumn("fwd_days",
+        when(col("next_date").isNotNull, datediff(col("next_date"), col("o_orderdate"))))
+      .withColumn("span_days", datediff(col("last_date"), col("first_date")))
     gaps.join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_gaps"),
         min(col("gap_days")).as("min_gap"),
         max(col("gap_days")).as("max_gap"),
-        round(sum(col("gap_days")).cast("double") / count(lit(1)), 6).as("avg_gap"))
+        round(sum(col("gap_days")).cast("double") / count(lit(1)), 6).as("avg_gap"),
+        sum(col("fwd_days")).as("sum_fwd"),
+        max(col("span_days")).as("max_span"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -336,6 +354,7 @@ object Relational {
     "b06_join_semi" -> (joinSemi _),
     "b07_agg_q1" -> (aggQ1 _),
     "b08_distinct" -> (distinctAgg _),
+    "b08_dropdup" -> (dropDup _),
     "b09_approx_distinct" -> (approxDistinct _),
     "b10_rollup" -> (rollupAgg _),
     "b10_cube" -> (cubeAgg _),
@@ -414,6 +433,9 @@ object Relational {
         |  count(DISTINCT l_suppkey) AS nd_supps,
         |  count(DISTINCT (l_partkey, l_suppkey)) AS nd_ps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "b08_dropdup" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "b10_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         |  count(*) AS n_customers,
@@ -462,13 +484,23 @@ object Relational {
       """WITH gaps AS (
         |  SELECT o_custkey,
         |    date_diff('day',
-        |      lag(o_orderdate) OVER (PARTITION BY o_custkey
-        |                             ORDER BY o_orderdate ASC, o_orderkey ASC),
-        |      o_orderdate) AS gap_days
-        |  FROM orders)
+        |      lag(o_orderdate) OVER w, o_orderdate) AS gap_days,
+        |    date_diff('day',
+        |      o_orderdate, lead(o_orderdate) OVER w) AS fwd_days,
+        |    date_diff('day',
+        |      first_value(o_orderdate) OVER wf,
+        |      last_value(o_orderdate) OVER wf) AS span_days
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |         wf AS (PARTITION BY o_custkey
+        |                ORDER BY o_orderdate ASC, o_orderkey ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |SELECT c_mktsegment, count(*) AS n_gaps,
         |  min(gap_days) AS min_gap, max(gap_days) AS max_gap,
-        |  round(CAST(sum(gap_days) AS DOUBLE) / count(*), 6) AS avg_gap
+        |  round(CAST(sum(gap_days) AS DOUBLE) / count(*), 6) AS avg_gap,
+        |  sum(fwd_days) AS sum_fwd,
+        |  max(span_days) AS max_span
         |FROM gaps JOIN customer ON o_custkey = c_custkey
         |WHERE gap_days IS NOT NULL
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
