@@ -150,8 +150,24 @@ object EventOps {
         max(col("n_events")).as("max_session_events"))
       .orderBy(col("user_id"))
 
+  /** E-map: from_json into a typed map, exploded to key/value rows —
+    * the map/json scalar surface (map_keys/map_values/element_at are the
+    * same parsed-map column). */
+  def mapJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)).as("m"))
+      .select(col("event_type"), explode(col("m")).as(Seq("key", "value")))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"), sum(col("value")).as("sum_v"))
+      .orderBy(col("event_type"), col("key"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d08_session_window" -> (sessionWindowNative _),
+    "e02_map_json" -> (mapJson _),
     "d01_window_tumbling" -> (windowTumbling _),
     "d02_window_sliding" -> (windowSliding _),
     "d03_sessionize" -> (sessionize _),
@@ -162,6 +178,13 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "e02_map_json" ->
+      """SELECT event_type, 'k' AS key, count(*) AS n,
+        |  min(v) AS min_v, max(v) AS max_v, sum(v) AS sum_v
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS INTEGER) AS v FROM events) t
+        |WHERE v IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type, key""".stripMargin,
     "d08_session_window" ->
       s"""WITH e AS (SELECT event_id, user_id, $duckSecTs AS sts FROM events),
          |lagged AS (

@@ -266,7 +266,23 @@ object TextOps {
           .as("head8_sum"))
       .orderBy(col("vec_id"))
 
+  /** C7b: higher-order array functions — filter / exists / zip_with /
+    * sequence / aggregate over the embedding vectors. */
+  def arrayHof(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("emb_d", col("embedding").cast("array<double>"))
+      .select(
+        col("vec_id"),
+        size(filter(col("emb_d"), x => x > 0)).as("n_pos"),
+        exists(col("emb_d"), x => x > 0.25).cast("int").as("has_big"),
+        aggregate(sequence(lit(1), size(col("emb_d"))), lit(0L), (acc, x) => acc + x)
+          .as("idx_sum"),
+        round(aggregate(zip_with(col("emb_d"), col("emb_d"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x), 6).as("self_dot"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c14_array_hof" -> (arrayHof _),
     "c01_dedup_exact" -> (dedupExact _),
     "c01_dedup_stats" -> (dedupStats _),
     "c02_jaccard_neardup" -> (jaccardNearDup _),
@@ -283,6 +299,14 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "c14_array_hof" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT vec_id,
+        |  len(list_filter(emb, x -> x > 0)) AS n_pos,
+        |  CAST((len(list_filter(emb, x -> x > 0.25)) > 0) AS INTEGER) AS has_big,
+        |  list_sum(range(1, len(emb) + 1)) AS idx_sum,
+        |  round(list_sum(list_transform(emb, x -> x * x)), 6) AS self_dot
+        |FROM e ORDER BY vec_id""".stripMargin,
     "c01_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,
