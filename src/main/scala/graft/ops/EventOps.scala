@@ -139,10 +139,11 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
-  /** D3b: Spark's native session_window operator in batch. Note the
-    * boundary semantics: session_window starts a NEW session when the gap
-    * is >= 30 min (an event at exactly session-end falls outside), so the
-    * portable oracle uses `>=`, unlike d03's strictly-greater form. */
+  /** D3b: Spark's native session_window operator in batch. Boundary
+    * semantics (verified empirically on a gap of exactly 30 min, sf0.1
+    * user 511): an event arriving exactly at session-end MERGES into the
+    * session, i.e. a new session starts only when the gap is strictly
+    * greater than 30 min — the same `>` convention as d03. */
   def sessionWindowNative(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -196,7 +197,7 @@ object EventOps {
          |flagged AS (
          |  SELECT user_id, sts, event_id,
          |    CASE WHEN prev_ts IS NULL
-         |           OR epoch(sts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END AS new_session
+         |           OR epoch(sts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
          |  FROM lagged),
          |sess AS (
          |  SELECT user_id,
