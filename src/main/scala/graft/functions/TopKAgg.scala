@@ -52,10 +52,14 @@ final class TopKBuffer(val k: Int) extends Serializable {
   * top-k (SURVEY.md §2.F). Returns array<struct<dist,id,label>> sorted by
   * (dist, id) ascending.
   *
-  * Scale rationale: the window-function top-k shuffles every candidate
-  * pair (O(m·n) rows) to rank them; this aggregate reduces each map-side
-  * partition to ≤k rows per query before the exchange, so the shuffle
-  * carries O(m·k) — the difference between feasible and not at 100 TB.
+  * Scale rationale: both this aggregate and the window form shuffle only
+  * O(m·k) rows — Spark 4 pushes a WindowGroupLimit below the exchange for
+  * `row_number() <= k` (verified in the knn_topk plan). The aggregate
+  * still earns its place: it replaces per-partition sort+limit with an
+  * O(k) heap, merges partial states without re-sorting, and composes
+  * with block-partitioned (non-broadcast) join layouts where each
+  * query's candidates arrive in several independent blocks that a
+  * rank-limit window cannot pre-combine.
   */
 case class TopKByAggregate(
     distExpr: Expression,
