@@ -128,8 +128,49 @@ object Knn {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** The non-broadcast layout: when the candidate set is too large to
+    * broadcast, both sides partition and Spark's CartesianProduct runs
+    * partition-pair-wise (block-nested-loop) products; `top_k_by` then
+    * reduces each (query, candidate-block) to k rows map-side and merges
+    * the per-block partial heaps in one k-row-per-query shuffle. Same
+    * results, same oracle — only the physical layout differs. */
+  def knnTopkBlocked(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val p = Tables.parallelism(s)
+    val q = e.repartition(p)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.repartition(4) // candidate blocks
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("label").as("clabel"))
+    // SHUFFLE_REPLICATE_NL forbids the broadcast fallback the optimizer
+    // would otherwise pick at test scale, forcing the true block layout.
+    val pr = q.hint("shuffle_replicate_nl").crossJoin(c)
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("clabel"),
+        graft.functions.VectorExpressions
+          .cosine_distance(s, col("qv"), col("cv")).as("dist"))
+    pr.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg
+        .top_k_by(s, col("dist"), col("cid"), col("clabel"), K).as("nbrs"))
+      .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
+        col("nbr.id").as("cid"), round(col("nbr.dist"), 6).as("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** A6b: confusion matrix of the leave-one-out classifier. */
+  def knnConfusion(s: SparkSession, d: String): DataFrame = {
+    val truth = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    knnClassify(s, d).join(truth, col("qid") === col("vec_id"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_topk_agg" -> (knnTopkAgg _),
+    "knn_topk_blocked" -> (knnTopkBlocked _),
+    "knn_confusion" -> (knnConfusion _),
     "knn_topk" -> (knnTopk _),
     "knn_classify" -> (knnClassify _),
     "knn_accuracy" -> (knnAccuracy _),
@@ -145,6 +186,27 @@ object Knn {
       |WHERE q.vec_id <> c.vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "knn_topk_blocked" ->
+      s"""WITH pairs AS ($cosPairs),
+         |ranked AS (SELECT qid, cid, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rnk
+         |  FROM pairs)
+         |SELECT qid, rnk, cid, round(dist, 6) AS dist
+         |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin,
+    "knn_confusion" ->
+      s"""WITH pairs AS ($cosPairs),
+         |ranked AS (SELECT qid, cid, clabel, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rnk
+         |  FROM pairs),
+         |votes AS (SELECT qid, clabel, count(*) AS n
+         |  FROM ranked WHERE rnk <= $K GROUP BY qid, clabel),
+         |pred AS (SELECT qid, clabel AS pred FROM (
+         |  SELECT qid, clabel,
+         |    row_number() OVER (PARTITION BY qid ORDER BY n DESC, clabel ASC) AS vr
+         |  FROM votes) WHERE vr = 1)
+         |SELECT e.label, p.pred, count(*) AS n
+         |FROM pred p JOIN embeddings e ON p.qid = e.vec_id
+         |GROUP BY e.label, p.pred ORDER BY e.label, p.pred""".stripMargin,
     "knn_topk_agg" ->
       s"""WITH pairs AS ($cosPairs),
          |ranked AS (SELECT qid, cid, dist,

@@ -37,6 +37,21 @@ class TopKAggSpec extends SparkSpec {
     assert(plan.contains("partial_top_k_by") || plan.contains("partial_"), plan)
   }
 
+  test("blocked variant plans CartesianProduct with partial top_k_by") {
+    val plan = ops.Knn.knnTopkBlocked(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_top_k_by"), plan)
+    // and must still equal the exact window form
+    val blocked = ops.Knn.knnTopkBlocked(spark, sf0001)
+      .select($"qid", $"rnk".cast("long"), $"cid", $"dist")
+      .as[(Long, Long, Long, Double)].collect()
+    val win = ops.Knn.knnTopk(spark, sf0001)
+      .select($"qid", $"rnk".cast("long"), $"cid", $"dist")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(blocked.sameElements(win))
+  }
+
   test("buffer serialization round-trips through sorted order") {
     val buf = new graft.functions.TopKBuffer(2)
     buf.insert(0.3, 1, 7); buf.insert(0.1, 2, 8); buf.insert(0.2, 3, 9)
