@@ -89,7 +89,7 @@ object Knn {
   /** A8: radius / threshold similarity join — all pairs closer than tau.
     * With ~random 64-d vectors cosine distance concentrates near 1, so a
     * small tau keeps the output to the genuinely-near pairs. */
-  val RadiusTau = 0.5
+  val RadiusTau = 0.6 // ~100 pairs at sf0.01 — sparse but non-trivial
   def knnRadius(s: SparkSession, d: String): DataFrame =
     pairs(s, d).where(col("dist") < RadiusTau)
       .select(col("qid"), col("cid"), round(col("dist"), 6).as("dist"))
