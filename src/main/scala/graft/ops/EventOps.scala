@@ -168,7 +168,37 @@ object EventOps {
         max(col("value")).as("max_v"), sum(col("value")).as("sum_v"))
       .orderBy(col("event_type"), col("key"))
 
+  /** D6b: the same as-of semantics via the linear union+window
+    * formulation — the shape that scales when the range join blows up:
+    * union both streams tagged, sort by (key, time, tag) once, and let
+    * `last(..., ignoreNulls)` carry the most recent order date forward.
+    * One sort exchange, O(n+m) — no per-event candidate expansion at all.
+    * Output (and oracle) identical to d06. */
+  def asofUnion(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("tag"),
+        col("event_id"), col("event_type"), col("ts"),
+        lit(null).cast("timestamp").as("o_orderdate"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("string").as("event_type"),
+        lit(null).cast("timestamp").as("ts"), col("o_orderdate"))
+    // orders sort before events at equal time (tag 0 < 1) → inclusive <=
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("last_od", last(col("o_orderdate"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(col("last_od")).as("n_matched"),
+        count(lit(1)).as("n_events"),
+        sum(datediff(col("ts"), col("last_od"))).as("sum_days_since"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d06_asof_union" -> (asofUnion _),
     "d08_session_window" -> (sessionWindowNative _),
     "e02_map_json" -> (mapJson _),
     "d01_window_tumbling" -> (windowTumbling _),
@@ -180,7 +210,19 @@ object EventOps {
     "d07_timeseries_diff" -> (timeseriesDiff _),
   )
 
+  private val asofOracle =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, $duckSecTs AS sts FROM events),
+       |j AS (
+       |  SELECT e.event_id, e.event_type, e.sts, max(o.o_orderdate) AS last_od
+       |  FROM e LEFT JOIN orders o
+       |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.sts
+       |  GROUP BY e.event_id, e.event_type, e.sts)
+       |SELECT event_type, count(last_od) AS n_matched, count(*) AS n_events,
+       |  sum(date_diff('day', last_od, sts)) AS sum_days_since
+       |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d06_asof_union" -> asofOracle,
     "e02_map_json" ->
       """SELECT event_type, 'k' AS key, count(*) AS n,
         |  min(v) AS min_v, max(v) AS max_v, sum(v) AS sum_v
@@ -266,18 +308,7 @@ object EventOps {
         |FROM (SELECT event_type,
         |        CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "d06_asof_join" ->
-      s"""WITH e AS (SELECT event_id, user_id, event_type, $duckSecTs AS sts FROM events),
-         |j AS (
-         |  SELECT e.event_id, e.event_type, o.o_orderkey, o.o_orderdate, e.sts,
-         |    row_number() OVER (PARTITION BY e.event_id
-         |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-         |  FROM e LEFT JOIN orders o
-         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.sts)
-         |SELECT event_type, count(o_orderkey) AS n_matched, count(*) AS n_events,
-         |  sum(date_diff('day', o_orderdate, sts)) AS sum_days_since
-         |FROM j WHERE rn = 1
-         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d06_asof_join" -> asofOracle,
     "d07_timeseries_diff" ->
       """WITH d AS (
         |  SELECT event_type,

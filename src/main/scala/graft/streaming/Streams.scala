@@ -83,6 +83,41 @@ object Streams {
       }
   }
 
+  case class OpenSession(startSec: Long, lastSec: Long, n: Int)
+  case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long, n_events: Int)
+
+  /** D3-stream variant: flatMapGroupsWithState emitting CLOSED sessions
+    * as they end (zero or more output rows per group per batch — the
+    * flatMap shape); the still-open session stays in state. */
+  def closedSessions(s: SparkSession, d: String): Dataset[ClosedSession] = {
+    import s.implicits._
+    val gapSec = 1800L
+    eventStream(s, d)
+      .select(col("user_id"), col("ts").cast("long").as("ts_sec"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[OpenSession]) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var open = state.getOption
+          sorted.foreach { t =>
+            open match {
+              case Some(o) if t - o.lastSec <= gapSec =>
+                open = Some(o.copy(lastSec = t, n = o.n + 1))
+              case Some(o) =>
+                closed += ClosedSession(user, o.startSec, o.lastSec, o.n)
+                open = Some(OpenSession(t, t, 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Run a streaming DataFrame to a named in-memory table, synchronously
     * processing everything currently available. Returns the query
     * (stopped) — read results from `spark.table(name)`. */

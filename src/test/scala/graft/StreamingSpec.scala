@@ -34,6 +34,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("flatMapGroupsWithState closed sessions = batch sessions minus the open one") {
+    Streams.runToMemory(Streams.closedSessions(spark, sf0001).toDF(),
+      "stream_closed", OutputMode.Append())
+    val closedPerUser = spark.table("stream_closed")
+      .groupBy($"user_id").count()
+      .as[(Long, Long)].collect().toMap
+    val batch = ops.EventOps.sessionize(spark, sf0001)
+      .select($"user_id", $"n_sessions").as[(Long, Long)].collect()
+    // every user's final session is still open, so closed = total - 1
+    batch.foreach { case (u, n) =>
+      assert(closedPerUser.getOrElse(u, 0L) === n - 1, s"user $u")
+    }
+  }
+
   test("streaming dedup emits one row per (user, event_type)") {
     Streams.runToMemory(Streams.dedup(spark, sf0001), "stream_dedup",
       OutputMode.Append())
