@@ -326,6 +326,42 @@ object Relational {
         expr("CAST(sum(CAST(s_acctbal AS DECIMAL(9,2))) AS DOUBLE)").as("sum_bal"))
       .orderBy(col("bucket"))
 
+  /** B10c: GROUPING SETS through the spark.sql entry point (the
+    * DataFrame API has rollup/cube; arbitrary sets are SQL-first). */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS total
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** B7b: dispersion statistics with engine-exact arithmetic — variance
+    * from lossless decimal power sums (E[X²]−E[X]², one double expression
+    * at the end), plus exact interpolated median. */
+  def statsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE)").as("s1"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(9,2)) * CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE)").as("s2"),
+        expr("percentile(o_totalprice, 0.5)").as("median_price"))
+      .select(col("o_orderstatus"), col("n"),
+        round(col("s1") / col("n"), 6).as("mean_price"),
+        // variance is ~1e10: 6-dp rounding sits below double ULP there
+        // and engines disagree sub-ULP — 2 dp is safely above ULP.
+        round(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")), 2)
+          .as("var_price"),
+        round(sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))), 6)
+          .as("stddev_price"),
+        round(col("median_price"), 6).as("median_price"))
+      .orderBy(col("o_orderstatus"))
+
   /** E: scalar-function kitchen sink — math/string/date built-ins in one
     * projection, aggregated order-independently (min/max/count only). */
   def scalarKitchen(s: SparkSession, d: String): DataFrame =
@@ -358,6 +394,8 @@ object Relational {
     "b09_approx_distinct" -> (approxDistinct _),
     "b10_rollup" -> (rollupAgg _),
     "b10_cube" -> (cubeAgg _),
+    "b10_grouping_sets" -> (groupingSets _),
+    "b07_stats" -> (statsAgg _),
     "b11_sort_limit" -> (sortLimit _),
     "b12_topk_customers" -> (topkCustomers _),
     "b13_topk_pergroup" -> (topkPerGroup _),
@@ -452,6 +490,27 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "b10_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "b07_stats" ->
+      """WITH s AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(9,2)) * CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS s2,
+        |    quantile_cont(o_totalprice, 0.5) AS median_price
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n,
+        |  round(s1 / n, 6) AS mean_price,
+        |  round(s2 / n - (s1 / n) * (s1 / n), 2) AS var_price,
+        |  round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS stddev_price,
+        |  round(median_price, 6) AS median_price
+        |FROM s ORDER BY o_orderstatus""".stripMargin,
     "b11_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
