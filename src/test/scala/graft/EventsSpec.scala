@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hand-computed event fixtures (FIXTURES.md "events_tiny"): window
+  * bucketing and sessionization verified against known answers, plus the
+  * salted two-phase aggregation pattern for skewed keys. */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 6 events, one user: 3 in hour 10, 1 in hour 11, then a >30-min gap,
+  // then 2 more — i.e. 2 tumbling buckets (10:xx ×3, 11:xx ×3) and 2
+  // sessions (4 events, then 2).
+  private lazy val tiny = Seq(
+    (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:10:00"),
+    (3L, "2024-01-01 10:40:00"), (4L, "2024-01-01 11:05:00"),
+    (5L, "2024-01-01 11:50:00"), (6L, "2024-01-01 11:55:00"),
+  ).toDF("event_id", "ts_s")
+    .select($"event_id", to_timestamp($"ts_s").as("ts"), lit(7L).as("user_id"))
+
+  test("tumbling hour buckets match hand computation") {
+    val buckets = tiny.groupBy(date_trunc("hour", $"ts").as("h")).count()
+      .orderBy($"h").select($"count").as[Long].collect()
+    assert(buckets.sameElements(Array(3L, 3L)))
+  }
+
+  test("sessionization (gap > 30 min) finds exactly 2 sessions") {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val sessions = tiny
+      .withColumn("prev", lag($"ts", 1).over(byUser))
+      .withColumn("new_s",
+        when($"prev".isNull || $"ts".cast("long") - $"prev".cast("long") > 1800, 1)
+          .otherwise(0))
+      .agg(sum($"new_s")).as[Long].head()
+    assert(sessions === 2)
+    // and the gap event (id 5, 45 min after id 4) starts the second one
+    val flags = tiny
+      .withColumn("prev", lag($"ts", 1).over(byUser))
+      .withColumn("new_s",
+        when($"prev".isNull || $"ts".cast("long") - $"prev".cast("long") > 1800, 1)
+          .otherwise(0))
+      .orderBy($"event_id").select($"new_s").as[Int].collect()
+    assert(flags.sameElements(Array(1, 0, 0, 0, 1, 0)))
+  }
+
+  test("sliding 1h/15min windows place an event in exactly 4 windows") {
+    val windows = tiny.where($"event_id" === 2L)
+      .select(window($"ts", "1 hour", "15 minutes"))
+      .count()
+    assert(windows === 4)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation on skewed keys") {
+    // skew pattern: one dominant key; salt splits it across partitions,
+    // phase 1 aggregates (key, salt), phase 2 merges per key.
+    val skewed = (1 to 1000).map(i => (if (i % 10 == 0) "rare" else "hot", 1L))
+      .toDF("k", "v")
+    val direct = skewed.groupBy($"k").agg(sum($"v").as("s"))
+      .orderBy($"k").as[(String, Long)].collect()
+    val salted = skewed
+      .withColumn("salt", pmod(hash($"v", monotonically_increasing_id()), lit(8)))
+      .groupBy($"k", $"salt").agg(sum($"v").as("ps"))
+      .groupBy($"k").agg(sum($"ps").as("s"))
+      .orderBy($"k").as[(String, Long)].collect()
+    assert(salted.sameElements(direct))
+  }
+}
