@@ -36,13 +36,20 @@ object Bench {
     val names =
       if (all) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
+    var failed = List.empty[String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       if (!all) { try fn(spark, sfDir).count() catch { case _: Throwable => } }
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count() catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries failed: " +
+        failed.sorted.mkString(", "))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

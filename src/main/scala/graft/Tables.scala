@@ -26,9 +26,10 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/embeddings.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS); Spark 4 rejects it unless
-    * the legacy conf maps it to long. We read nanos-as-long and surface a
-    * millisecond-precision `ts` timestamp column (hour-level windows don't
-    * care). The raw nanos stay available as `ts_ns` for tie-breaking.
+    * the legacy conf maps it to long. We read nanos-as-long and surface
+    * `ts` floored to WHOLE SECONDS (every events oracle rebuilds exactly
+    * this second-precision value — see EventOps). The raw nanos stay
+    * available as `ts_ns` for tie-breaking.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -16,10 +16,9 @@ object TextHash extends Serializable {
   private val FnvOffset = 0xcbf29ce484222325L
   private val FnvPrime  = 0x100000001b3L
 
-  @inline private def fnv1a(s: String, seed: Long): Long = {
+  @inline private def fnv1aBytes(bytes: Array[Byte], seed: Long): Long = {
     var h = FnvOffset ^ (seed * FnvPrime)
     var i = 0
-    val bytes = s.getBytes("UTF-8")
     while (i < bytes.length) {
       h ^= (bytes(i) & 0xffL)
       h *= FnvPrime
@@ -28,13 +27,19 @@ object TextHash extends Serializable {
     h
   }
 
-  /** n-permutation MinHash signature of a token set. */
+  @inline private def fnv1a(s: String, seed: Long): Long =
+    fnv1aBytes(s.getBytes("UTF-8"), seed)
+
+  /** n-permutation MinHash signature of a token set. Each token is
+    * UTF-8-encoded once, not once per permutation (this is the map-side
+    * hot loop). */
   private def minhash(tokens: Seq[String], n: Int): Array[Long] = {
     val sig = Array.fill(n)(Long.MaxValue)
     tokens.foreach { t =>
+      val bytes = t.getBytes("UTF-8")
       var i = 0
       while (i < n) {
-        val h = fnv1a(t, i + 1)
+        val h = fnv1aBytes(bytes, i + 1)
         if (h < sig(i)) sig(i) = h
         i += 1
       }
@@ -44,8 +49,12 @@ object TextHash extends Serializable {
 
   /** Collapse a MinHash signature into `nBands` band-bucket hashes
     * (rows-per-band = sig.length / nBands). Docs sharing any band bucket
-    * become LSH candidates. */
+    * become LSH candidates. nBands must divide the signature length — a
+    * silent remainder would weaken the sketch, and nBands > length would
+    * hash every doc into one universal bucket. */
   private def bands(sig: Seq[Long], nBands: Int): Array[Long] = {
+    require(nBands > 0 && sig.length % nBands == 0,
+      s"lsh_bands: nBands=$nBands must divide signature length ${sig.length}")
     val rows = sig.length / nBands
     Array.tabulate(nBands) { b =>
       var h = FnvOffset
@@ -76,15 +85,24 @@ object TextHash extends Serializable {
     out
   }
 
-  /** Winnowing-style fingerprint: min FNV-1a hash over all k-gram
-    * character shingles of the text (single pass, rolling window). */
+  /** Winnowing-style fingerprint: min hash over all k-gram character
+    * shingles, computed with a true Rabin-Karp rolling hash — O(n) time,
+    * zero per-position allocation (the substring-per-position form was
+    * O(n·k) with two allocations per character). */
   private def winnow(text: String, k: Int): Long = {
     if (text.length < k) fnv1a(text, 7)
     else {
-      var best = Long.MaxValue
+      val B = 0x100000001b3L // reuse the FNV prime as the rolling base
+      var bk = 1L // B^k
       var i = 0
-      while (i + k <= text.length) {
-        val h = fnv1a(text.substring(i, i + k), 7)
+      while (i < k) { bk *= B; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * B + text.charAt(i); i += 1 }
+      var best = h
+      i = k
+      while (i < text.length) {
+        h = h * B + text.charAt(i) - bk * text.charAt(i - k)
         if (h < best) best = h
         i += 1
       }

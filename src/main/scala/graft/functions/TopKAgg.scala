@@ -22,6 +22,7 @@ final class TopKBuffer(val k: Int) extends Serializable {
     })
 
   def insert(dist: Double, id: Long, label: Int): Unit = {
+    if (k <= 0) return
     if (heap.size < k) heap.add((dist, id, label))
     else {
       val worst = heap.peek()
@@ -72,6 +73,19 @@ case class TopKByAggregate(
 
   override def children: Seq[Expression] = Seq(distExpr, idExpr, labelExpr)
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (k < 1) TypeCheckFailure(s"top_k_by k must be >= 1, got $k")
+    else if (distExpr.dataType != DoubleType)
+      TypeCheckFailure(s"top_k_by dist must be DOUBLE, got ${distExpr.dataType.catalogString}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckFailure(s"top_k_by id must be BIGINT, got ${idExpr.dataType.catalogString}")
+    else if (labelExpr.dataType != IntegerType)
+      TypeCheckFailure(s"top_k_by label must be INT, got ${labelExpr.dataType.catalogString}")
+    else TypeCheckSuccess
+  }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("dist", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false),

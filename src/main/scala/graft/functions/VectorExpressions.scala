@@ -40,6 +40,8 @@ case class CosineDistanceExpr(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
+    if (y.numElements() != n) throw new IllegalArgumentException(
+      s"cosine_distance: dimension mismatch ($n vs ${y.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -62,6 +64,8 @@ case class CosineDistanceExpr(left: Expression, right: Expression)
       val yv = ctx.freshName("yv")
       s"""
          |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) throw new IllegalArgumentException(
+         |  "cosine_distance: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $xv = (double) $a.getFloat($i);
@@ -84,6 +88,8 @@ case class EuclideanDistanceExpr(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
+    if (y.numElements() != n) throw new IllegalArgumentException(
+      s"euclidean_distance: dimension mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -102,6 +108,8 @@ case class EuclideanDistanceExpr(left: Expression, right: Expression)
       val dv = ctx.freshName("dv")
       s"""
          |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) throw new IllegalArgumentException(
+         |  "euclidean_distance: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $dv = (double) $a.getFloat($i) - (double) $b.getFloat($i);

@@ -56,7 +56,11 @@ object Knn {
 
   // topk/classify/accuracy all consume the same ranked neighbor set; the
   // O(m·n) pair scan is its only expensive input, so share one persisted
-  // copy (k rows per query — tiny) per (session, dataset).
+  // copy (k rows per query — tiny) per (session, dataset). Harness-scoped
+  // by design: entries live for the session (bounded by the handful of
+  // sfDirs the harness touches) and assume the dataset files are
+  // immutable for the session's lifetime — true for the read-only
+  // /root/testdata fixtures.
   private val topkCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def topkRankedShared(s: SparkSession, d: String): DataFrame =

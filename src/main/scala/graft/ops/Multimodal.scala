@@ -25,16 +25,22 @@ import graft.Tables
   */
 object Multimodal {
 
+  // Header-field derivations shared by assets() (what gets ENCODED into
+  // payloads) and assetMeta() (the oracle-checked description of them) —
+  // one definition so they cannot drift apart.
+  private def widthExpr  = (col("n_chars") % 640 + 16).cast("int")
+  private def heightExpr = (col("n_chars") % 480 + 9).cast("int")
+  private def fpsExpr    = when(col("lang") === "en", 24).otherwise(30).cast("int")
+
   /** Synthesize a deterministic binary corpus from `documents`: payload =
     * 8-byte header (2-byte magic, 2-byte width, 2-byte height, 2-byte
     * fps) + UTF-8 body. Stand-in for reading real image/audio blobs. */
   def assets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id").as("asset_id"),
-      // header fields derived deterministically from doc metadata
-      (col("n_chars") % 640 + 16).cast("int").as("width"),
-      (col("n_chars") % 480 + 9).cast("int").as("height"),
-      when(col("lang") === "en", 24).otherwise(30).cast("int").as("fps"),
+      widthExpr.as("width"),
+      heightExpr.as("height"),
+      fpsExpr.as("fps"),
       encode(col("text"), "UTF-8").as("body"))
       .select(col("asset_id"), col("width"), col("height"), col("fps"),
         concat(
@@ -135,9 +141,9 @@ object Multimodal {
   def assetMeta(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id").as("asset_id"),
-      (col("n_chars") % 640 + 16).cast("int").as("width"),
-      (col("n_chars") % 480 + 9).cast("int").as("height"),
-      when(col("lang") === "en", 24).otherwise(30).cast("int").as("fps"),
+      widthExpr.as("width"),
+      heightExpr.as("height"),
+      fpsExpr.as("fps"),
       octet_length(col("text")).as("n_body_bytes"))
       .orderBy(col("asset_id"))
 

@@ -329,15 +329,18 @@ object Relational {
   /** B10c: GROUPING SETS through the spark.sql entry point (the
     * DataFrame API has rollup/cube; arbitrary sets are SQL-first). */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    // per-dataset view name: a fixed name would let concurrent callers on
+    // the same session read each other's dataset
+    val view = s"orders_v_${java.lang.Integer.toHexString(d.hashCode)}"
+    Tables.orders(s, d).createOrReplaceTempView(view)
     s.sql(
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-        |       coalesce(o_orderpriority, 'ALL') AS priority,
-        |       count(*) AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS total
-        |FROM orders_v
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY status, priority""".stripMargin)
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |       coalesce(o_orderpriority, 'ALL') AS priority,
+         |       count(*) AS n,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS total
+         |FROM $view
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, priority""".stripMargin)
   }
 
   /** B7b: dispersion statistics with engine-exact arithmetic — variance

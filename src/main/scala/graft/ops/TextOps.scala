@@ -166,8 +166,8 @@ object TextOps {
       .orderBy(col("lang"))
 
   /** C-text (no oracle): document fingerprinting — a deterministic 64-bit
-    * rolling-hash winnowing fingerprint per document (min FNV-1a hash
-    * over 5-gram character shingles). Pure map-side projection. */
+    * winnowing fingerprint per document (min rolling hash over 16-char
+    * shingles). Pure map-side projection. */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), TextHash.winnow_fingerprint(col("text"), lit(16)).as("fingerprint"))
