@@ -312,6 +312,23 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** B18b: IN / NOT IN subqueries through the SQL entry point (the
+    * DSL twin is the semi/anti join pair in b06). */
+  def inSubquery(s: SparkSession, d: String): DataFrame = {
+    val ov = s"orders_in_${java.lang.Integer.toHexString(d.hashCode)}"
+    val cv = s"cust_in_${java.lang.Integer.toHexString(d.hashCode)}"
+    Tables.orders(s, d).createOrReplaceTempView(ov)
+    Tables.customer(s, d).createOrReplaceTempView(cv)
+    s.sql(
+      s"""SELECT c_mktsegment,
+         |  sum(CASE WHEN c_custkey IN
+         |    (SELECT o_custkey FROM $ov WHERE o_totalprice > 400000)
+         |    THEN 1 ELSE 0 END) AS n_big_spenders,
+         |  count(*) AS n_customers
+         |FROM $cv
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** B19: CASE / COALESCE / NULLIF over supplier balances (includes
     * genuine negatives). */
   def caseNull(s: SparkSession, d: String): DataFrame =
@@ -381,7 +398,10 @@ object Relational {
         min(substring(col("l_linestatus"), 1, 1)).as("min_sub"),
         max(year(col("l_shipdate"))).as("max_year"),
         min(month(col("l_shipdate"))).as("min_month"),
-        max(datediff(col("l_shipdate"), lit("1995-01-01").cast("timestamp"))).as("max_days_since"))
+        max(datediff(col("l_shipdate"), lit("1995-01-01").cast("timestamp"))).as("max_days_since"),
+        // Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6
+        // — the oracle adds 1 to align
+        sum(when(dayofweek(col("l_shipdate")) === 2, 1).otherwise(0)).as("n_monday_ships"))
       .orderBy(col("l_returnflag"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -407,6 +427,7 @@ object Relational {
     "b16_window_running" -> (windowRunning _),
     "b17_setops" -> (setOps _),
     "b18_subquery" -> (subqueryAgg _),
+    "b18_in_subquery" -> (inSubquery _),
     "b19_case_null" -> (caseNull _),
     "e01_scalar_kitchen" -> (scalarKitchen _),
   )
@@ -616,7 +637,16 @@ object Relational {
         |  min(substring(l_linestatus, 1, 1)) AS min_sub,
         |  max(year(l_shipdate)) AS max_year,
         |  min(month(l_shipdate)) AS min_month,
-        |  max(date_diff('day', TIMESTAMP '1995-01-01', l_shipdate)) AS max_days_since
+        |  max(date_diff('day', TIMESTAMP '1995-01-01', l_shipdate)) AS max_days_since,
+        |  sum(CASE WHEN dayofweek(l_shipdate) + 1 = 2 THEN 1 ELSE 0 END) AS n_monday_ships
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "b18_in_subquery" ->
+      """SELECT c_mktsegment,
+        |  sum(CASE WHEN c_custkey IN
+        |    (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |    THEN 1 ELSE 0 END) AS n_big_spenders,
+        |  count(*) AS n_customers
+        |FROM customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }
