@@ -281,7 +281,23 @@ object TextOps {
           lit(0.0), (acc, x) => acc + x), 6).as("self_dot"))
       .orderBy(col("vec_id"))
 
+  /** C5b: n-gram (bigram) frequency — consecutive token pairs built with
+    * sequence+element_at, exploded and counted; the n-gram feature
+    * extraction step of a text pipeline. */
+  def bigramStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(split(col("text"), " ").as("tok"))
+      .select(explode(transform(
+        sequence(lit(1), size(col("tok")) - 1),
+        i => concat(element_at(col("tok"), i), lit(" "),
+          element_at(col("tok"), i + 1)))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(30)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c15_bigrams" -> (bigramStats _),
     "c14_array_hof" -> (arrayHof _),
     "c01_dedup_exact" -> (dedupExact _),
     "c01_dedup_stats" -> (dedupStats _),
@@ -299,6 +315,12 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "c15_bigrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(tok)),
+        |    i -> tok[i] || ' ' || tok[i + 1])) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS tok FROM documents) t) b
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 30""".stripMargin,
     "c14_array_hof" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |SELECT vec_id,
