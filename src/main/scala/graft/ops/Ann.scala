@@ -33,8 +33,23 @@ object Ann {
     Tables.embeddings(s, d).where(col("vec_id") < C)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
 
+  // The assignment table is the index: built once per (session, dataset)
+  // and shared by probes/stats — the local analog of a persisted IVF
+  // index on a cluster. Fixture files are immutable for a session.
+  private val assignCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def assignments(s: SparkSession, d: String): DataFrame =
+    assignCache.getOrElseUpdate((s, d), buildAssignments(s, d).persist())
+
+  /** Drop cached per-session index state (tests / long-lived sessions). */
+  def clearCache(): Unit = {
+    assignCache.values.foreach(_.unpersist())
+    assignCache.clear()
+  }
+
   /** (vec_id, cent_id) inverted-list assignment. */
-  def assignments(s: SparkSession, d: String): DataFrame = {
+  private def buildAssignments(s: SparkSession, d: String): DataFrame = {
     val e = Tables.repartitioned(Tables.embeddings(s, d), s)
       .select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("vec_id"))

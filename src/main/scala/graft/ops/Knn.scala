@@ -66,6 +66,12 @@ object Knn {
   private def topkRankedShared(s: SparkSession, d: String): DataFrame =
     topkCache.getOrElseUpdate((s, d), topkRanked(s, d).persist())
 
+  /** Drop cached per-session state (tests / long-lived sessions). */
+  def clearCache(): Unit = {
+    topkCache.values.foreach(_.unpersist())
+    topkCache.clear()
+  }
+
   def knnTopk(s: SparkSession, d: String): DataFrame =
     topkRankedShared(s, d)
       .select(col("qid"), col("rnk"), col("cid"), round(col("dist"), 6).as("dist"))
