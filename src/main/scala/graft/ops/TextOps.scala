@@ -296,7 +296,25 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(30)
 
+  /** E-string: second scalar kitchen sink — regex extraction, padding,
+    * search, translate/replace/reverse — aggregated order-independently. */
+  def stringKitchen(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        min(regexp_extract(col("text"), "([a-z]+)", 1)).as("min_first_word"),
+        max(length(regexp_replace(col("text"), " ", ""))).as("max_squashed_len"),
+        min(lpad(col("lang"), 4, "_")).as("min_lpad"),
+        max(rpad(col("source"), 8, ".")).as("max_rpad"),
+        max(expr("position('spark' IN text)")).as("max_spark_pos"),
+        min(translate(col("source"), "src", "SRC")).as("min_translated"),
+        max(reverse(col("lang"))).as("max_reversed"),
+        min(expr("left(text, 5)")).as("min_left5"),
+        max(expr("right(source, 2)")).as("max_right2"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e03_string_kitchen" -> (stringKitchen _),
     "c15_bigrams" -> (bigramStats _),
     "c14_array_hof" -> (arrayHof _),
     "c01_dedup_exact" -> (dedupExact _),
@@ -315,6 +333,18 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "e03_string_kitchen" ->
+      """SELECT lang,
+        |  min(regexp_extract(text, '([a-z]+)', 1)) AS min_first_word,
+        |  max(length(regexp_replace(text, ' ', '', 'g'))) AS max_squashed_len,
+        |  min(lpad(lang, 4, '_')) AS min_lpad,
+        |  max(rpad(source, 8, '.')) AS max_rpad,
+        |  max(position('spark' IN text)) AS max_spark_pos,
+        |  min(translate(source, 'src', 'SRC')) AS min_translated,
+        |  max(reverse(lang)) AS max_reversed,
+        |  min(left(text, 5)) AS min_left5,
+        |  max(right(source, 2)) AS max_right2
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "c15_bigrams" ->
       """SELECT bigram, count(*) AS n FROM (
         |  SELECT unnest(list_transform(range(1, len(tok)),

@@ -118,6 +118,41 @@ object Streams {
       }
   }
 
+  /** Stream-stream join: each click joined to the same user's purchases
+    * within the following hour. Watermarks on both sides bound the join
+    * state; the time-range condition lets Spark expire buffered rows. */
+  def clickToPurchase(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventStream(s, d)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = eventStream(s, d)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
+  /** Batch twin of [[clickToPurchase]] for equivalence checks. */
+  def clickToPurchaseBatch(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   /** Run a streaming DataFrame to a named in-memory table, synchronously
     * processing everything currently available. Returns the query
     * (stopped) — read results from `spark.table(name)`. */

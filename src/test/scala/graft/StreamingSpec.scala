@@ -48,6 +48,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join (click→purchase ≤1h) agrees with batch join") {
+    Streams.runToMemory(Streams.clickToPurchase(spark, sf0001), "stream_ssj",
+      OutputMode.Append())
+    val streamed = spark.table("stream_ssj")
+      .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+    val batch = Streams.clickToPurchaseBatch(spark, sf0001)
+      .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "fixture should contain click→purchase pairs")
+  }
+
+  test("foreachBatch sink writes windowed aggregates to parquet") {
+    val out = "target/test-stream-sink"
+    val dir = new java.io.File(out)
+    if (dir.exists()) {
+      java.nio.file.Files.walk(dir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val q = Streams.tumbling(spark, sf0001).writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val written = spark.read.parquet(out).count()
+    val expected = ops.EventOps.windowTumbling(spark, sf0001).count()
+    assert(written === expected)
+  }
+
   test("streaming dedup emits one row per (user, event_type)") {
     Streams.runToMemory(Streams.dedup(spark, sf0001), "stream_dedup",
       OutputMode.Append())
