@@ -197,7 +197,20 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** D9: pivot — event counts per hour-of-day, one column per event
+    * type (Spark's relational transpose; the oracle is the portable
+    * conditional-aggregation form). */
+  def pivotCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("hour_of_day", hour(col("ts")))
+      .groupBy(col("hour_of_day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("hour_of_day"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d09_pivot" -> (pivotCounts _),
     "d06_asof_union" -> (asofUnion _),
     "d08_session_window" -> (sessionWindowNative _),
     "e02_map_json" -> (mapJson _),
@@ -222,6 +235,14 @@ object EventOps {
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d09_pivot" ->
+      s"""SELECT hour($duckSecTs) AS hour_of_day,
+         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+         |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+         |FROM events GROUP BY 1 ORDER BY hour_of_day""".stripMargin,
     "d06_asof_union" -> asofOracle,
     "e02_map_json" ->
       """SELECT event_type, 'k' AS key, count(*) AS n,

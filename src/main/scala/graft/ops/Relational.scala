@@ -382,6 +382,20 @@ object Relational {
         round(col("median_price"), 6).as("median_price"))
       .orderBy(col("o_orderstatus"))
 
+  /** B19b: null-safe equality (`<=>` / IS NOT DISTINCT FROM) — nulls are
+    * manufactured with nullif so both branches of the three-valued-logic
+    * table appear. */
+  def nullSafeEq(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("a", nullif(col("l_returnflag"), lit("N")))
+      .withColumn("b", nullif(col("l_linestatus"), lit("O")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(when(col("a") <=> col("b"), 1).otherwise(0)).as("n_null_safe_eq"),
+        sum(when(col("a") === col("b"), 1).otherwise(0)).as("n_plain_eq"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   /** E: scalar-function kitchen sink — math/string/date built-ins in one
     * projection, aggregated order-independently (min/max/count only). */
   def scalarKitchen(s: SparkSession, d: String): DataFrame =
@@ -429,6 +443,7 @@ object Relational {
     "b18_subquery" -> (subqueryAgg _),
     "b18_in_subquery" -> (inSubquery _),
     "b19_case_null" -> (caseNull _),
+    "b19_null_safe_eq" -> (nullSafeEq _),
     "e01_scalar_kitchen" -> (scalarKitchen _),
   )
 
@@ -625,6 +640,17 @@ object Relational {
         |  count(*) AS n,
         |  CAST(sum(CAST(s_acctbal AS DECIMAL(9,2))) AS DOUBLE) AS sum_bal
         |FROM b GROUP BY bucket, flag ORDER BY bucket""".stripMargin,
+    "b19_null_safe_eq" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    nullif(l_returnflag, 'N') AS a, nullif(l_linestatus, 'O') AS b
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus,
+        |  sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) AS n_null_safe_eq,
+        |  sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS n_plain_eq,
+        |  count(*) AS n
+        |FROM t GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "e01_scalar_kitchen" ->
       """SELECT l_returnflag,
         |  min(round(sqrt(l_quantity), 6)) AS min_sqrt_qty,
