@@ -313,7 +313,26 @@ object TextOps {
         max(expr("right(source, 2)")).as("max_right2"))
       .orderBy(col("lang"))
 
+  /** C7c: remaining array built-ins — sort, membership, position,
+    * removal, flatten — over the token arrays. */
+  def arrayOps2(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("tok", tokens)
+      .select(
+        col("doc_id"),
+        element_at(sort_array(col("tok")), 1).as("first_sorted"),
+        element_at(sort_array(col("tok"), asc = false), 1).as("last_sorted"),
+        array_contains(col("tok"), "spark").cast("int").as("has_spark"),
+        // position over the SORTED array: list_distinct's element order
+        // is engine-specific, sorted order is not
+        array_position(sort_array(col("tok")), "join").cast("long").as("join_pos"),
+        size(array_remove(col("tok"), "the")).as("n_no_the"),
+        size(flatten(array(slice(col("tok"), 1, 3), slice(col("tok"), 4, 3))))
+          .as("n_flat6"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c16_array_ops2" -> (arrayOps2 _),
     "e03_string_kitchen" -> (stringKitchen _),
     "c15_bigrams" -> (bigramStats _),
     "c14_array_hof" -> (arrayHof _),
@@ -333,6 +352,17 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "c16_array_ops2" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT doc_id,
+        |  list_sort(tok)[1] AS first_sorted,
+        |  list_sort(tok, 'DESC')[1] AS last_sorted,
+        |  CAST(list_contains(tok, 'spark') AS INTEGER) AS has_spark,
+        |  CAST(coalesce(list_position(list_sort(tok), 'join'), 0) AS BIGINT) AS join_pos,
+        |  len(list_filter(tok, x -> x <> 'the')) AS n_no_the,
+        |  len(flatten([tok[1:3], tok[4:6]])) AS n_flat6
+        |FROM t ORDER BY doc_id""".stripMargin,
     "e03_string_kitchen" ->
       """SELECT lang,
         |  min(regexp_extract(text, '([a-z]+)', 1)) AS min_first_word,
