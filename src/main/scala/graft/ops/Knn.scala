@@ -168,6 +168,44 @@ object Knn {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** A5b: rank-weighted (Borda-count) vote — neighbor at rank r
+    * contributes weight K-r+1. Integer weights keep the vote exactly
+    * engine-portable (1/d weights would be order-dependent float sums). */
+  def knnClassifyWeighted(s: SparkSession, d: String): DataFrame = {
+    val votes = topkRankedShared(s, d)
+      .groupBy(col("qid"), col("clabel"))
+      .agg(sum(lit(K + 1) - col("rnk")).as("w"))
+    val wv = Window.partitionBy(col("qid")).orderBy(col("w").desc, col("clabel").asc)
+    votes.withColumn("vr", row_number().over(wv)).where(col("vr") === 1)
+      .select(col("qid"), col("clabel").as("pred"))
+      .orderBy(col("qid"))
+  }
+
+  /** A6c: per-class precision/recall/F1 derived from the confusion
+    * matrix — integer counts, single-division ratios. */
+  def knnPrf(s: SparkSession, d: String): DataFrame = {
+    val truth = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val joined = knnClassify(s, d).join(truth, col("qid") === col("vec_id"))
+    val perPred = joined.groupBy(col("pred").as("cls"))
+      .agg(count(lit(1)).as("n_pred"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("tp"))
+    val perTruth = joined.groupBy(col("label").as("cls2"))
+      .agg(count(lit(1)).as("n_truth"))
+    perPred.join(perTruth, col("cls") === col("cls2"), "full")
+      .select(
+        coalesce(col("cls"), col("cls2")).as("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"))
+      .withColumn("precision",
+        round(col("tp").cast("double") / greatest(col("n_pred"), lit(1L)), 6))
+      .withColumn("recall",
+        round(col("tp").cast("double") / greatest(col("n_truth"), lit(1L)), 6))
+      .withColumn("f1", round(
+        lit(2.0) * col("tp") / greatest(col("n_pred") + col("n_truth"), lit(1L)), 6))
+      .orderBy(col("cls"))
+  }
+
   /** A6b: confusion matrix of the leave-one-out classifier. */
   def knnConfusion(s: SparkSession, d: String): DataFrame = {
     val truth = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
@@ -181,6 +219,8 @@ object Knn {
     "knn_topk_agg" -> (knnTopkAgg _),
     "knn_topk_blocked" -> (knnTopkBlocked _),
     "knn_confusion" -> (knnConfusion _),
+    "knn_classify_weighted" -> (knnClassifyWeighted _),
+    "knn_prf" -> (knnPrf _),
     "knn_topk" -> (knnTopk _),
     "knn_classify" -> (knnClassify _),
     "knn_accuracy" -> (knnAccuracy _),
@@ -195,7 +235,47 @@ object Knn {
       |FROM embeddings q CROSS JOIN embeddings c
       |WHERE q.vec_id <> c.vec_id""".stripMargin
 
+  // shared oracle scaffolding: ranked neighbors and plain majority pred
+  private def rankedCte = s"""ranked AS (SELECT qid, cid, clabel, dist,
+    |  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rnk
+    |  FROM pairs)""".stripMargin
+  private def predCte =
+    s"""votes AS (SELECT qid, clabel, count(*) AS n
+       |  FROM ranked WHERE rnk <= $K GROUP BY qid, clabel),
+       |pred AS (SELECT qid, clabel AS pred FROM (
+       |  SELECT qid, clabel,
+       |    row_number() OVER (PARTITION BY qid ORDER BY n DESC, clabel ASC) AS vr
+       |  FROM votes) WHERE vr = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "knn_classify_weighted" ->
+      s"""WITH pairs AS ($cosPairs),
+         |$rankedCte,
+         |votes AS (SELECT qid, clabel, sum(${K + 1} - rnk) AS w
+         |  FROM ranked WHERE rnk <= $K GROUP BY qid, clabel)
+         |SELECT qid, clabel AS pred FROM (
+         |  SELECT qid, clabel,
+         |    row_number() OVER (PARTITION BY qid ORDER BY w DESC, clabel ASC) AS vr
+         |  FROM votes) WHERE vr = 1 ORDER BY qid""".stripMargin,
+    "knn_prf" ->
+      s"""WITH pairs AS ($cosPairs),
+         |$rankedCte,
+         |$predCte,
+         |j AS (SELECT p.qid, p.pred, e.label
+         |  FROM pred p JOIN embeddings e ON p.qid = e.vec_id),
+         |per_pred AS (SELECT pred AS cls, count(*) AS n_pred,
+         |  sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS tp
+         |  FROM j GROUP BY pred),
+         |per_truth AS (SELECT label AS cls2, count(*) AS n_truth FROM j GROUP BY label)
+         |SELECT coalesce(cls, cls2) AS cls,
+         |  coalesce(tp, 0) AS tp,
+         |  coalesce(n_pred, 0) AS n_pred,
+         |  coalesce(n_truth, 0) AS n_truth,
+         |  round(CAST(coalesce(tp, 0) AS DOUBLE) / greatest(coalesce(n_pred, 0), 1), 6) AS precision,
+         |  round(CAST(coalesce(tp, 0) AS DOUBLE) / greatest(coalesce(n_truth, 0), 1), 6) AS recall,
+         |  round(2.0 * coalesce(tp, 0) / greatest(coalesce(n_pred, 0) + coalesce(n_truth, 0), 1), 6) AS f1
+         |FROM per_pred FULL JOIN per_truth ON cls = cls2
+         |ORDER BY cls""".stripMargin,
     "knn_topk_blocked" ->
       s"""WITH pairs AS ($cosPairs),
          |ranked AS (SELECT qid, cid, dist,
