@@ -396,6 +396,38 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** B7c: correlation/covariance from exact power sums — the built-in
+    * corr/covar aggregates are order-dependent float accumulations, so
+    * they are reconstructed from lossless decimal sums with the closed
+    * formula (engine-identical single expression at the end). */
+  def corrAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sx"), // integral doubles: exact
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)").as("sy"),
+        sum(col("l_quantity") * col("l_quantity")).as("sxx"), // exact ints
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)").as("syy"),
+        expr("CAST(sum(CAST(l_quantity AS DECIMAL(4,1)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))), 2)
+          .as("covar_pop"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr"))
+      .orderBy(col("l_returnflag"))
+
+  /** B7d: histogram — fixed-width value bucketing via floor arithmetic
+    * (portable across engines, unlike width_bucket variants). */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE)").as("sum_price"))
+      .orderBy(col("bucket"))
+
   /** E: scalar-function kitchen sink — math/string/date built-ins in one
     * projection, aggregated order-independently (min/max/count only). */
   def scalarKitchen(s: SparkSession, d: String): DataFrame =
@@ -433,6 +465,8 @@ object Relational {
     "b10_cube" -> (cubeAgg _),
     "b10_grouping_sets" -> (groupingSets _),
     "b07_stats" -> (statsAgg _),
+    "b07_corr" -> (corrAgg _),
+    "b07_histogram" -> (histogram _),
     "b11_sort_limit" -> (sortLimit _),
     "b12_topk_customers" -> (topkCustomers _),
     "b13_topk_pergroup" -> (topkPerGroup _),
@@ -550,6 +584,25 @@ object Relational {
         |  round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS stddev_price,
         |  round(median_price, 6) AS median_price
         |FROM s ORDER BY o_orderstatus""".stripMargin,
+    "b07_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(l_quantity) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sy,
+        |    sum(l_quantity * l_quantity) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(4,1)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(sxy / n - (sx / n) * (sy / n), 2) AS covar_pop,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "b07_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS INTEGER) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "b11_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
