@@ -231,22 +231,22 @@ object EventOps {
        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.sts
        |  GROUP BY e.event_id, e.event_type, e.sts)
        |SELECT event_type, count(last_od) AS n_matched, count(*) AS n_events,
-       |  sum(date_diff('day', last_od, sts)) AS sum_days_since
+       |  CAST(sum(date_diff('day', last_od, sts)) AS BIGINT) AS sum_days_since
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d09_pivot" ->
       s"""SELECT hour($duckSecTs) AS hour_of_day,
-         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-         |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          |FROM events GROUP BY 1 ORDER BY hour_of_day""".stripMargin,
     "d06_asof_union" -> asofOracle,
     "e02_map_json" ->
       """SELECT event_type, 'k' AS key, count(*) AS n,
-        |  min(v) AS min_v, max(v) AS max_v, sum(v) AS sum_v
+        |  min(v) AS min_v, max(v) AS max_v, CAST(sum(v) AS BIGINT) AS sum_v
         |FROM (SELECT event_type,
         |        CAST(json_extract(props, '$.k') AS INTEGER) AS v FROM events) t
         |WHERE v IS NOT NULL
@@ -308,7 +308,9 @@ object EventOps {
          |  FROM flagged),
          |per_sess AS (
          |  SELECT user_id, session_id, count(*) AS n_events,
-         |    epoch(max(sts)) - epoch(min(sts)) AS duration_sec
+         |    -- epoch() is DOUBLE in DuckDB; sts is second-floored so the
+         |    -- BIGINT cast is exact (Spark side is long arithmetic)
+         |    CAST(epoch(max(sts)) - epoch(min(sts)) AS BIGINT) AS duration_sec
          |  FROM sess GROUP BY user_id, session_id)
          |SELECT user_id, count(*) AS n_sessions,
          |  max(n_events) AS max_session_events,
@@ -325,7 +327,7 @@ object EventOps {
          |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "d05_json_extract" ->
       """SELECT event_type, count(k) AS n, min(k) AS min_k, max(k) AS max_k,
-        |  sum(k) AS sum_k
+        |  CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (SELECT event_type,
         |        CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -268,9 +268,9 @@ object Knn {
          |  FROM j GROUP BY pred),
          |per_truth AS (SELECT label AS cls2, count(*) AS n_truth FROM j GROUP BY label)
          |SELECT coalesce(cls, cls2) AS cls,
-         |  coalesce(tp, 0) AS tp,
-         |  coalesce(n_pred, 0) AS n_pred,
-         |  coalesce(n_truth, 0) AS n_truth,
+         |  CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+         |  CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+         |  CAST(coalesce(n_truth, 0) AS BIGINT) AS n_truth,
          |  round(CAST(coalesce(tp, 0) AS DOUBLE) / greatest(coalesce(n_pred, 0), 1), 6) AS precision,
          |  round(CAST(coalesce(tp, 0) AS DOUBLE) / greatest(coalesce(n_truth, 0), 1), 6) AS recall,
          |  round(2.0 * coalesce(tp, 0) / greatest(coalesce(n_pred, 0) + coalesce(n_truth, 0), 1), 6) AS f1

@@ -248,10 +248,14 @@ object Relational {
       .withColumn("first_date", first(col("o_orderdate")).over(wf))
       .withColumn("last_date", last(col("o_orderdate")).over(wf))
       .where(col("prev_date").isNotNull)
-      .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")))
+      // datediff is int32; the oracle's date_diff is BIGINT — keep the
+      // integer FAMILY identical end-to-end (sums of int32 vs HUGEINT
+      // drift to float64 in the driver's pandas canon; see VERDICT r1)
+      .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")).cast("long"))
       .withColumn("fwd_days",
-        when(col("next_date").isNotNull, datediff(col("next_date"), col("o_orderdate"))))
-      .withColumn("span_days", datediff(col("last_date"), col("first_date")))
+        when(col("next_date").isNotNull,
+          datediff(col("next_date"), col("o_orderdate")).cast("long")))
+      .withColumn("span_days", datediff(col("last_date"), col("first_date")).cast("long"))
     gaps.join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
@@ -508,7 +512,7 @@ object Relational {
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey, c_nationkey)
         |SELECT n_name, count(*) AS n_customers,
-        |  sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS n_orderless
+        |  CAST(sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
         |FROM per_cust JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "b06_join_anti" ->
@@ -650,7 +654,7 @@ object Relational {
         |SELECT c_mktsegment, count(*) AS n_gaps,
         |  min(gap_days) AS min_gap, max(gap_days) AS max_gap,
         |  round(CAST(sum(gap_days) AS DOUBLE) / count(*), 6) AS avg_gap,
-        |  sum(fwd_days) AS sum_fwd,
+        |  CAST(sum(fwd_days) AS BIGINT) AS sum_fwd,
         |  max(span_days) AS max_span
         |FROM gaps JOIN customer ON o_custkey = c_custkey
         |WHERE gap_days IS NOT NULL
@@ -699,8 +703,8 @@ object Relational {
         |    nullif(l_returnflag, 'N') AS a, nullif(l_linestatus, 'O') AS b
         |  FROM lineitem)
         |SELECT l_returnflag, l_linestatus,
-        |  sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) AS n_null_safe_eq,
-        |  sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS n_plain_eq,
+        |  CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq,
+        |  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq,
         |  count(*) AS n
         |FROM t GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -717,13 +721,13 @@ object Relational {
         |  max(year(l_shipdate)) AS max_year,
         |  min(month(l_shipdate)) AS min_month,
         |  max(date_diff('day', TIMESTAMP '1995-01-01', l_shipdate)) AS max_days_since,
-        |  sum(CASE WHEN dayofweek(l_shipdate) + 1 = 2 THEN 1 ELSE 0 END) AS n_monday_ships
+        |  CAST(sum(CASE WHEN dayofweek(l_shipdate) + 1 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_monday_ships
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "b18_in_subquery" ->
       """SELECT c_mktsegment,
-        |  sum(CASE WHEN c_custkey IN
+        |  CAST(sum(CASE WHEN c_custkey IN
         |    (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
-        |    THEN 1 ELSE 0 END) AS n_big_spenders,
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_big_spenders,
         |  count(*) AS n_customers
         |FROM customer
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,

@@ -386,7 +386,7 @@ object TextOps {
         |SELECT vec_id,
         |  len(list_filter(emb, x -> x > 0)) AS n_pos,
         |  CAST((len(list_filter(emb, x -> x > 0.25)) > 0) AS INTEGER) AS has_big,
-        |  list_sum(range(1, len(emb) + 1)) AS idx_sum,
+        |  CAST(list_sum(range(1, len(emb) + 1)) AS BIGINT) AS idx_sum,
         |  round(list_sum(list_transform(emb, x -> x * x)), 6) AS self_dot
         |FROM e ORDER BY vec_id""".stripMargin,
     "c01_dedup_exact" ->
@@ -417,7 +417,7 @@ object TextOps {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""".stripMargin,
     "c04_lang_stats" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
@@ -462,9 +462,9 @@ object TextOps {
         |    len(string_split(trim(regexp_replace(text, '[^a-z0-9]+', ' ', 'g')), ' '))
         |      AS alnum_runs
         |  FROM documents)
-        |SELECT lang, count(*) AS n_docs, sum(ws_tokens) AS sum_ws_tokens,
+        |SELECT lang, count(*) AS n_docs, CAST(sum(ws_tokens) AS BIGINT) AS sum_ws_tokens,
         |  min(ws_tokens) AS min_ws_tokens, max(ws_tokens) AS max_ws_tokens,
-        |  sum(alnum_runs) AS sum_alnum_runs
+        |  CAST(sum(alnum_runs) AS BIGINT) AS sum_alnum_runs
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     "c12_embedding_neardup" ->
       s"""WITH de AS (

@@ -5,8 +5,20 @@ Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 
 Reads <outDir>/oracle_sql.json (written by graft.Verify), runs each SQL in
 DuckDB against the parquet tables in <sfDir> (registered under bare table
-names), loads the Spark result parquet from <outDir>/<name>/, sorts columns
-by name and rows by all columns, and reports exact / near mismatches.
+names), loads the Spark result parquet from <outDir>/<name>/, and compares
+the way the driver does: sort columns by name, sort rows, hash VALUES.
+
+Canonicalization is dtype-sensitive on the int/float axis, matching the
+driver's observed behavior on round-1 artifacts:
+  - int64 0 != float64 0.0  (DuckDB HUGEINT -> pandas float64 broke 15
+    queries whose values compared numerically equal)
+  - int32 1 == int64 1      (b14 passed with Spark int32 vs DuckDB BIGINT)
+  - None != NaN
+This is achieved by hashing str(value) per cell: str() collapses integer
+widths but distinguishes int from float and None from nan.
+
+Also mirrors the driver's crash mode: a top-level array/map column makes
+pandas sort_values throw (unhashable numpy.ndarray) -> reported as ERR.
 """
 import sys, json, glob
 import duckdb
@@ -18,18 +30,31 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-faithful canonical form: columns sorted by name, every cell
+    stringified (dtype-sensitively), rows sorted."""
     df = df.reindex(sorted(df.columns), axis=1)
+    out = pd.DataFrame(index=df.index)
     for c in df.columns:
-        if np.issubdtype(df[c].dtype, np.datetime64):
-            df[c] = df[c].astype("datetime64[us]").astype(str)
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+        col = df[c]
+        if np.issubdtype(col.dtype, np.datetime64):
+            out[c] = col.astype("datetime64[us]").astype(str)
+        else:
+            # mimic the driver's pandas sort: an ndarray cell is unhashable
+            bad = col.map(lambda v: isinstance(v, (np.ndarray, list, dict)))
+            if bad.any():
+                raise TypeError(f"unhashable type in column '{c}' "
+                                "(top-level array/map output crashes the driver)")
+            out[c] = col.map(str)
+    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
 
 
 def compare(name, spark_df, duck_df):
-    s, d = canon(spark_df), canon(duck_df)
+    try:
+        s, d = canon(spark_df), canon(duck_df)
+    except TypeError as e:
+        print(f"ERR  {name}: {e}")
+        return False
     if list(s.columns) != list(d.columns):
         print(f"FAIL {name}: columns differ spark={list(s.columns)} duck={list(d.columns)}")
         return False
@@ -38,27 +63,14 @@ def compare(name, spark_df, duck_df):
         return False
     ok = True
     for c in s.columns:
-        sv, dv = s[c], d[c]
-        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
-            sv = sv.astype(float); dv = dv.astype(float)
-            both_nan = sv.isna() & dv.isna()
-            exact = ((sv == dv) | both_nan)
-            if not exact.all():
-                diff = (sv - dv).abs()
-                bad = (~exact)
-                print(f"FAIL {name}.{c}: {bad.sum()}/{len(sv)} inexact, max |diff|={diff[bad].max()}")
-                idx = np.where(bad)[0][:3]
-                for i in idx:
-                    print(f"   row {i}: spark={s.iloc[i].to_dict()} duck={d.iloc[i].to_dict()}")
-                ok = False
-        else:
-            eq = (sv.astype(str) == dv.astype(str))
-            if not eq.all():
-                print(f"FAIL {name}.{c}: {(~eq).sum()}/{len(sv)} mismatched values")
-                idx = np.where(~eq)[0][:3]
-                for i in idx:
-                    print(f"   row {i}: spark={s.iloc[i].to_dict()} duck={d.iloc[i].to_dict()}")
-                ok = False
+        eq = (s[c] == d[c])
+        if not eq.all():
+            print(f"FAIL {name}.{c}: {(~eq).sum()}/{len(eq)} mismatched values "
+                  f"(spark dtype={spark_df[c].dtype}, duck dtype={duck_df[c].dtype})")
+            idx = np.where(~eq)[0][:3]
+            for i in idx:
+                print(f"   row {i}: spark={s.iloc[i].to_dict()} duck={d.iloc[i].to_dict()}")
+            ok = False
     return ok
 
 
