@@ -29,7 +29,7 @@ object Ann {
   val P = 4  // probed lists per query
   val K = 10
 
-  private def centroids(s: SparkSession, d: String): DataFrame =
+  private[ops] def centroids(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).where(col("vec_id") < C)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
 
@@ -59,7 +59,9 @@ object Ann {
         VectorExpressions.cosine_distance(s, col("embedding"), col("cent_vec"))
           .as("cdist"))
       .withColumn("crn", row_number().over(w)).where(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id"), col("embedding"))
+      // cdist stays: consumers (e.g. the exact cell-blocked similarity
+      // join) derive per-cell radii from the assignment angle.
+      .select(col("vec_id"), col("cent_id"), col("embedding"), col("cdist"))
   }
 
   /** IVF approximate top-k: probe the P nearest lists per query, exact
@@ -77,7 +79,13 @@ object Ann {
     val lists = assignments(s, d)
       .select(col("cent_id"), col("vec_id").as("cid"), col("embedding").as("cv"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cid").asc)
-    probes.join(broadcast(lists), Seq("cent_id"))
+    // The inverted lists are the DATASET — never broadcast them. A
+    // shuffle-hash join partitions both sides by cent_id, i.e. each probe
+    // is routed to exactly the partitions holding its P lists; on a
+    // cluster `lists` would be bucketed by cent_id so only the probe side
+    // moves. (The hint also stops the optimizer from choosing broadcast
+    // at test scale, keeping the physical shape scale-faithful.)
+    probes.join(lists.hint("shuffle_hash"), Seq("cent_id"))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         VectorExpressions.cosine_distance(s, col("qv"), col("cv")).as("dist"))

@@ -82,8 +82,10 @@ object Multimodal {
 
   /** Feature extraction: 16-bin byte histogram of the body, L1-normalized
     * to float — a real (if simple) content feature, shaped exactly like
-    * an image/audio embedding and consumable by the Ann/Knn operators. */
-  def byteHistogram(s: SparkSession, d: String): DataFrame = {
+    * an image/audio embedding and consumable by the Ann/Knn operators.
+    * (Not declared: top-level array columns crash the harness's pandas
+    * canonicalization — the declared twin is the exploded byteHistogram.) */
+  def byteHistogramFeatures(s: SparkSession, d: String): DataFrame = {
     val hist = udf { (bytes: Array[Byte]) =>
       val h = new Array[Float](16)
       var i = 8 // skip header
@@ -92,6 +94,29 @@ object Multimodal {
       h.map(_ / n)
     }
     assets(s, d).select(col("asset_id"), hist(col("payload")).as("features"))
+  }
+
+  /** Declared (oracle-checked) histogram: one scalar row per non-empty
+    * bin — exact long counts, one double division. The body is the UTF-8
+    * encoding of ASCII text, so the oracle recovers each byte as
+    * ascii(char) and bins by integer-division 16. */
+  def byteHistogram(s: SparkSession, d: String): DataFrame = {
+    val hist = udf { (bytes: Array[Byte]) =>
+      val h = new Array[Long](16)
+      var i = 8 // skip header
+      while (i < bytes.length) { h((bytes(i) & 0xff) >> 4) += 1L; i += 1 }
+      h
+    }
+    assets(s, d)
+      .select(col("asset_id"),
+        (octet_length(col("payload")) - 8).cast("long").as("n"),
+        hist(col("payload")).as("h"))
+      .select(col("asset_id"), col("n"),
+        posexplode(col("h")).as(Seq("bin", "cnt")))
+      .where(col("cnt") > 0)
+      .select(col("asset_id"), col("bin").cast("int").as("bin"), col("cnt"),
+        round(col("cnt").cast("double") / col("n"), 6).as("freq"))
+      .orderBy(col("asset_id"), col("bin"))
   }
 
   /** "Resize" stub: a payload→payload transform that rewrites the header
@@ -161,5 +186,20 @@ object Multimodal {
         |  CAST(CASE WHEN lang = 'en' THEN 24 ELSE 30 END AS INTEGER) AS fps,
         |  octet_length(CAST(text AS BLOB)) AS n_body_bytes
         |FROM documents ORDER BY asset_id""".stripMargin,
+    "m03_byte_histogram" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    ascii(substr(text, CAST(i AS INTEGER), 1)) // 16 AS bin
+        |  FROM pos),
+        |h AS (SELECT doc_id, bin, count(*) AS cnt FROM c GROUP BY doc_id, bin),
+        |tot AS (SELECT doc_id, length(text) AS n FROM documents)
+        |SELECT h.doc_id AS asset_id, CAST(bin AS INTEGER) AS bin,
+        |  CAST(cnt AS BIGINT) AS cnt,
+        |  round(CAST(cnt AS DOUBLE) / n, 6) AS freq
+        |FROM h JOIN tot ON h.doc_id = tot.doc_id
+        |ORDER BY asset_id, bin""".stripMargin,
   )
 }

@@ -214,16 +214,46 @@ object TextOps {
   }
 
   /** C2-scale (no oracle): SimHash near-dup — 64-bit simhash per doc;
-    * same-source pairs within Hamming distance 6. */
+    * same-source pairs within Hamming distance 6.
+    *
+    * Scale shape: the 64-bit hash is cut into 7 bands (pigeonhole: two
+    * hashes within Hamming 6 differ in at most 6 bands, so they MUST
+    * agree on at least one), and candidate pairs come from an equi-join
+    * on (source, band_no, band_val) — a hash shuffle on band buckets,
+    * never a per-source O(n²) pair scan. The exact Hamming re-check on
+    * bucket-colliding pairs makes the output identical to the all-pairs
+    * form (golden-hash asserted). */
   val SimhashMaxHamming = 6
+  // 7 bands over 64 bits: offsets/widths (10 + 6×9 = 64).
+  private val SimhashBandLayout: Seq[(Int, Int)] =
+    Seq((0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9))
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
+    // repartition = exchange barrier so simhash64 (expensive) is
+    // materialized once per doc, not re-expanded under the explode.
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        TextHash.simhash64(tokens).as("sh"))
-    val a = docs.select(col("doc_id").as("a_id"), col("source"), col("sh").as("a_sh"))
-    val b = docs.select(col("doc_id").as("b_id"), col("source").as("b_source"),
-      col("sh").as("b_sh"))
-    a.join(b, col("source") === col("b_source") && col("a_id") < col("b_id"))
+      .select(col("doc_id"), col("source"), TextHash.simhash64(tokens).as("sh"))
+      .repartition(Tables.parallelism(s), col("source"))
+    val bandCols = SimhashBandLayout.zipWithIndex.map { case ((off, w), i) =>
+      struct(lit(i).as("band_no"),
+        shiftright(col("sh"), off).bitwiseAND(lit((1L << w) - 1)).as("band_val"))
+    }
+    val banded = docs
+      .select(col("doc_id"), col("source"), col("sh"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("source"), col("sh"),
+        col("b.band_no").as("band_no"), col("b.band_val").as("band_val"))
+    val a = banded.select(col("doc_id").as("a_id"), col("source"),
+      col("sh").as("a_sh"), col("band_no"), col("band_val"))
+    val b = banded.select(col("doc_id").as("b_id"), col("source").as("b_source"),
+      col("sh").as("b_sh"), col("band_no").as("b_band_no"),
+      col("band_val").as("b_band_val"))
+    a.join(b, col("source") === col("b_source") &&
+        col("band_no") === col("b_band_no") &&
+        col("band_val") === col("b_band_val") && col("a_id") < col("b_id"))
+      // a pair colliding in several bands appears once: group = dedup +
+      // evaluation barrier before the exact re-check
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("a_sh")).as("a_sh"), max(col("b_sh")).as("b_sh"))
       .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
       .where(col("hamming") <= SimhashMaxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
@@ -231,17 +261,47 @@ object TextOps {
   }
 
   /** C-near-dup via embeddings: documents joined to their embedding row
-    * (doc_id = vec_id aligns 1:1 in the corpus), cosine-close pairs. */
-  val EmbedDupTau = 0.5
+    * (doc_id = vec_id aligns 1:1 in the corpus), cosine-close pairs.
+    *
+    * Scale shape — EXACT cell-blocked similarity join, no all-pairs scan:
+    * vectors are routed through the IVF cell index (ops.Ann), and only
+    * cell PAIRS that can possibly contain a qualifying pair survive,
+    * by the angular triangle inequality:
+    *   angle(a,b) >= angle(cell_a, cell_b) - radius_a - radius_b
+    * so a cell pair is pruned iff that lower bound exceeds the angle
+    * threshold acos(1-tau). The surviving candidates get the exact
+    * cosine re-check — output identical to the all-pairs form (the
+    * DuckDB oracle IS the all-pairs form). On this corpus (isotropic
+    * random vectors) the radii are wide and pruning is weak; on real
+    * clustered embeddings with C ~ thousands of cells this is the
+    * standard exact blocking that kills the O(n²) term. */
+  val EmbedDupTau = 0.55 // sf0.001 has 7 qualifying pairs (non-empty golden)
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val tauAngle = math.acos(1.0 - EmbedDupTau)
+    def angleOf(c: org.apache.spark.sql.Column) =
+      acos(greatest(lit(-1.0), least(lit(1.0), lit(1.0) - c)))
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val de = docs.join(e, col("doc_id") === col("vec_id"))
-      .select(col("doc_id"), col("source"), col("embedding"))
-    val a = Tables.repartitioned(de, s)
-      .select(col("doc_id").as("a_id"), col("source").as("a_source"), col("embedding").as("a_emb"))
-    val b = de.select(col("doc_id").as("b_id"), col("source").as("b_source"), col("embedding").as("b_emb"))
-    a.join(broadcast(b), col("a_id") < col("b_id"))
+    val de = docs.join(Ann.assignments(s, d), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("source"), col("cent_id"), col("embedding"),
+        angleOf(col("cdist")).as("angle"))
+    val radii = de.groupBy(col("cent_id")).agg(max(col("angle")).as("radius"))
+    val cents = Ann.centroids(s, d)
+    val cellPairs = cents.select(col("cent_id").as("pa"), col("cent_vec").as("va"))
+      .crossJoin(cents.select(col("cent_id").as("pb"), col("cent_vec").as("vb")))
+      .withColumn("cang", angleOf(graft.functions.VectorExpressions
+        .cosine_distance(s, col("va"), col("vb"))))
+      .join(radii.select(col("cent_id").as("pa"), col("radius").as("ra")), "pa")
+      .join(radii.select(col("cent_id").as("pb"), col("radius").as("rb")), "pb")
+      // 1e-9 slack: the bound must only ever ADD candidates
+      .where(col("cang") - col("ra") - col("rb") <= tauAngle + 1e-9)
+      .select(col("pa"), col("pb"))
+    val a = de.select(col("doc_id").as("a_id"), col("source").as("a_source"),
+      col("cent_id").as("pa"), col("embedding").as("a_emb"))
+    val b = de.select(col("doc_id").as("b_id"), col("source").as("b_source"),
+      col("cent_id").as("pb"), col("embedding").as("b_emb"))
+    a.join(broadcast(cellPairs), Seq("pa")) // ≤C² rows of cell metadata
+      .join(b, Seq("pb")) // equi-join on cell id — the pair generator
+      .where(col("a_id") < col("b_id"))
       .withColumn("dist", graft.functions.VectorExpressions
         .cosine_distance(s, col("a_emb"), col("b_emb")))
       .where(col("dist") < EmbedDupTau)

@@ -26,6 +26,13 @@ class AnnSpec extends SparkSpec {
     info(s"IVF recall@10 = $recall (probing ${Ann.P}/${Ann.C} lists)")
   }
 
+  test("ivf probe join shuffles on cent_id instead of broadcasting the lists") {
+    val plan = Ann.ivfTopk(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"inverted lists must not be broadcast:\n$plan")
+  }
+
   test("ivf probes prune the pair space") {
     val n = Tables.embeddings(spark, sf0001).count()
     val probedPairs = Ann.ivfTopk(spark, sf0001).count() // K per query

@@ -22,11 +22,24 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("byte histogram features are L1-normalized 16-d vectors") {
-    val feats = Multimodal.byteHistogram(spark, sf0001)
+    val feats = Multimodal.byteHistogramFeatures(spark, sf0001)
       .select($"features").as[Array[Float]].collect()
     assert(feats.length === 500)
     assert(feats.forall(_.length === 16))
     assert(feats.forall(f => math.abs(f.sum - 1.0f) < 1e-3))
+  }
+
+  test("declared byte histogram is exploded scalar rows whose freqs sum to 1") {
+    val rows = Multimodal.byteHistogram(spark, sf0001)
+    // scalar-only output schema (array/map top-level columns crash the
+    // driver's pandas canonicalization)
+    assert(rows.schema.fields.forall(f =>
+      !f.dataType.typeName.matches("array|map|struct")))
+    val sums = rows.groupBy($"asset_id")
+      .agg(org.apache.spark.sql.functions.sum($"freq").as("s"))
+      .select($"s").as[Double].collect()
+    assert(sums.length === 500)
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-4))
   }
 
   test("frame sampling emits every stride-th frame with bounded size") {
