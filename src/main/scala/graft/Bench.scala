@@ -37,23 +37,42 @@ object Bench {
       if (all) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
     var failed = List.empty[String]
-    val results = names.map { name =>
+    def time(name: String): Option[Double] = {
       val fn = SparkEntry.queries(name)
-      if (!all) { try fn(spark, sfDir).count() catch { case _: Throwable => } }
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case e: Throwable =>
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+    val results = names.flatMap { name =>
+      if (!all) { // discarded warm-up (BASELINE.md methodology)
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => }
+      }
+      time(name).map(name -> _)
+    }
+    // knn_classify above is subsidized by the persisted shared top-k set
+    // (knn_topk runs first); also report the independent-pipeline number.
+    val uncached =
+      if (!all && SparkEntry.queries.contains("knn_classify")) {
+        graft.ops.Knn.clearCache()
+        time("knn_classify")
+      } else None
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: " +
         failed.sorted.mkString(", "))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // total covers successful queries only; "failed" makes a fast-failing
+    // regression visible instead of reading as a speedup.
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val un = uncached.map(",\"uncached_knn_classify\":" + _).getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$un,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
