@@ -35,10 +35,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_k_by"),
       info("top_k_by", "top_k_by(dist, id, label, k) - bounded-heap smallest-k aggregate"),
       (exprs: Seq[Expression]) => {
+        // explicit boxed-integer matches: NULL / non-integer literals get
+        // the helpful error, not an NPE (mirrors TopKAgg.register)
         val k = exprs(3) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: java.lang.Integer, _) =>
+            v.intValue
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: java.lang.Long, _) =>
+            java.lang.Math.toIntExact(v.longValue)
           case other => throw new IllegalArgumentException(
-            s"top_k_by k must be a literal, got $other")
+            s"top_k_by k must be an integer literal, got $other")
         }
         functions.TopKByAggregate(exprs(0), exprs(1), exprs(2), k)
           .toAggregateExpression()

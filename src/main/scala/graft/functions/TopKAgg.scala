@@ -97,9 +97,11 @@ case class TopKByAggregate(
     val d = distExpr.eval(input)
     val id = idExpr.eval(input)
     val lb = labelExpr.eval(input)
-    if (d != null && id != null) {
+    // a null in ANY field skips the row (coercing a null label to a real
+    // class id would fabricate votes downstream)
+    if (d != null && id != null && lb != null) {
       buf.insert(d.asInstanceOf[Double], id.asInstanceOf[Long],
-        if (lb == null) 0 else lb.asInstanceOf[Int])
+        lb.asInstanceOf[Int])
     }
     buf
   }
@@ -149,11 +151,16 @@ object TopKAgg {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("top_k_by",
       exprs => {
+        // match the boxed integer types explicitly: a NULL literal or a
+        // non-integer literal falls through to the helpful error instead
+        // of an NPE / raw NumberFormatException
         val k = exprs(3) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: java.lang.Integer, _) =>
+            v.intValue
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: java.lang.Long, _) =>
+            java.lang.Math.toIntExact(v.longValue)
           case other => throw new IllegalArgumentException(
-            s"top_k_by k must be a literal, got $other")
+            s"top_k_by k must be an integer literal, got $other")
         }
         TopKByAggregate(exprs(0), exprs(1), exprs(2), k).toAggregateExpression()
       }, "scala_udf")

@@ -36,17 +36,14 @@ object Ann {
   // The assignment table is the index: built once per (session, dataset)
   // and shared by probes/stats — the local analog of a persisted IVF
   // index on a cluster. Fixture files are immutable for a session.
-  private val assignCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val assignCache = new graft.PersistedCache
 
   def assignments(s: SparkSession, d: String): DataFrame =
-    assignCache.getOrElseUpdate((s, d), buildAssignments(s, d).persist())
+    assignCache.getOrBuild(s, d)(buildAssignments(s, d))
 
-  /** Drop cached per-session index state (tests / long-lived sessions). */
-  def clearCache(): Unit = {
-    assignCache.values.foreach(_.unpersist())
-    assignCache.clear()
-  }
+  /** Drop cached per-session index state (tests / long-lived sessions);
+    * sessions also self-evict on application end. */
+  def clearCache(): Unit = assignCache.clear()
 
   /** (vec_id, cent_id) inverted-list assignment. */
   private def buildAssignments(s: SparkSession, d: String): DataFrame = {

@@ -61,16 +61,13 @@ object Knn {
   // sfDirs the harness touches) and assume the dataset files are
   // immutable for the session's lifetime — true for the read-only
   // /root/testdata fixtures.
-  private val topkCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val topkCache = new graft.PersistedCache
   private def topkRankedShared(s: SparkSession, d: String): DataFrame =
-    topkCache.getOrElseUpdate((s, d), topkRanked(s, d).persist())
+    topkCache.getOrBuild(s, d)(topkRanked(s, d))
 
-  /** Drop cached per-session state (tests / long-lived sessions). */
-  def clearCache(): Unit = {
-    topkCache.values.foreach(_.unpersist())
-    topkCache.clear()
-  }
+  /** Drop cached per-session state (tests / long-lived sessions);
+    * sessions also self-evict on application end. */
+  def clearCache(): Unit = topkCache.clear()
 
   def knnTopk(s: SparkSession, d: String): DataFrame =
     topkRankedShared(s, d)

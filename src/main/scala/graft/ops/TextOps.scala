@@ -411,7 +411,34 @@ object TextOps {
     "c13_vector_ops" -> (vectorOps _),
   )
 
+  /** DuckDB twin of TextHash.winnow (fingerprint): per 16-char window the
+    * Rabin-Karp hash h = fold((h*B + char) mod 2^64) in HUGEINT arithmetic
+    * (each 64-bit×41-bit product fits 128 bits), reinterpreted as signed
+    * 64-bit for the min — exactly Java's wrapping long arithmetic.
+    * Verified cell-identical to the Spark output at sf0.01. (Docs shorter
+    * than 16 chars would be dropped here but take a different branch in
+    * TextHash.winnow too — no such docs exist in any fixture tier.) */
+  private val winnowOracle: String = {
+    val B = "1099511628211" // 0x100000001b3, same base as TextHash.winnow
+    val M = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+    val first = "CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS HUGEINT)"
+    val steps = (2 to 16).foldLeft(first) { (acc, j) =>
+      s"((($acc) * $B + ascii(substr(text, CAST(i AS INTEGER) + ${j - 1}, 1))) % $M)"
+    }
+    s"""WITH pos AS (
+       |  SELECT doc_id, text, unnest(range(1, length(text) - 16 + 2)) AS i
+       |  FROM documents),
+       |h AS (SELECT doc_id, $steps AS hu FROM pos),
+       |sg AS (SELECT doc_id,
+       |  CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+       |       THEN hu - $M ELSE hu END AS BIGINT) AS hs
+       |  FROM h)
+       |SELECT doc_id, min(hs) AS fingerprint FROM sg
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "c08_fingerprint" -> winnowOracle,
     "c16_array_ops2" ->
       """WITH t AS (SELECT doc_id,
         |    list_distinct(string_split(text, ' ')) AS tok FROM documents)
