@@ -37,29 +37,42 @@ object Bench {
       if (all) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
     var failed = List.empty[String]
-    def time(name: String): Option[Double] = {
+    def timeOnce(name: String, recordFailure: Boolean = true): Option[Double] = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
-        failed ::= name
+        if (recordFailure) failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         None
       }
     }
-    val results = names.flatMap { name =>
-      if (!all) { // discarded warm-up (BASELINE.md methodology)
+    // Steady state is what BASELINE.md records and what regressions should
+    // be judged on: 2 discarded warm-ups absorb JVM/codegen/page-cache
+    // ramp (one was not enough — sub-second queries still carried ~0.5 s
+    // of residue into the recorded number), then median of 3 timed reps.
+    def timeSteady(name: String): Option[Double] = {
+      (1 to 2).foreach { _ =>
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case _: Throwable => }
       }
-      time(name).map(name -> _)
+      val reps = (1 to 3).flatMap(_ => timeOnce(name))
+      if (reps.isEmpty) None else Some(reps.sorted.apply(reps.size / 2))
+    }
+    val results = names.flatMap { name =>
+      (if (all) timeOnce(name) else timeSteady(name)).map(name -> _)
     }
     // knn_classify above is subsidized by the persisted shared top-k set
     // (knn_topk runs first); also report the independent-pipeline number.
+    // A failure here is tracked in its own JSON field, NOT in `failed` —
+    // the cached run already succeeded and its time stands.
+    var uncachedFailed = false
     val uncached =
       if (!all && SparkEntry.queries.contains("knn_classify")) {
         graft.ops.Knn.clearCache()
-        time("knn_classify")
+        val t = timeOnce("knn_classify", recordFailure = false)
+        uncachedFailed = t.isEmpty
+        t
       } else None
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: " +
@@ -70,9 +83,10 @@ object Bench {
     // total covers successful queries only; "failed" makes a fast-failing
     // regression visible instead of reading as a speedup.
     val total = results.map(_._2).sum
-    val un = uncached.map(",\"uncached_knn_classify\":" + _).getOrElse("")
+    val un = uncached.map(",\"uncached_knn_classify\":" + _)
+      .getOrElse(if (uncachedFailed) ",\"uncached_knn_classify\":null" else "")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$un,"sf":"$sfDir"}""")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || uncachedFailed) sys.exit(1)
   }
 }

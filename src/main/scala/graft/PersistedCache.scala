@@ -39,17 +39,17 @@ final class PersistedCache {
       })
     }
 
-  /** Drop (and unpersist) every entry belonging to one session. */
-  def evict(s: SparkSession): Unit = {
+  /** Drop (and unpersist) every entry belonging to one session. The
+    * `hooked` marker is NOT dropped: the listener stays registered (it is
+    * idempotent), so repeated evict/build cycles on one session never
+    * stack up duplicate listeners. */
+  def evict(s: SparkSession): Unit =
     map.keys.filter(_._1 eq s).foreach(k => map.remove(k).foreach(quietUnpersist))
-    hooked.remove(s)
-  }
 
-  /** Drop everything (tests / manual reset). */
-  def clear(): Unit = {
+  /** Drop every cached entry (tests / manual reset). Listeners stay —
+    * see evict(). */
+  def clear(): Unit =
     map.keys.toSeq.foreach(k => map.remove(k).foreach(quietUnpersist))
-    hooked.clear()
-  }
 
   // unpersist on a stopped session throws — eviction must stay silent
   private def quietUnpersist(df: DataFrame): Unit =

@@ -11,9 +11,12 @@ import graft.functions.VectorExpressions
   * module is the scale path: IVF (inverted-file) coarse quantization.
   *
   * Structure — the same three phases as production IVF indexes:
-  *  1. "Train": pick C coarse centroids (deterministically: the C
-  *     lowest-id vectors — at scale this would be a k-means sample, the
-  *     plumbing is identical).
+  *  1. Train: pick C seed centroids (deterministically: the C lowest-id
+  *     vectors), then refine with a fixed number of Lloyd's iterations
+  *     (`trainedCentroids`). The refinement is deliberately built from
+  *     order-independent arithmetic (quantized integer sums) so the
+  *     trained index is bit-reproducible on any engine — which is what
+  *     lets even the TRAINED approximate query carry a DuckDB oracle.
   *  2. Assign: every candidate vector joins its nearest centroid — one
   *     broadcast join over C rows, O(n·C) distance evaluations, then the
   *     inverted lists are exactly a hash partitioning by cent_id.
@@ -22,12 +25,23 @@ import graft.functions.VectorExpressions
   *
   * At 100 TB the assignment table is bucketed/partitioned by cent_id so a
   * probe touches only P partitions; recall/cost is tuned with (C, P).
-  * Declared without an oracle (approximate); AnnSpec measures recall
-  * against the exact top-k. */
+  * Every query here is deterministic end-to-end (fixed seed pick, exact
+  * arithmetic, total-order tie-breaks) and oracle-checked; `ann_recall*`
+  * reports recall@K against the exact ops.Knn top-k as integer counts.
+  */
 object Ann {
   val C = 16 // coarse centroids
   val P = 4  // probed lists per query
   val K = 10
+  /** Fixed Lloyd's refinement rounds — fixed (not convergence-tested) so
+    * the computation is a pure function of the data on every engine. */
+  val LloydIters = 3
+  /** Centroid means are computed over floor(v·2^20) integer quanta:
+    * multiplying by a power of two is exact in double, integer sums are
+    * order-independent, and the single final division is one IEEE op —
+    * so the mean is bit-identical regardless of partitioning/engine
+    * (a plain float/double sum would vary with summation order). */
+  private val Quant = 1L << 20
 
   private[ops] def centroids(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).where(col("vec_id") < C)
@@ -39,19 +53,24 @@ object Ann {
   private val assignCache = new graft.PersistedCache
 
   def assignments(s: SparkSession, d: String): DataFrame =
-    assignCache.getOrBuild(s, d)(buildAssignments(s, d))
+    assignCache.getOrBuild(s, d)(buildAssignments(s, d, centroids(s, d)))
+
+  def trainedAssignments(s: SparkSession, d: String): DataFrame =
+    assignCache.getOrBuild(s, s"$d#trainedAssign")(
+      buildAssignments(s, d, trainedCentroids(s, d)))
 
   /** Drop cached per-session index state (tests / long-lived sessions);
     * sessions also self-evict on application end. */
   def clearCache(): Unit = assignCache.clear()
 
-  /** (vec_id, cent_id) inverted-list assignment. */
-  private def buildAssignments(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, cent_id) inverted-list assignment under `cents`. */
+  private def buildAssignments(s: SparkSession, d: String,
+      cents: DataFrame): DataFrame = {
     val e = Tables.repartitioned(Tables.embeddings(s, d), s)
       .select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdist").asc, col("cent_id").asc)
-    e.crossJoin(broadcast(centroids(s, d)))
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         VectorExpressions.cosine_distance(s, col("embedding"), col("cent_vec"))
           .as("cdist"))
@@ -61,19 +80,61 @@ object Ann {
       .select(col("vec_id"), col("cent_id"), col("embedding"), col("cdist"))
   }
 
-  /** IVF approximate top-k: probe the P nearest lists per query, exact
-    * cosine within the probed lists. Leave-one-out like knn_topk. */
-  def ivfTopk(s: SparkSession, d: String): DataFrame = {
+  /** One Lloyd's round: argmin-assign to `cents`, then the quantized
+    * elementwise mean per cluster (see `Quant`). Empty clusters keep
+    * their previous centroid. The mean shuffles only (C·dim) partial
+    * sums — map-side combine does the heavy lifting, the scale shape of
+    * distributed k-means. */
+  private def refineOnce(s: SparkSession, e: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist").asc, col("cent_id").asc)
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        VectorExpressions.cosine_distance(s, col("embedding"), col("cent_vec"))
+          .as("cdist"))
+      .withColumn("crn", row_number().over(w)).where(col("crn") === 1)
+      .select(col("cent_id"), col("embedding"))
+    val means = assign
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * lit(Quant.toDouble)).cast("long"))
+        .as("sq"), count(lit(1)).as("n"))
+      .withColumn("mval",
+        (col("sq").cast("double") / (col("n") * lit(Quant)).cast("double"))
+          .cast("float"))
+      .groupBy(col("cent_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mval")))).as("pm"))
+      .select(col("cent_id"),
+        transform(col("pm"), x => x.getField("mval")).as("new_vec"))
+    cents.join(means, Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("new_vec"), col("cent_vec")).as("cent_vec"))
+  }
+
+  /** `LloydIters` rounds of deterministic Lloyd's from the seed pick. */
+  def trainedCentroids(s: SparkSession, d: String): DataFrame =
+    assignCache.getOrBuild(s, s"$d#trainedCents") {
+      val e = Tables.repartitioned(Tables.embeddings(s, d), s)
+        .select(col("vec_id"), col("embedding"))
+      (1 to LloydIters).foldLeft(centroids(s, d))((c, _) => refineOnce(s, e, c))
+    }
+
+  /** IVF approximate top-k under `cents`/`lists`: probe the P nearest
+    * lists per query, exact cosine within the probed lists. Leave-one-out
+    * like knn_topk. */
+  private def ivfTopkFrom(s: SparkSession, d: String, cents: DataFrame,
+      lists: DataFrame): DataFrame = {
     val e = Tables.repartitioned(Tables.embeddings(s, d), s)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("cdist").asc, col("cent_id").asc)
-    val probes = e.crossJoin(broadcast(centroids(s, d)))
+    val probes = e.crossJoin(broadcast(cents))
       .select(col("qid"), col("qv"), col("cent_id"),
         VectorExpressions.cosine_distance(s, col("qv"), col("cent_vec")).as("cdist"))
       .withColumn("prn", row_number().over(wProbe)).where(col("prn") <= P)
       .select(col("qid"), col("qv"), col("cent_id"))
-    val lists = assignments(s, d)
+    val inv = lists
       .select(col("cent_id"), col("vec_id").as("cid"), col("embedding").as("cv"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cid").asc)
     // The inverted lists are the DATASET — never broadcast them. A
@@ -82,7 +143,7 @@ object Ann {
     // cluster `lists` would be bucketed by cent_id so only the probe side
     // moves. (The hint also stops the optimizer from choosing broadcast
     // at test scale, keeping the physical shape scale-faithful.)
-    probes.join(lists.hint("shuffle_hash"), Seq("cent_id"))
+    probes.join(inv.hint("shuffle_hash"), Seq("cent_id"))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         VectorExpressions.cosine_distance(s, col("qv"), col("cv")).as("dist"))
@@ -91,33 +152,161 @@ object Ann {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  def ivfTopk(s: SparkSession, d: String): DataFrame =
+    ivfTopkFrom(s, d, centroids(s, d), assignments(s, d))
+
+  def ivfTopkTrained(s: SparkSession, d: String): DataFrame =
+    ivfTopkFrom(s, d, trainedCentroids(s, d), trainedAssignments(s, d))
+
   /** Inverted-list census — list sizes per centroid (skew visibility). */
   def ivfStats(s: SparkSession, d: String): DataFrame =
     assignments(s, d).groupBy(col("cent_id"))
       .agg(count(lit(1)).as("list_size"))
       .orderBy(col("cent_id"))
 
+  /** recall@K of an approximate top-k against the exact ops.Knn top-k —
+    * pure integer counts plus one division, so the quality of the
+    * approximate index is itself an oracle-checked number. */
+  private def recallOf(s: SparkSession, d: String, approx: DataFrame): DataFrame = {
+    val exact = Knn.knnTopk(s, d).select(col("qid"), col("cid"))
+    val hits = approx.select(col("qid"), col("cid"))
+      .join(exact, Seq("qid", "cid"))
+      .agg(count(lit(1)).as("n_hits"))
+    val nq = exact.agg(countDistinct(col("qid")).as("n_queries"))
+    hits.crossJoin(nq).select(col("n_queries"), col("n_hits"),
+      round(col("n_hits").cast("double") / (col("n_queries") * lit(K)), 6)
+        .as("recall"))
+  }
+
+  def recallSeed(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, ivfTopk(s, d))
+
+  def recallTrained(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, ivfTopkTrained(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk" -> (ivfTopk _),
+    "ann_ivf_topk_trained" -> (ivfTopkTrained _),
     "ann_ivf_stats" -> (ivfStats _),
+    "ann_recall" -> (recallSeed _),
+    "ann_recall_trained" -> (recallTrained _),
   )
 
-  /** ann_ivf_stats is exact (deterministic assignment) → oracle-able via
-    * the same nearest-centroid SQL; ann_ivf_topk is approximate → no
-    * oracle (rows-only check). */
+  // ---------------------------------------------------------------- SQL
+
+  /** Seed centroids as a CTE named `cents` (REAL[] vectors). */
+  private val seedCentsCte =
+    s"""cents0 AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_vec
+       |  FROM embeddings WHERE vec_id < $C)""".stripMargin
+
+  /** `LloydIters` unrolled refinement rounds, mirroring refineOnce():
+    * argmin assignment, then list(mean) per cluster where the mean is the
+    * same quantized-integer arithmetic (exact on both engines). */
+  private def lloydCtes: String =
+    (1 to LloydIters).map { t =>
+      s"""a$t AS (
+         |  SELECT vec_id, embedding, cent_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                                     CAST(c.cent_vec AS DOUBLE[])) ASC,
+         |        c.cent_id ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cents${t - 1} c) z WHERE crn = 1),
+         |m$t AS (
+         |  SELECT cent_id, i AS pos,
+         |    CAST(CAST(sum(CAST(floor(
+         |        CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * $Quant)
+         |      AS BIGINT)) AS DOUBLE)
+         |      / CAST(count(*) * $Quant AS DOUBLE) AS REAL) AS mval
+         |  FROM (SELECT cent_id, embedding,
+         |          unnest(range(1, len(embedding) + 1)) AS i FROM a$t) x
+         |  GROUP BY cent_id, i),
+         |cents$t AS (
+         |  SELECT c.cent_id, coalesce(v.vec, c.cent_vec) AS cent_vec
+         |  FROM cents${t - 1} c LEFT JOIN
+         |    (SELECT cent_id, list(mval ORDER BY pos) AS vec
+         |     FROM m$t GROUP BY cent_id) v USING (cent_id))""".stripMargin
+    }.mkString(",\n")
+
+  /** assignment + probe + ranked-topk CTE chain against centroid CTE
+    * `from`; leaves a `ranked` CTE with (qid, cid, dist, rnk). */
+  private def ivfCtes(from: String): String =
+    s"""assign AS (
+       |  SELECT vec_id, embedding, cent_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                     CAST(c.cent_vec AS DOUBLE[])) ASC,
+       |        c.cent_id ASC) AS crn
+       |    FROM embeddings e CROSS JOIN $from c) z WHERE crn = 1),
+       |probes AS (
+       |  SELECT qid, cent_id FROM (
+       |    SELECT e.vec_id AS qid, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                     CAST(c.cent_vec AS DOUBLE[])) ASC,
+       |        c.cent_id ASC) AS prn
+       |    FROM embeddings e CROSS JOIN $from c) z WHERE prn <= $P),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cid,
+       |    1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                 CAST(a.embedding AS DOUBLE[])) AS dist
+       |  FROM probes p
+       |  JOIN assign a ON p.cent_id = a.cent_id
+       |  JOIN embeddings q ON q.vec_id = p.qid
+       |  WHERE a.vec_id <> p.qid),
+       |ranked AS (
+       |  SELECT qid, cid, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rnk
+       |  FROM cand)""".stripMargin
+
+  private val topkSelect =
+    s"""SELECT qid, rnk, cid, round(dist, 6) AS dist
+       |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+
+  /** exact-vs-approx recall: `ranked` (approx) must already be in scope. */
+  private def recallSelect: String =
+    s"""ivf AS (SELECT qid, cid FROM ranked WHERE rnk <= $K),
+       |pairs AS (${Knn.cosPairs}),
+       |exact AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS xrnk
+       |  FROM pairs) x WHERE xrnk <= $K),
+       |hits AS (SELECT count(*) AS n_hits FROM ivf JOIN exact USING (qid, cid)),
+       |nq AS (SELECT count(DISTINCT qid) AS n_queries FROM exact)
+       |SELECT CAST(n_queries AS BIGINT) AS n_queries,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  round(CAST(n_hits AS DOUBLE) / ($K * n_queries), 6) AS recall
+       |FROM hits, nq""".stripMargin
+
+  /** Every ANN query is deterministic (fixed seed pick, fixed iteration
+    * count, exact order-independent arithmetic, total-order tie-breaks),
+    * so all five carry full DuckDB oracles — including the Lloyd's-trained
+    * index, whose quantized means are engine-exact by construction. */
   val oracles: Map[String, String] = Map(
     "ann_ivf_stats" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
-         |  FROM embeddings WHERE vec_id < $C),
-         |assign AS (
-         |  SELECT e.vec_id, c.cent_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-         |                                            c.cent_vec) ASC,
-         |               c.cent_id ASC) AS crn
-         |  FROM embeddings e CROSS JOIN cents c)
+      s"""WITH $seedCentsCte,
+         |${ivfCtes("cents0")}
          |SELECT cent_id, count(*) AS list_size FROM assign
-         |WHERE crn = 1 GROUP BY cent_id ORDER BY cent_id""".stripMargin,
+         |GROUP BY cent_id ORDER BY cent_id""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH $seedCentsCte,
+         |${ivfCtes("cents0")}
+         |$topkSelect""".stripMargin,
+    "ann_ivf_topk_trained" ->
+      s"""WITH $seedCentsCte,
+         |$lloydCtes,
+         |${ivfCtes(s"cents$LloydIters")}
+         |$topkSelect""".stripMargin,
+    "ann_recall" ->
+      s"""WITH $seedCentsCte,
+         |${ivfCtes("cents0")},
+         |$recallSelect""".stripMargin,
+    "ann_recall_trained" ->
+      s"""WITH $seedCentsCte,
+         |$lloydCtes,
+         |${ivfCtes(s"cents$LloydIters")},
+         |$recallSelect""".stripMargin,
   )
 }

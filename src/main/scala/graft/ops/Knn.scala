@@ -225,7 +225,7 @@ object Knn {
     "knn_topk_l2" -> (knnTopkL2 _),
   )
 
-  private val cosPairs =
+  private[ops] val cosPairs =
     """SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS clabel,
       |       1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
       |                                    CAST(c.embedding AS DOUBLE[])) AS dist

@@ -48,9 +48,10 @@ object Multimodal {
           headerBytes(col("width")), headerBytes(col("height")),
           headerBytes(col("fps")), col("body")).as("payload"))
 
+  // 2 big-endian bytes of a 16-bit value, as builtins (codegen'd; no UDF
+  // in a declared query's input): hex → zero-pad to 4 nibbles → bytes.
   private def headerBytes(v: org.apache.spark.sql.Column) =
-    udf((x: Int) => Array[Byte](((x >> 8) & 0xff).toByte, (x & 0xff).toByte))
-      .apply(v)
+    unhex(lpad(hex(v), 4, "0"))
 
   case class AssetMeta(asset_id: Long, format: String, width: Int,
       height: Int, fps: Int, n_body_bytes: Int)
@@ -179,6 +180,17 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // m02 = m01's header fields recovered THROUGH the binary payload (the
+    // mapPartitions decode path); the oracle describes the same surface
+    // from the source table plus the constant magic-derived format tag,
+    // so the decode round-trip is value-checked, not just row-counted.
+    "m02_decode_meta" ->
+      """SELECT doc_id AS asset_id, 'gm' AS format,
+        |  CAST(n_chars % 640 + 16 AS INTEGER) AS width,
+        |  CAST(n_chars % 480 + 9 AS INTEGER) AS height,
+        |  CAST(CASE WHEN lang = 'en' THEN 24 ELSE 30 END AS INTEGER) AS fps,
+        |  octet_length(CAST(text AS BLOB)) AS n_body_bytes
+        |FROM documents ORDER BY asset_id""".stripMargin,
     "m01_asset_meta" ->
       """SELECT doc_id AS asset_id,
         |  CAST(n_chars % 640 + 16 AS INTEGER) AS width,

@@ -292,8 +292,11 @@ object TextOps {
         .cosine_distance(s, col("va"), col("vb"))))
       .join(radii.select(col("cent_id").as("pa"), col("radius").as("ra")), "pa")
       .join(radii.select(col("cent_id").as("pb"), col("radius").as("rb")), "pb")
-      // 1e-9 slack: the bound must only ever ADD candidates
-      .where(col("cang") - col("ra") - col("rb") <= tauAngle + 1e-9)
+      // 1e-6 rad slack: acos carries ~1e-8 absolute error near |cos|≈1 and
+      // three acos evaluations are summed, so the margin must dominate
+      // that noise — the bound may only ever ADD candidates (extra ones
+      // just pay the exact re-check).
+      .where(col("cang") - col("ra") - col("rb") <= tauAngle + 1e-6)
       .select(col("pa"), col("pb"))
     val a = de.select(col("doc_id").as("a_id"), col("source").as("a_source"),
       col("cent_id").as("pa"), col("embedding").as("a_emb"))
