@@ -440,8 +440,124 @@ object TextOps {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // -------- FNV-1a mod-2^64 in DuckDB (twin of functions.TextHash) -----
+  // Multiplication runs in unsigned HUGEINT mod 2^64 (each 64×41-bit
+  // product fits 128 bits); xor-with-a-byte touches only the low 8 bits,
+  // so it runs as BIGINT xor on (h % 256); full 64-bit xor (band folds,
+  // seeded init) runs on the SIGNED reinterpretation — two's-complement
+  // xor is bit-identical either way. Verified cell-identical to the
+  // Spark sketches at sf0.01 (and golden-asserted at sf0.001).
+  private val FnvP = "1099511628211"                             // FNV prime
+  private val M64 = "CAST('18446744073709551616' AS HUGEINT)"    // 2^64
+  private val H63 = "CAST('9223372036854775808' AS HUGEINT)"     // 2^63
+  private val FnvOffU = "CAST('14695981039346656037' AS HUGEINT)" // offset
+  private val FnvOffS = "-3750763034362895579"          // offset, signed
+
+  private def toSigned(u: String) =
+    s"CAST(CASE WHEN $u >= $H63 THEN $u - $M64 ELSE $u END AS BIGINT)"
+  private def toUnsigned(x: String) =
+    s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $M64 ELSE CAST($x AS HUGEINT) END)"
+
+  /** fold fnv1a over the UTF-8 bytes of token column `t` (ASCII fixtures
+    * — asserted by AsciiFixtureSpec) from unsigned HUGEINT init `init`. */
+  private def fnvFold(init: String) =
+    s"""list_reduce(
+       |    list_concat([$init],
+       |      list_transform(range(1, length(t)+1),
+       |        i -> CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS HUGEINT))),
+       |    (h, b) -> ((h - (h % 256) +
+       |        CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+       |        * $FnvP) % $M64)""".stripMargin
+
+  /** c11 twin: the banded join is candidate generation with a pigeonhole
+    * exactness guarantee, so the oracle is the SEMANTICS — all same-source
+    * pairs within Hamming 6 of the 64-bit SimHash. Per-token fnv1a(seed 0)
+    * over the distinct vocabulary, per-bit ±1 majority, pairs re-checked
+    * with bit_count(xor). */
+  private val simhashOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS t
+       |  FROM documents),
+       |vocab AS (SELECT DISTINCT t FROM tok),
+       |vh AS (SELECT t, ${fnvFold(FnvOffU)} AS h FROM vocab),
+       |bits AS (
+       |  SELECT k.doc_id, k.source, b.b,
+       |    sum(CASE WHEN (vh.h // CAST(power(2, b.b) AS HUGEINT)) % 2 = 1
+       |        THEN 1 ELSE -1 END) AS acc
+       |  FROM tok k JOIN vh ON k.t = vh.t
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+       |  GROUP BY k.doc_id, k.source, b.b),
+       |sh AS (
+       |  SELECT doc_id, source, ${toSigned("shu")} AS hs
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      coalesce(sum(CASE WHEN acc > 0
+       |        THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END),
+       |        CAST(0 AS HUGEINT)) AS shu
+       |    FROM bits GROUP BY doc_id, source) z)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.hs, b.hs)) AS INTEGER) AS hamming
+       |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.hs, b.hs)) <= $SimhashMaxHamming
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** c10 twin: 32 seeded minhashes over the distinct vocabulary (seed
+    * init = offset ^ seed·prime, Scala's SIGNED-long min), 4 band folds
+    * of 8 signature values (full 64-bit xor in signed BIGINT), then the
+    * 3 min-label propagation rounds unrolled as CTEs — the same
+    * bounded-iteration connected-components the Spark path runs. */
+  private val minhashLshOracle: String = {
+    val seedInit = toUnsigned(
+      s"xor(CAST($FnvOffS AS BIGINT), CAST(s * $FnvP AS BIGINT))")
+    val bandStep = s"(${toUnsigned("xor(h, x)")} * $FnvP) % $M64"
+    val bandFold =
+      s"""list_reduce(
+         |    list_concat([CAST($FnvOffS AS BIGINT)], sigs),
+         |    (h, x) -> ${toSigned(bandStep)})""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |  FROM documents),
+       |vocab AS (SELECT DISTINCT t FROM tok),
+       |seeds AS (SELECT unnest(range(1, 33)) AS s),
+       |vh AS (
+       |  SELECT t, s - 1 AS i, ${toSigned(s"(${fnvFold(seedInit)})")} AS hs
+       |  FROM vocab CROSS JOIN seeds),
+       |sig AS (
+       |  SELECT k.doc_id, vh.i, min(vh.hs) AS sv
+       |  FROM tok k JOIN vh ON k.t = vh.t
+       |  GROUP BY k.doc_id, vh.i),
+       |sigl AS (
+       |  SELECT doc_id, i // 8 AS band, list(sv ORDER BY i) AS sigs
+       |  FROM sig GROUP BY doc_id, i // 8),
+       |bands AS (
+       |  SELECT doc_id, band, $bandFold AS bucket FROM sigl),
+       |r0 AS (
+       |  SELECT b.doc_id, min(rep) AS cluster_id
+       |  FROM bands b JOIN (
+       |    SELECT band, bucket, min(doc_id) AS rep FROM bands
+       |    GROUP BY band, bucket) m
+       |  USING (band, bucket) GROUP BY b.doc_id),
+       |r1 AS (
+       |  SELECT b.doc_id, min(rep) AS cluster_id
+       |  FROM bands b JOIN (
+       |    SELECT band, bucket, min(cluster_id) AS rep
+       |    FROM bands JOIN r0 USING (doc_id) GROUP BY band, bucket) m
+       |  USING (band, bucket) GROUP BY b.doc_id),
+       |r2 AS (
+       |  SELECT b.doc_id, min(rep) AS cluster_id
+       |  FROM bands b JOIN (
+       |    SELECT band, bucket, min(cluster_id) AS rep
+       |    FROM bands JOIN r1 USING (doc_id) GROUP BY band, bucket) m
+       |  USING (band, bucket) GROUP BY b.doc_id)
+       |SELECT r2.doc_id, r2.cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY r2.cluster_id) AS BIGINT) AS cluster_size
+       |FROM r2 ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "c08_fingerprint" -> winnowOracle,
+    "c10_minhash_lsh" -> minhashLshOracle,
+    "c11_simhash" -> simhashOracle,
     "c16_array_ops2" ->
       """WITH t AS (SELECT doc_id,
         |    list_distinct(string_split(text, ' ')) AS tok FROM documents)

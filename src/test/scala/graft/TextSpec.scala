@@ -58,9 +58,9 @@ class TextSpec extends SparkSpec {
   }
 
   test("declared text queries with oracles are consistent sets") {
-    // c08 gained an exact HUGEINT-arithmetic oracle in round 2; only the
-    // genuinely hash-seeded sketches remain oracle-less.
+    // Round 3: the sketch paths (c10 MinHash-LSH, c11 SimHash) carry
+    // exact FNV-in-HUGEINT oracles too — every text query is oracled.
     val noOracle = TextOps.queries.keySet -- TextOps.oracles.keySet
-    assert(noOracle === Set("c10_minhash_lsh", "c11_simhash"))
+    assert(noOracle === Set.empty)
   }
 }
