@@ -84,6 +84,100 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** C2-ngram: character-shingle (8-gram) Jaccard near-dup, GLOBALLY
+    * exact via prefix filtering (AllPairs/PPJoin candidate generation) —
+    * no source blocking, no all-pairs scan.
+    *
+    * Scheme: order the shingle vocabulary rarest-first (document
+    * frequency asc, shingle asc — deterministic). Each doc keeps only its
+    * first n − ⌈τ·n⌉ + 1 shingles in that order as join keys. Theorem
+    * (Bayardo et al., "Scaling Up All Pairs Similarity Search"): any pair
+    * with Jaccard ≥ τ shares its minimum-order common shingle inside BOTH
+    * prefixes, so the equi-join on prefix shingles is a provably complete
+    * candidate set; the exact Jaccard re-check makes it sound. The join
+    * keys are by construction the RAREST shingles, so collision lists
+    * stay tiny even on dup-heavy corpora — this is the standard exact
+    * similarity self-join at crawl scale, where c10/c11 are the sketched
+    * (recall < 1) alternatives. */
+  val ShingleK = 8
+  val ShingleTau = 0.8
+  private val shingleCache = new graft.PersistedCache
+
+  /** Drop cached shingle-index state (tests / long-lived sessions). */
+  def clearShingleCache(): Unit = shingleCache.clear()
+
+  /** The shingle INDEX: one posting row per (doc, distinct 8-char
+    * shingle), annotated with document frequency, set size and the
+    * rarest-first rank — persisted like Ann's IVF assignments (it is the
+    * same artifact class: the index a similarity join probes). Cached
+    * because three plan references need it (prefix postings, and the
+    * full set arrays on each side of the verify) and Spark cannot reuse
+    * aliased subtrees — uncached, the explode ran 3×. */
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrBuild(s, s"$d#shingleIndex") {
+      val wSg = Window.partitionBy(col("sg"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val wOrd = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df").asc, col("sg").asc)
+      // distinct 8-char shingles per doc (positions 1..len-7, ASCII)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(expr(
+            s"transform(sequence(1, length(text) - ${ShingleK - 1}), " +
+            s"i -> substring(text, i, $ShingleK))"))).as("sg"))
+        .withColumn("df", count(lit(1)).over(wSg))
+        .withColumn("n", count(lit(1)).over(wDoc))
+        .withColumn("rn", row_number().over(wOrd))
+    }
+
+  def shingleJaccard(s: SparkSession, d: String): DataFrame = {
+    val ranked = shingleIndex(s, d)
+    val prefix = ranked
+      .where(col("rn") <= col("n") - ceil(lit(ShingleTau) * col("n")) + 1)
+      .select(col("doc_id"), col("sg"), col("n"))
+    val sets = ranked.groupBy(col("doc_id"))
+      .agg(collect_list(col("sg")).as("sgs"))
+    // Candidate pairs: group the (tiny, rarest-first) prefix postings by
+    // shingle and expand each bucket's combinations map-side with array
+    // HOFs. A prefix⋈prefix self-join computes the same pairs but Spark
+    // cannot reuse the aliased subtree, so the whole explode+window chain
+    // executed once per side (measured: 4 Generates / 6 Windows in the
+    // final plan, ~2× the runtime). Buckets stay small BECAUSE the order
+    // is rarest-first; the τ-size filter prunes inside the expansion.
+    val cand = prefix.groupBy(col("sg"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(expr(
+        s"""flatten(transform(ds, (x, i) ->
+           |  filter(transform(slice(ds, i + 2, size(ds)), y ->
+           |    struct(x.doc_id AS a_id, x.n AS a_n,
+           |           y.doc_id AS b_id, y.n AS b_n)),
+           |    p -> p.a_n >= p.b_n * $ShingleTau
+           |     AND p.b_n >= p.a_n * $ShingleTau)))""".stripMargin
+        )).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sgs").as("a_sgs")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sgs").as("b_sgs")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sgs"), col("b_sgs"))).as("inter"),
+        size(col("a_sgs")).as("na"), size(col("b_sgs")).as("nb"))
+      // aggregation barrier ((a_id,b_id) is unique post-distinct): without
+      // it the jac>=τ predicate sinks into the join CONDITION and
+      // array_intersect re-evaluates 3-4× per pair. A repartition is NOT
+      // enough — deterministic filters push through exchanges; they
+      // cannot push through an aggregate.
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("inter")).as("inter"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= ShingleTau)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** C5: word frequency — classic explode/count, global top 50. */
   def wordCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -402,6 +496,7 @@ object TextOps {
     "c01_dedup_exact" -> (dedupExact _),
     "c01_dedup_stats" -> (dedupStats _),
     "c02_jaccard_neardup" -> (jaccardNearDup _),
+    "c17_shingle_jaccard" -> (shingleJaccard _),
     "c03_wordcount" -> (wordCount _),
     "c04_lang_stats" -> (langStats _),
     "c05_langid" -> (langIdHeuristic _),
@@ -558,6 +653,24 @@ object TextOps {
     "c08_fingerprint" -> winnowOracle,
     "c10_minhash_lsh" -> minhashLshOracle,
     "c11_simhash" -> simhashOracle,
+    // the all-pairs form the prefix-filter join provably equals (the
+    // quadratic oracle anchor; the Spark path never enumerates all pairs)
+    "c17_shingle_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, length(text) - ${ShingleK - 1} + 1),
+         |    i -> substr(text, CAST(i AS INTEGER), $ShingleK))) AS sgs
+         |  FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    len(list_intersect(a.sgs, b.sgs)) AS inter,
+         |    len(a.sgs) AS na, len(b.sgs) AS nb
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+         |FROM p
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $ShingleTau
+         |ORDER BY a_id, b_id""".stripMargin,
     "c16_array_ops2" ->
       """WITH t AS (SELECT doc_id,
         |    list_distinct(string_split(text, ' ')) AS tok FROM documents)

@@ -57,6 +57,19 @@ class TextSpec extends SparkSpec {
     assert(l.where(!$"pred_lang".isin("en", "fr", "es", "de", "zh")).count() === 0)
   }
 
+  test("shingle-jaccard prefix filter joins on keys, never all pairs") {
+    import org.apache.spark.sql.functions._
+    val q = graft.ops.TextOps.shingleJaccard(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    // candidate generation must be the equi-join on prefix shingles — a
+    // cartesian/BNLJ would mean the prefix filter silently degenerated
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // completeness is oracle/golden-proven; sanity-check soundness here:
+    // every reported pair meets the threshold
+    assert(q.where(col("jaccard") < graft.ops.TextOps.ShingleTau).count() === 0)
+  }
+
   test("declared text queries with oracles are consistent sets") {
     // Round 3: the sketch paths (c10 MinHash-LSH, c11 SimHash) carry
     // exact FNV-in-HUGEINT oracles too — every text query is oracled.
