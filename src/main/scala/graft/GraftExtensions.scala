@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.TopKByAggregate(exprs(0), exprs(1), exprs(2), k)
           .toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("fnv1a64"),
+      info("fnv1a64", "fnv1a64(s) - unseeded FNV-1a of the UTF-8 bytes of s, as signed int64"),
+      (exprs: Seq[Expression]) => functions.Fnv1a64Expr(exprs(0))))
     ext.injectOptimizerRule(_ => plans.SelfDistanceElimination)
   }
 }

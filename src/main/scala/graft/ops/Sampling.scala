@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.HashExpressions
+
+/** Deterministic sampling / splitting / mixing — the selection operators
+  * of a training-data pipeline (the steps between dedup and the trainer:
+  * carve train/val/test, rebalance languages, cap per-source volume).
+  *
+  * Everything here keys on `fnv1a64` (a codegen'd Catalyst expression,
+  * [[graft.functions.Fnv1a64Expr]]) over a salted string key instead of
+  * `rand()`:
+  *
+  *  - Reproducible: membership is a pure function of the row key, so a
+  *    re-run, a retried task, a different partitioning, or a different
+  *    engine (the DuckDB oracles below) all pick the identical sample.
+  *    `rand()`-based sampling can't promise any of that under retries.
+  *  - Stable under growth: appending new documents never flips the
+  *    assignment of existing ones — the property that keeps yesterday's
+  *    eval set valid after today's ingest.
+  *  - Scale shape: assignment/filtering is a stateless map-side
+  *    projection (no shuffle at all); only the per-source capped mix
+  *    needs one shuffle on `source` for its ranking window.
+  *
+  * Distinct salts ("", "strat:", "mix:") decorrelate the three uses —
+  * reusing one hash would e.g. make the stratified sample preferentially
+  * drain the train split.
+  */
+object Sampling {
+
+  private def hashBucket(s: SparkSession, salt: String, mod: Int) =
+    pmod(HashExpressions.fnv1a64(s,
+      concat(lit(salt), col("doc_id").cast("string"))), lit(mod.toLong))
+
+  /** 80/10/10 train/val/test assignment for every document. */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", hashBucket(s, "", 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** Balance check over the split — the query a pipeline runs to confirm
+    * the carve is ~80/10/10 and every language appears in every split. */
+  def splitStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", hashBucket(s, "", 100))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_sum"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"))
+
+  /** Per-language rate sampling: downsample the dominant language (en →
+    * 20%) while keeping the tail at 50% — the language-rebalancing step
+    * of corpus curation. Pure map-side filter; at 100 TB this runs inside
+    * the scan with zero shuffle. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("b1000", hashBucket(s, "strat:", 1000))
+      .where(col("b1000") < when(col("lang") === "en", 200).otherwise(500))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Per-source capped mix: at most 20 docs per source, chosen by hash
+    * order — deterministic sampling-without-replacement, the "no single
+    * crawl domain dominates the mixture" rule. One shuffle on `source`;
+    * on a cluster the rank is a bounded per-key top-k (WindowGroupLimit
+    * pushes the cap below the exchange, so only ~cap rows per source
+    * survive the partial sort). */
+  def sourceMix(s: SparkSession, d: String): DataFrame = {
+    val h = HashExpressions.fnv1a64(s,
+      concat(lit("mix:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("h", h)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 20)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_split_assign" -> (splitAssign _),
+    "s02_split_stats" -> (splitStats _),
+    "s03_stratified_sample" -> (stratifiedSample _),
+    "s04_source_mix" -> (sourceMix _),
+  )
+
+  // ---------------------------------------------------------------- SQL
+  // DuckDB twins: fnv1a64 is TextOps.fnvFold (HUGEINT mod-2^64, proven
+  // cell-identical on c08/c10/c11); Spark's pmod becomes ((x%m)+m)%m.
+
+  private def hashedDocs(salt: String, mod: Int) = {
+    val key =
+      if (salt.isEmpty) "CAST(doc_id AS VARCHAR)"
+      else s"'$salt' || CAST(doc_id AS VARCHAR)"
+    s"""keyed AS (SELECT *, $key AS t FROM documents),
+       |hashed AS (SELECT *, ${TextOps.toSigned(TextOps.fnvFold(TextOps.FnvOffU))} AS hs
+       |  FROM keyed),
+       |bucketed AS (SELECT *, ((hs % $mod) + $mod) % $mod AS bucket FROM hashed)"""
+      .stripMargin
+  }
+
+  private val splitCase =
+    "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
+
+  val oracles: Map[String, String] = Map(
+    "s01_split_assign" ->
+      s"""WITH ${hashedDocs("", 100)}
+         |SELECT doc_id, lang, CAST(bucket AS INTEGER) AS bucket,
+         |  $splitCase AS split
+         |FROM bucketed ORDER BY doc_id""".stripMargin,
+    "s02_split_stats" ->
+      s"""WITH ${hashedDocs("", 100)}
+         |SELECT $splitCase AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM bucketed GROUP BY 1 ORDER BY split""".stripMargin,
+    "s03_stratified_sample" ->
+      s"""WITH ${hashedDocs("strat:", 1000)}
+         |SELECT doc_id, lang, source FROM bucketed
+         |WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 500 END
+         |ORDER BY doc_id""".stripMargin,
+    "s04_source_mix" ->
+      s"""WITH ${hashedDocs("mix:", 1)},
+         |ranked AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY hs ASC, doc_id ASC)
+         |      AS rk
+         |  FROM bucketed)
+         |SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+         |FROM ranked WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+  )
+}

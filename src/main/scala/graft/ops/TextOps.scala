@@ -542,20 +542,20 @@ object TextOps {
   // seeded init) runs on the SIGNED reinterpretation — two's-complement
   // xor is bit-identical either way. Verified cell-identical to the
   // Spark sketches at sf0.01 (and golden-asserted at sf0.001).
-  private val FnvP = "1099511628211"                             // FNV prime
-  private val M64 = "CAST('18446744073709551616' AS HUGEINT)"    // 2^64
-  private val H63 = "CAST('9223372036854775808' AS HUGEINT)"     // 2^63
-  private val FnvOffU = "CAST('14695981039346656037' AS HUGEINT)" // offset
-  private val FnvOffS = "-3750763034362895579"          // offset, signed
+  private[ops] val FnvP = "1099511628211"                             // FNV prime
+  private[ops] val M64 = "CAST('18446744073709551616' AS HUGEINT)"    // 2^64
+  private[ops] val H63 = "CAST('9223372036854775808' AS HUGEINT)"     // 2^63
+  private[ops] val FnvOffU = "CAST('14695981039346656037' AS HUGEINT)" // offset
+  private[ops] val FnvOffS = "-3750763034362895579"          // offset, signed
 
-  private def toSigned(u: String) =
+  private[ops] def toSigned(u: String) =
     s"CAST(CASE WHEN $u >= $H63 THEN $u - $M64 ELSE $u END AS BIGINT)"
-  private def toUnsigned(x: String) =
+  private[ops] def toUnsigned(x: String) =
     s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $M64 ELSE CAST($x AS HUGEINT) END)"
 
   /** fold fnv1a over the UTF-8 bytes of token column `t` (ASCII fixtures
     * — asserted by AsciiFixtureSpec) from unsigned HUGEINT init `init`. */
-  private def fnvFold(init: String) =
+  private[ops] def fnvFold(init: String) =
     s"""list_reduce(
        |    list_concat([$init],
        |      list_transform(range(1, length(t)+1),

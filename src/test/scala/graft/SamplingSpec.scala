@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExpressions
+import graft.ops.Sampling
+
+/** Deterministic sampling/split/mix operators (ops.Sampling) and their
+  * hashing primitive (functions.Fnv1a64Expr). */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference FNV-1a (the published algorithm, independent of the
+    * Catalyst implementation under test). */
+  private def fnvRef(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+    h
+  }
+
+  test("fnv1a64 matches the published algorithm, interpreted and codegen'd") {
+    val inputs = Seq("", "a", "abc", "42", "strat:17", "mix:499")
+    val df = inputs.toDF("s")
+      .select(col("s"), HashExpressions.fnv1a64(spark, col("s")).as("h"))
+    val got = df.as[(String, Long)].collect().toMap
+    inputs.foreach(s => assert(got(s) == fnvRef(s), s"fnv1a64('$s')"))
+    // SQL name resolves too (session-extension surface)
+    HashExpressions.register(spark)
+    val viaSql = spark.sql("SELECT fnv1a64('abc') AS h").as[Long].head()
+    assert(viaSql == fnvRef("abc"))
+    // null in → null out (nullIntolerant)
+    val nullRow = Seq[Option[String]](None).toDF("s")
+      .select(HashExpressions.fnv1a64(spark, col("s"))).collect()
+    assert(nullRow.head.isNullAt(0))
+  }
+
+  test("split assignment is total, disjoint, and ~80/10/10") {
+    val df = Sampling.splitAssign(spark, sf0001)
+    val total = Tables.documents(spark, sf0001).count()
+    assert(df.count() == total) // every doc gets exactly one split
+    val counts = df.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    val train = counts("train").toDouble / total
+    assert(train > 0.70 && train < 0.90, s"train fraction $train")
+    // stable under growth: the sf0.001 assignment must agree with the
+    // sf0.01 assignment on the shared doc_ids (pure function of the key)
+    val small = df.select("doc_id", "split")
+    val big = Sampling.splitAssign(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("split").as("split10"))
+    val disagree = small.join(big, "doc_id")
+      .where(col("split") =!= col("split10")).count()
+    assert(disagree == 0)
+  }
+
+  test("split assignment is map-side only (no shuffle before the sort)") {
+    val unordered = Tables.documents(spark, sf0001)
+      .withColumn("bucket",
+        pmod(HashExpressions.fnv1a64(spark, col("doc_id").cast("string")),
+          lit(100L)))
+      .select(col("doc_id"), col("bucket"))
+    val plan = unordered.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    // "*(1)" = whole-stage-codegen stage 1: the hash projection fused
+    // with the scan, proof Fnv1a64Expr's doGenCode is in the hot path
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("stratified sample respects per-language rates") {
+    val docs = Tables.documents(spark, sf0001)
+    val kept = Sampling.stratifiedSample(spark, sf0001)
+    val keptByLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val allByLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en targeted at 20%, others at 50% — hash buckets are uniform only
+    // in expectation, so allow wide slack at 500 docs
+    val en = keptByLang.getOrElse("en", 0L).toDouble / allByLang("en")
+    assert(en > 0.10 && en < 0.32, s"en rate $en")
+    val restKept = (keptByLang - "en").values.sum.toDouble
+    val restAll = (allByLang - "en").values.sum.toDouble
+    assert(restKept / restAll > 0.38 && restKept / restAll < 0.62,
+      s"tail rate ${restKept / restAll}")
+  }
+
+  test("source mix caps every source and pushes the cap below the exchange") {
+    val mix = Sampling.sourceMix(spark, sf0001)
+    val over = mix.groupBy("source").count().where(col("count") > 20).count()
+    assert(over == 0)
+    val plan = mix.queryExecution.executedPlan.toString
+    // rank<=20 must run as a bounded per-group top-k, not a full sort+filter
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+}
