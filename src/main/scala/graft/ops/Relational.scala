@@ -90,6 +90,25 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** B5b: full outer join — union the per-nation customer census (nations
+    * < 15) with the supplier census (nations >= 10). The complementary
+    * filters guarantee left-only, matched, and right-only rows, so all
+    * three null-production paths of the operator are exercised. Both
+    * sides pre-aggregate to ≤25 rows before the join — at scale the
+    * full-outer shuffle moves group counts, never base rows. */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).where(col("c_nationkey") < 15)
+      .groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sup = Tables.supplier(s, d).where(col("s_nationkey") >= 10)
+      .groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(sup, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        col("n_customers"), col("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
   /** B6: left anti join — parts never shipped in the first year. */
   def joinAnti(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
@@ -459,6 +478,7 @@ object Relational {
     "b03_join_broadcast" -> (joinBroadcast _),
     "b04_join_shuffle" -> (joinShuffle _),
     "b05_join_left" -> (joinLeft _),
+    "b05_join_full" -> (joinFull _),
     "b06_join_anti" -> (joinAnti _),
     "b06_join_semi" -> (joinSemi _),
     "b07_agg_q1" -> (aggQ1 _),
@@ -515,6 +535,18 @@ object Relational {
         |  CAST(sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
         |FROM per_cust JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "b05_join_full" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS ck, count(*) AS n_customers
+        |  FROM customer WHERE c_nationkey < 15 GROUP BY c_nationkey),
+        |s AS (
+        |  SELECT s_nationkey AS sk, count(*) AS n_suppliers
+        |  FROM supplier WHERE s_nationkey >= 10 GROUP BY s_nationkey)
+        |SELECT coalesce(ck, sk) AS nationkey,
+        |  CAST(n_customers AS BIGINT) AS n_customers,
+        |  CAST(n_suppliers AS BIGINT) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON ck = sk
+        |ORDER BY nationkey""".stripMargin,
     "b06_join_anti" ->
       """SELECT p_brand, count(*) AS n_never_ordered
         |FROM part
