@@ -1,0 +1,278 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** One packed document: its token count plus the training sequence
+  * (per-source ordinal) it was greedily packed into and the sequence's
+  * fill level after adding it. */
+case class PackedDoc(doc_id: Long, source: String, n_tokens: Long,
+                     seq_id: Long, seq_fill: Long)
+
+/** Corpus-assembly operators — the steps that turn a deduped, scored
+  * document pool into trainer-ready input: greedy sequence packing,
+  * the multi-stage curation funnel, and TF-IDF term weighting.
+  *
+  * Scale design (100 TB of documents):
+  *  - Sequence packing is inherently sequential *within* a pack stream,
+  *    so the parallel unit is the stream key (`source`): one shuffle to
+  *    co-locate each source, a within-partition sort, then a linear
+  *    mapPartitions scan with O(1) state. A skewed giant source would
+  *    serialize its own stream only; the fix at scale is salting the
+  *    stream key by a coarse doc_id range (id div N) — packing quality
+  *    is unaffected because sequences never cross chunk boundaries.
+  *  - Curation is a single pass: every filter stage is a map-side
+  *    boolean flag, the only shuffle is the dedup window's hash
+  *    partitioning on content, and the funnel is one global aggregate
+  *    of flag sums (partial-agg'd map-side, 5 longs per partition).
+  *  - TF-IDF is two partial-aggregated shuffles (doc-term counts, then
+  *    document frequencies) + a broadcast of the df table (vocabulary ≪
+  *    corpus — here 1k terms; at 100 TB a few hundred M terms would
+  *    switch to a shuffle join on term, same plan shape otherwise).
+  */
+object Pipeline {
+
+  // -------------------------------------------------------- c18: packing
+
+  /** Token budget per packed training sequence. */
+  val PackBudget = 256L
+
+  /** c18: greedy sequence packing — walk each source's documents in
+    * doc_id order, appending to the current sequence while the token
+    * budget holds, else opening a new one (a doc longer than the budget
+    * gets a sequence of its own). The standard "pack short documents
+    * into fixed-length training rows" step; deterministic, so the
+    * DuckDB twin (a recursive CTE) reproduces it cell-for-cell. */
+  def seqPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        // per-partition scan state; partitions hold whole sources, and
+        // the sort guarantees each source's docs arrive contiguously.
+        var curSource: String = null
+        var fill = 0L
+        var seq = 0L
+        it.map { case (id, src, n) =>
+          if (src != curSource) { curSource = src; fill = n; seq = 0L }
+          else if (fill + n <= PackBudget) fill += n
+          else { seq += 1L; fill = n }
+          PackedDoc(id, src, n, seq, fill)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------- c19: curation
+
+  /** Shared stage flags for the curation funnel. Stages nest (each flag
+    * implies the previous), so the funnel counts are monotone:
+    *   1. canonical  — exact-dedup survivor (min doc_id per normalized text)
+    *   2. len_ok     — length gate, 100 ≤ n_chars ≤ 450
+    *   3. lang_ok    — the langid heuristic (c05) agrees with the label
+    *   4. quality_ok — quality score (c06 formulation, unrounded) ≥ 0.7
+    * All feature doubles are single divisions of exact integers, so both
+    * engines compare bit-identical values at the thresholds. */
+  private def stagedDocs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("norm_text")).orderBy(col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("norm_text", lower(trim(col("text"))))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("n_types", size(array_distinct(split(col("text"), " "))))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
+      .withColumn("n_vowel", length(regexp_replace(col("text"), "[^aeiou]", "")))
+      .withColumn("avg_tok_len",
+        (length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("vowel_ratio",
+        col("n_vowel").cast("double") / greatest(col("n_alpha"), lit(1)))
+      .withColumn("pred_lang",
+        when(col("avg_tok_len") >= 7.0, "de")
+          .when(col("vowel_ratio") >= 0.42, "es")
+          .when(col("vowel_ratio") >= 0.38, "en")
+          .when(col("avg_tok_len") < 5.0, "zh")
+          .otherwise("fr"))
+      .withColumn("quality",
+        lit(0.5) * when(col("n_chars").between(100, 450), 1.0).otherwise(0.0)
+          + lit(0.5) * (col("n_types").cast("double") / col("n_tokens")))
+      .withColumn("canonical", (col("rn") === 1).cast("long"))
+      .withColumn("len_ok",
+        (col("canonical") === 1 && col("n_chars").between(100, 450)).cast("long"))
+      .withColumn("lang_ok",
+        (col("len_ok") === 1 && col("pred_lang") === col("lang")).cast("long"))
+      .withColumn("quality_ok",
+        (col("lang_ok") === 1 && col("quality") >= 0.7).cast("long"))
+  }
+
+  /** c19: the curated corpus — documents surviving every stage, with the
+    * columns a downstream packer/tokenizer consumes. */
+  def curate(s: SparkSession, d: String): DataFrame =
+    stagedDocs(s, d)
+      .where(col("quality_ok") === 1)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** c19b: the curation funnel — one row of monotone survivor counts per
+    * stage, the observability query every curation pipeline ships with. */
+  def curateFunnel(s: SparkSession, d: String): DataFrame =
+    stagedDocs(s, d)
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(col("canonical")).as("n_canonical"),
+        sum(col("len_ok")).as("n_len_ok"),
+        sum(col("lang_ok")).as("n_lang_ok"),
+        sum(col("quality_ok")).as("n_curated"))
+
+  // --------------------------------------------------------- c20: tf-idf
+
+  /** c20: top-3 characteristic terms per document by tf·(N/df) — tf-idf
+    * with a raw-frequency idf, kept in scaled integer arithmetic
+    * (`tf * 1_000_000 * N div df`) so ranking and output are
+    * cross-engine exact (log-idf would only monotonely rescale idf, and
+    * its irrational values cannot be hash-compared). Ties break on
+    * (tf desc, term asc) for a total order. */
+  def tfidfTop(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count() // tiny scalar; at scale a separate agg broadcast
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_scaled").desc, col("tf").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("score_scaled",
+        expr(s"tf * 1000000 * $nDocs div df"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_scaled"), col("rk").cast("long").as("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c18_seq_pack" -> (seqPack _),
+    "c19_curate" -> (curate _),
+    "c19_curate_funnel" -> (curateFunnel _),
+    "c20_tfidf_top" -> (tfidfTop _),
+  )
+
+  // ---------------------------------------------------------------- SQL
+
+  /** DuckDB twin of [[stagedDocs]]'s flags (regexes need the 'g' flag;
+    * Spark's regexp_replace is global by default). */
+  private val stagedSql =
+    """staged AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id)
+      |      AS rn,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_types,
+      |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+      |    length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowel,
+      |    length(text) AS n_len
+      |  FROM documents),
+      |feat AS (
+      |  SELECT *,
+      |    CAST(n_len - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_tok_len,
+      |    CAST(n_vowel AS DOUBLE) / greatest(n_alpha, 1) AS vowel_ratio,
+      |    0.5 * (CASE WHEN n_chars BETWEEN 100 AND 450 THEN 1.0 ELSE 0.0 END)
+      |      + 0.5 * (CAST(n_types AS DOUBLE) / n_tokens) AS quality
+      |  FROM staged),
+      |flagged AS (
+      |  SELECT *,
+      |    CASE WHEN avg_tok_len >= 7.0 THEN 'de'
+      |         WHEN vowel_ratio >= 0.42 THEN 'es'
+      |         WHEN vowel_ratio >= 0.38 THEN 'en'
+      |         WHEN avg_tok_len < 5.0 THEN 'zh'
+      |         ELSE 'fr' END AS pred_lang,
+      |    CASE WHEN rn = 1 THEN 1 ELSE 0 END AS canonical
+      |  FROM feat),
+      |flags AS (
+      |  SELECT *,
+      |    CASE WHEN canonical = 1 AND n_chars BETWEEN 100 AND 450
+      |      THEN 1 ELSE 0 END AS len_ok
+      |  FROM flagged),
+      |flags2 AS (
+      |  SELECT *,
+      |    CASE WHEN len_ok = 1 AND pred_lang = lang THEN 1 ELSE 0 END
+      |      AS lang_ok
+      |  FROM flags),
+      |flags3 AS (
+      |  SELECT *,
+      |    CASE WHEN lang_ok = 1 AND quality >= 0.7 THEN 1 ELSE 0 END
+      |      AS quality_ok
+      |  FROM flags2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "c18_seq_pack" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |pack AS (
+         |  SELECT doc_id, source, n_tokens, rn,
+         |    n_tokens AS seq_fill, CAST(0 AS BIGINT) AS seq_id
+         |  FROM toks WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+         |    CASE WHEN p.seq_fill + t.n_tokens <= $PackBudget
+         |      THEN p.seq_fill + t.n_tokens ELSE t.n_tokens END,
+         |    CASE WHEN p.seq_fill + t.n_tokens <= $PackBudget
+         |      THEN p.seq_id ELSE p.seq_id + 1 END
+         |  FROM toks t JOIN pack p ON t.source = p.source AND t.rn = p.rn + 1)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(seq_fill AS BIGINT) AS seq_fill
+         |FROM pack ORDER BY doc_id""".stripMargin,
+    "c19_curate" ->
+      s"""WITH $stagedSql
+         |SELECT doc_id, lang, source,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens, n_chars
+         |FROM flags3 WHERE quality_ok = 1 ORDER BY doc_id""".stripMargin,
+    "c19_curate_funnel" ->
+      s"""WITH $stagedSql
+         |SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(sum(canonical) AS BIGINT) AS n_canonical,
+         |  CAST(sum(len_ok) AS BIGINT) AS n_len_ok,
+         |  CAST(sum(lang_ok) AS BIGINT) AS n_lang_ok,
+         |  CAST(sum(quality_ok) AS BIGINT) AS n_curated
+         |FROM flags3""".stripMargin,
+    "c20_tfidf_top" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM terms GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf * 1000000 * n.n_docs // df.df AS BIGINT)
+        |      AS score_scaled
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_scaled DESC, tf DESC, term ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score_scaled, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Pipeline
+
+/** Invariant checks for the corpus-assembly operators (goldens cover the
+  * exact values; these assert the semantic contracts that must hold at
+  * any scale factor). */
+class PipelineSpec extends SparkSpec {
+
+  test("seq_pack: budget respected except for single oversized docs") {
+    val out = Pipeline.seqPack(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, fill) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("seq_fill"))
+      assert(fill <= Pipeline.PackBudget || fill == n,
+        s"over-budget fill $fill for multi-doc sequence (n=$n)")
+    }
+  }
+
+  test("seq_pack: sequence ids are contiguous from 0 per source and fill " +
+    "equals the running token sum of its sequence") {
+    val bySrc = Pipeline.seqPack(spark, sf0001).collect()
+      .groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      val seqIds = sorted.map(_.getAs[Long]("seq_id"))
+      assert(seqIds.head == 0L, s"$src first seq_id ${seqIds.head}")
+      seqIds.sliding(2).foreach { case Array(a, b) =>
+        assert(b == a || b == a + 1, s"$src seq ids jump $a -> $b")
+      case _ => ()
+      }
+      // within each sequence, fill is the prefix sum of token counts
+      sorted.groupBy(_.getAs[Long]("seq_id")).foreach { case (_, seq) =>
+        val docs = seq.sortBy(_.getAs[Long]("doc_id"))
+        var acc = 0L
+        docs.foreach { r =>
+          acc += r.getAs[Long]("n_tokens")
+          assert(r.getAs[Long]("seq_fill") == acc)
+        }
+      }
+    }
+  }
+
+  test("curate funnel counts are monotone and match the curated set") {
+    val f = Pipeline.curateFunnel(spark, sf0001).collect()(0)
+    val counts = Seq("n_raw", "n_canonical", "n_len_ok", "n_lang_ok",
+      "n_curated").map(f.getAs[Long])
+    counts.sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b, s"funnel not monotone: $counts")
+    case _ => ()
+    }
+    assert(counts.last == Pipeline.curate(spark, sf0001).count())
+  }
+
+  test("tfidf: at most 3 terms per doc, scores non-increasing, df sane") {
+    val rows = Pipeline.tfidfTop(spark, sf0001).collect()
+    val nDocs = rows.map(_.getAs[Long]("doc_id")).distinct.length
+    assert(rows.nonEmpty && rows.length <= 3 * nDocs)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rk"))
+      assert(byRank.map(_.getAs[Long]("rk")).toSeq == (1L to byRank.length))
+      val scores = byRank.map(_.getAs[Long]("score_scaled"))
+      scores.sliding(2).foreach { case Array(a, b) =>
+        assert(a >= b, s"doc $id scores increase: ${scores.toSeq}")
+      case _ => ()
+      }
+      rs.foreach(r => assert(r.getAs[Long]("df") >= 1L))
+    }
+  }
+}
