@@ -161,6 +161,37 @@ object Multimodal {
       .toDF("asset_id", "frame_no", "frame")
   }
 
+  /** m04: declared frame-sampling surface — the sampled frames' ordinals
+    * and byte counts. The frames themselves stay binary (top-level binary
+    * columns can't go through the harness's canonicalization), but frame
+    * boundaries and sizes are exactly the oracle-checkable contract of
+    * the sampler: stride-4 over ceil(body/64) frames, last frame ragged. */
+  def frameMeta(s: SparkSession, d: String): DataFrame =
+    frameSample(s, d, frameBytes = 64, stride = 4)
+      .select(col("asset_id"),
+        col("frame_no").cast("int").as("frame_no"),
+        octet_length(col("frame")).cast("int").as("n_frame_bytes"))
+      .orderBy(col("asset_id"), col("frame_no"))
+
+  /** m05: resize round-trip — run the payload→payload resize, then decode
+    * the result's header back out through the same mapPartitions decoder
+    * as m02. Value-checks the whole rewrite: new dimensions land in the
+    * header, fps survives, and the body shrinks to the documented
+    * max(1, n/2) prefix. */
+  def resizeMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    resize(s, d, 320, 240)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (fmt, w, h, fps) = parseHeader(bytes)
+          AssetMeta(id, fmt, w, h, fps, bytes.length - 8)
+        }
+      }
+      .toDF()
+      .orderBy(col("asset_id"))
+  }
+
   /** Declared metadata query — the oracle-checkable slice of the binary
     * pipeline (byte lengths and header-derived fields are pure SQL on
     * both engines; the docs are ASCII so octet_length(text) = body bytes). */
@@ -177,6 +208,8 @@ object Multimodal {
     "m01_asset_meta" -> (assetMeta _),
     "m02_decode_meta" -> (decodeMeta _),
     "m03_byte_histogram" -> (byteHistogram _),
+    "m04_frame_sample" -> (frameMeta _),
+    "m05_resize_meta" -> (resizeMeta _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -197,6 +230,29 @@ object Multimodal {
         |  CAST(n_chars % 480 + 9 AS INTEGER) AS height,
         |  CAST(CASE WHEN lang = 'en' THEN 24 ELSE 30 END AS INTEGER) AS fps,
         |  octet_length(CAST(text AS BLOB)) AS n_body_bytes
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // m04: the docs are ASCII, so body bytes = length(text); frames are
+    // 64-byte windows sampled every 4th, with a ragged final frame.
+    "m04_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS L
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, L,
+        |    unnest(range(0, CAST((L + 63) // 64 AS BIGINT), 4)) AS frame_no
+        |  FROM b)
+        |SELECT doc_id AS asset_id, CAST(frame_no AS INTEGER) AS frame_no,
+        |  CAST(least(64, L - frame_no * 64) AS INTEGER) AS n_frame_bytes
+        |FROM f ORDER BY asset_id, frame_no""".stripMargin,
+    // m05: resized header carries the new 320x240 dims and the original
+    // fps; the stand-in "resample" keeps a max(1, n/2)-byte body prefix.
+    "m05_resize_meta" ->
+      """SELECT doc_id AS asset_id, 'gm' AS format,
+        |  CAST(320 AS INTEGER) AS width,
+        |  CAST(240 AS INTEGER) AS height,
+        |  CAST(CASE WHEN lang = 'en' THEN 24 ELSE 30 END AS INTEGER) AS fps,
+        |  CAST(greatest(1, octet_length(CAST(text AS BLOB)) // 2) AS INTEGER)
+        |    AS n_body_bytes
         |FROM documents ORDER BY asset_id""".stripMargin,
     "m03_byte_histogram" ->
       """WITH pos AS (
