@@ -212,7 +212,32 @@ object Knn {
       .orderBy(col("label"), col("pred"))
   }
 
+  /** e04: the same exact-KNN semantics expressed ENTIRELY through the SQL
+    * front end — temp view + a SQL string calling the injected codegen'd
+    * `cosine_distance` — proving a SQL-only user of the library gets the
+    * identical plan and results as the Column-API surface (restricted to
+    * 50 query vectors to keep it a smoke-sized pair space). */
+  def sqlKnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    Tables.embeddings(s, d).where(col("vec_id") < 50)
+      .createOrReplaceTempView("graft_sql_emb")
+    s.sql("""
+      WITH pairs AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               cosine_distance(q.embedding, c.embedding) AS dist
+        FROM graft_sql_emb q CROSS JOIN graft_sql_emb c
+        WHERE q.vec_id <> c.vec_id),
+      ranked AS (
+        SELECT qid, cid, dist,
+          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC)
+            AS rnk
+        FROM pairs)
+      SELECT qid, rnk, cid, round(dist, 6) AS dist
+      FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e04_sql_knn" -> (sqlKnn _),
     "knn_topk_agg" -> (knnTopkAgg _),
     "knn_topk_blocked" -> (knnTopkBlocked _),
     "knn_confusion" -> (knnConfusion _),
@@ -308,6 +333,18 @@ object Knn {
          |  FROM pairs)
          |SELECT qid, rnk, cid, round(dist, 6) AS dist
          |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin,
+    "e04_sql_knn" ->
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[])) AS dist
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id <> c.vec_id AND q.vec_id < 50 AND c.vec_id < 50),
+        |ranked AS (SELECT qid, cid, dist,
+        |  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rnk
+        |  FROM pairs)
+        |SELECT qid, rnk, cid, round(dist, 6) AS dist
+        |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "knn_classify" ->
       s"""WITH pairs AS ($cosPairs),
          |ranked AS (SELECT qid, cid, clabel, dist,

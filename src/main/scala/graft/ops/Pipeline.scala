@@ -133,6 +133,44 @@ object Pipeline {
         sum(col("lang_ok")).as("n_lang_ok"),
         sum(col("quality_ok")).as("n_curated"))
 
+  // --------------------------------------- c21: incremental-ingest dedup
+
+  /** c21: incremental dedup — the daily-ingest shape: treat the newest
+    * fifth of doc_ids (ids above cut = max_id·4/5, integer arithmetic so
+    * the cut is engine-exact at any scale factor) as the arriving batch,
+    * and keep only batch docs whose content key is (a) absent from the
+    * existing corpus and (b) first-in-batch. One anti-join plus one
+    * window, both keyed on content.
+    *
+    * The content key is the sorted distinct-token set, not the raw text:
+    * docs that permute/repeat the same vocabulary count as duplicates
+    * (the bag-of-words near-dup rule), which this corpus actually
+    * triggers at every fixture tier — exact-text keying would make the
+    * anti-join a no-op below sf0.1. Sort order is engine-identical
+    * because fixtures are ASCII (AsciiFixtureSpec enforces it).
+    *
+    * Scale: the corpus side is the 100 TB one, but it projects to just
+    * its distinct content keys (at rest this is the dedup index, bucketed
+    * by content hash), and the batch side is small — so the anti-join
+    * shuffles a day's ingest, not the corpus. The cut scalar is a
+    * broadcast one-row cross join, not a driver collect. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("norm",
+        array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+    val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("cut"))
+    val withCut = docs.crossJoin(broadcast(cut))
+    val corpusKeys = withCut.where(col("doc_id") <= col("cut"))
+      .select(col("norm")).distinct()
+    val w = Window.partitionBy(col("norm")).orderBy(col("doc_id").asc)
+    withCut.where(col("doc_id") > col("cut"))
+      .join(corpusKeys, Seq("norm"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------- c20: tf-idf
 
   /** c20: top-3 characteristic terms per document by tf·(N/df) — tf-idf
@@ -169,6 +207,7 @@ object Pipeline {
     "c19_curate" -> (curate _),
     "c19_curate_funnel" -> (curateFunnel _),
     "c20_tfidf_top" -> (tfidfTop _),
+    "c21_dedup_incremental" -> (dedupIncremental _),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -253,6 +292,25 @@ object Pipeline {
          |  CAST(sum(lang_ok) AS BIGINT) AS n_lang_ok,
          |  CAST(sum(quality_ok) AS BIGINT) AS n_curated
          |FROM flags3""".stripMargin,
+    "c21_dedup_incremental" ->
+      """WITH cut AS (SELECT max(doc_id) * 4 // 5 AS cut FROM documents),
+        |n AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+        |                    ' ') AS norm
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT DISTINCT norm FROM n, cut WHERE doc_id <= cut),
+        |batch AS (SELECT n.* FROM n, cut WHERE doc_id > cut),
+        |fresh AS (
+        |  SELECT * FROM batch
+        |  WHERE norm NOT IN (SELECT norm FROM corpus)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id)
+        |    AS rn
+        |  FROM fresh)
+        |SELECT doc_id, lang, source, n_chars FROM ranked
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "c20_tfidf_top" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -53,6 +53,16 @@ class PipelineSpec extends SparkSpec {
     assert(counts.last == Pipeline.curate(spark, sf0001).count())
   }
 
+  test("incremental dedup: both drop paths fire (corpus hit and in-batch dup)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val batchN = docs.where(col("doc_id") > maxId * 4 / 5).count()
+    val kept = Pipeline.dedupIncremental(spark, sf0001)
+    assert(kept.count() < batchN, "no batch doc was dropped — key too strict")
+    // every kept doc is from the batch
+    assert(kept.agg(min("doc_id")).collect()(0).getLong(0) > maxId * 4 / 5)
+  }
+
   test("tfidf: at most 3 terms per doc, scores non-increasing, df sane") {
     val rows = Pipeline.tfidfTop(spark, sf0001).collect()
     val nDocs = rows.map(_.getAs[Long]("doc_id")).distinct.length
