@@ -181,19 +181,24 @@ object Pipeline {
     * (tf desc, term asc) for a total order. */
   def tfidfTop(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val nDocs = docs.count() // tiny scalar; at scale a separate agg broadcast
-    val terms = docs
+    // one-row aggregate, broadcast-cross-joined: keeps the plan pure
+    // (no driver action) and free at any scale
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
+    // df as a count-over-term window on the tf table: single scan of the
+    // corpus, no second explode and no tf⋈df join (a separate df
+    // aggregate re-expands the whole scan subtree — a 2× tax on the
+    // dominant cost at 100 TB)
+    val wTerm = Window.partitionBy(col("term"))
+    val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_scaled").desc, col("tf").desc, col("term").asc)
-    tf.join(broadcast(df), "term")
-      .withColumn("score_scaled",
-        expr(s"tf * 1000000 * $nDocs div df"))
-      .withColumn("rk", row_number().over(w))
+    tf.withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_scaled", expr("tf * 1000000 * n_docs div df"))
+      .withColumn("rk", row_number().over(wDoc))
       .where(col("rk") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("score_scaled"), col("rk").cast("long").as("rk"))
