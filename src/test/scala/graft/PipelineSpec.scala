@@ -39,6 +39,15 @@ class PipelineSpec extends SparkSpec {
           assert(r.getAs[Long]("seq_fill") == acc)
         }
       }
+      // greedy minimality: a new sequence only opens on genuine overflow
+      sorted.sliding(2).foreach { case Array(prev, next) =>
+        if (next.getAs[Long]("seq_id") == prev.getAs[Long]("seq_id") + 1)
+          assert(prev.getAs[Long]("seq_fill") + next.getAs[Long]("n_tokens")
+            > Pipeline.PackBudget,
+            s"$src opened a sequence without overflow at doc " +
+              next.getAs[Long]("doc_id"))
+      case _ => ()
+      }
     }
   }
 
