@@ -209,7 +209,39 @@ object EventOps {
       .na.fill(0L)
       .orderBy(col("hour_of_day"))
 
+  /** D10: gap filling — densify each event type's hourly series over its
+    * observed [min, max] hour range (integer hours from raw nanos, exact
+    * on both engines), flag the missing hours, and forward-fill the last
+    * observed count (`last(..., ignoreNulls)` over an ordered frame —
+    * the standard gauge-style ffill).
+    *
+    * Scale: the timeline is generated per key from a one-row-per-key
+    * bounds aggregate (`sequence` + explode — map-side, no shuffle
+    * beyond the hourly aggregation), and the fill window partitions by
+    * event_type, so a 100 TB event log densifies in parallel per key.
+    * Counts (longs) are forward-filled rather than double sums so the
+    * output is order-independent and hash-exact. */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val H = 3600L * 1000000000L
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), expr(s"ts_ns div $H").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val timeline = hourly
+      .groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    timeline.join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("is_gap", col("n").isNull.cast("int"))
+      .withColumn("n_filled", last(col("n"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("hour"), col("is_gap"), col("n_filled"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_gap_fill" -> (gapFill _),
     "d09_pivot" -> (pivotCounts _),
     "d06_asof_union" -> (asofUnion _),
     "d08_session_window" -> (sessionWindowNative _),
@@ -235,6 +267,26 @@ object EventOps {
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d10_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, min(hour) AS h0, max(hour) AS h1
+        |  FROM hourly GROUP BY 1),
+        |timeline AS (
+        |  SELECT event_type, unnest(range(h0, h1 + 1)) AS hour FROM bounds),
+        |j AS (
+        |  SELECT t.event_type, t.hour, h.n
+        |  FROM timeline t LEFT JOIN hourly h USING (event_type, hour))
+        |SELECT event_type, CAST(hour AS BIGINT) AS hour,
+        |  CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap,
+        |  CAST(last_value(n IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_filled
+        |FROM j ORDER BY event_type, hour""".stripMargin,
     "d09_pivot" ->
       s"""SELECT hour($duckSecTs) AS hour_of_day,
          |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

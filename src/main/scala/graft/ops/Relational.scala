@@ -473,7 +473,24 @@ object Relational {
         sum(when(dayofweek(col("l_shipdate")) === 2, 1).otherwise(0)).as("n_monday_ships"))
       .orderBy(col("l_returnflag"))
 
+  /** B20: unpivot/melt — the relational transpose inverse of d09's
+    * pivot: three wide measure columns to (measure, value) long form via
+    * the native `Dataset.unpivot` (Generate under the hood — map-side
+    * row explosion, no shuffle; the oracle is the portable UNION ALL
+    * form). Restricted to a small orderkey slice to keep the declared
+    * output bounded; the operator itself streams at any scale. */
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b20_unpivot" -> (unpivotMeasures _),
     "b01_scan_filter" -> (scanFilter _),
     "b03_join_broadcast" -> (joinBroadcast _),
     "b04_join_shuffle" -> (joinShuffle _),
@@ -506,6 +523,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "b20_unpivot" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey < 200)
+        |SELECT l_orderkey, l_linenumber,
+        |  'l_quantity' AS measure, l_quantity AS value FROM src
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM src
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "b01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
