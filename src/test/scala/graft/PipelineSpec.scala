@@ -62,6 +62,25 @@ class PipelineSpec extends SparkSpec {
     assert(counts.last == Pipeline.curate(spark, sf0001).count())
   }
 
+  test("seq_pack plan: exactly one pre-pack shuffle (on the stream key) " +
+    "and a map-side linear scan") {
+    val plan = Pipeline.seqPack(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // data path: repartition-by-source exchange, then MapPartitions; the
+    // only other exchange is the final presentation orderBy
+    assert(plan.contains("MapPartitions"))
+    assert("REPARTITION_BY_COL".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("tfidf plan: single corpus scan feeds tf (df is a window, not a " +
+    "second scan+explode)") {
+    val plan = Pipeline.tfidfTop(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // one explode generator total: the tf branch; the n_docs branch is a
+    // count-star-only scan and df comes from a window over tf
+    assert("Generate explode".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("incremental dedup: both drop paths fire (corpus hit and in-batch dup)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
