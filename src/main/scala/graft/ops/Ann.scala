@@ -30,12 +30,12 @@ import graft.functions.VectorExpressions
   * reports recall@K against the exact ops.Knn top-k as integer counts.
   */
 object Ann {
-  val C = 16 // coarse centroids
-  val P = 4  // probed lists per query
+  val C = 64 // coarse centroids
+  val P = 16 // probed lists per query
   val K = 10
   /** Fixed Lloyd's refinement rounds — fixed (not convergence-tested) so
     * the computation is a pure function of the data on every engine. */
-  val LloydIters = 3
+  val LloydIters = 4
   /** Centroid means are computed over floor(v·2^20) integer quanta:
     * multiplying by a power of two is exact in double, integer sums are
     * order-independent, and the single final division is one IEEE op —

@@ -20,7 +20,7 @@ class AnnSpec extends SparkSpec {
     val approx = Ann.ivfTopk(spark, sf0001)
       .select($"qid", $"cid").as[(Long, Long)].collect().toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
-    // P/C = 4/16 of the lists are probed; random pruning would give
+    // P/C = 16/64 of the lists are probed; random pruning would give
     // recall ≈ 0.25. The index must do substantially better.
     assert(recall >= 0.4, s"IVF recall $recall")
     info(s"IVF recall@10 = $recall (probing ${Ann.P}/${Ann.C} lists)")
