@@ -467,7 +467,8 @@ object TextOps {
         min(translate(col("source"), "src", "SRC")).as("min_translated"),
         max(reverse(col("lang"))).as("max_reversed"),
         min(expr("left(text, 5)")).as("min_left5"),
-        max(expr("right(source, 2)")).as("max_right2"))
+        max(expr("right(source, 2)")).as("max_right2"),
+        max(levenshtein(col("source"), col("lang"))).as("max_lev"))
       .orderBy(col("lang"))
 
   /** C7c: remaining array built-ins — sort, membership, position,
@@ -692,7 +693,8 @@ object TextOps {
         |  min(translate(source, 'src', 'SRC')) AS min_translated,
         |  max(reverse(lang)) AS max_reversed,
         |  min(left(text, 5)) AS min_left5,
-        |  max(right(source, 2)) AS max_right2
+        |  max(right(source, 2)) AS max_right2,
+        |  CAST(max(levenshtein(source, lang)) AS INTEGER) AS max_lev
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "c15_bigrams" ->
       """SELECT bigram, count(*) AS n FROM (
