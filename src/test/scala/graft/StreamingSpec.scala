@@ -79,6 +79,41 @@ class StreamingSpec extends SparkSpec {
     assert(written === expected)
   }
 
+  test("watermark drops late events: a row older than the watermark " +
+    "does not resurrect its closed window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val counts = input.toDF().toDF("sec", "key")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("wstart"), col("key"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("wm_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two on-time events in window [0,600); one far-future event
+      // at t=3600 pushes the watermark to 3000 and finalizes that window
+      input.addData((10L, "a"), (20L, "a"), (3600L, "b"))
+      q.processAllAvailable()
+      val afterClose = spark.table("wm_late")
+        .as[(Long, String, Long)].collect().toSet
+      assert(afterClose == Set((0L, "a", 2L)),
+        s"window [0,600) should emit exactly once: $afterClose")
+      // batch 2: a late event inside the closed window — must be dropped,
+      // not emitted as a new/updated row
+      input.addData((30L, "a"))
+      q.processAllAvailable()
+      val afterLate = spark.table("wm_late")
+        .as[(Long, String, Long)].collect().toSet
+      assert(afterLate == afterClose,
+        s"late event leaked into output: $afterLate")
+      assert(q.lastProgress.stateOperators(0).numRowsDroppedByWatermark
+        >= 1L, "expected the late row to be counted as dropped")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits one row per (user, event_type)") {
     Streams.runToMemory(Streams.dedup(spark, sf0001), "stream_dedup",
       OutputMode.Append())
