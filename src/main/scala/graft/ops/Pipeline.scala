@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** One packed document: its token count plus the training sequence
-  * (per-source ordinal) it was greedily packed into and the sequence's
-  * fill level after adding it. */
-case class PackedDoc(doc_id: Long, source: String, n_tokens: Long,
+  * (per-stream-key ordinal) it was greedily packed into and the
+  * sequence's fill level after adding it. */
+case class PackedDoc(doc_id: Long, skey: String, n_tokens: Long,
                      seq_id: Long, seq_fill: Long)
 
 /** Corpus-assembly operators — the steps that turn a deduped, scored
@@ -40,36 +40,70 @@ object Pipeline {
   /** Token budget per packed training sequence. */
   val PackBudget = 256L
 
-  /** c18: greedy sequence packing — walk each source's documents in
-    * doc_id order, appending to the current sequence while the token
-    * budget holds, else opening a new one (a doc longer than the budget
-    * gets a sequence of its own). The standard "pack short documents
-    * into fixed-length training rows" step; deterministic, so the
-    * DuckDB twin (a recursive CTE) reproduces it cell-for-cell. */
-  def seqPack(s: SparkSession, d: String): DataFrame = {
+  /** Greedy packing core over an arbitrary stream key: expects columns
+    * (doc_id, skey, n_tokens), walks each key's docs in doc_id order,
+    * appending to the current sequence while the token budget holds,
+    * else opening a new one (a doc longer than the budget gets a
+    * sequence of its own). One shuffle on the key, then a linear
+    * mapPartitions scan with O(1) state — the sort guarantees each key's
+    * docs arrive contiguously within its partition. */
+  private[graft] def packStream(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .repartition(col("source"))
-      .sortWithinPartitions(col("source"), col("doc_id"))
+    docs
+      .select(col("doc_id").cast("long"), col("skey"),
+        col("n_tokens").cast("long"))
+      .repartition(col("skey"))
+      .sortWithinPartitions(col("skey"), col("doc_id"))
       .as[(Long, String, Long)]
       .mapPartitions { it =>
-        // per-partition scan state; partitions hold whole sources, and
-        // the sort guarantees each source's docs arrive contiguously.
-        var curSource: String = null
+        var cur: String = null
         var fill = 0L
         var seq = 0L
-        it.map { case (id, src, n) =>
-          if (src != curSource) { curSource = src; fill = n; seq = 0L }
+        it.map { case (id, k, n) =>
+          if (k != cur) { cur = k; fill = n; seq = 0L }
           else if (fill + n <= PackBudget) fill += n
           else { seq += 1L; fill = n }
-          PackedDoc(id, src, n, seq, fill)
+          PackedDoc(id, k, n, seq, fill)
         }
       }
       .toDF()
-      .orderBy(col("doc_id"))
   }
+
+  /** c18: greedy sequence packing per source — the standard "pack short
+    * documents into fixed-length training rows" step; deterministic, so
+    * the DuckDB twin (a recursive CTE) reproduces it cell-for-cell. */
+  def seqPack(s: SparkSession, d: String): DataFrame =
+    packStream(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source").as("skey"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")))
+      .select(col("doc_id"), col("skey").as("source"), col("n_tokens"),
+        col("seq_id"), col("seq_fill"))
+      .orderBy(col("doc_id"))
+
+  /** Documents per salt chunk in the salted pack (c18b). */
+  val PackChunk = 125L
+
+  /** c18b: the skew-mitigation variant c18's scaladoc promises — the
+    * stream key is salted with a coarse doc_id range (`doc_id div 125`),
+    * so one giant source parallelizes across its chunks instead of
+    * serializing one task. The semantic trade is explicit and bounded:
+    * sequences never cross a chunk boundary (at most one extra
+    * under-filled sequence per chunk). Equally deterministic — the
+    * recursive-CTE oracle just adds `chunk` to the partition key. */
+  def seqPackSalted(s: SparkSession, d: String): DataFrame =
+    packStream(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("source"), lit(":"),
+            expr(s"doc_id div $PackChunk")).as("skey"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")))
+      .select(col("doc_id"),
+        substring_index(col("skey"), ":", 1).as("source"),
+        expr(s"doc_id div $PackChunk").as("chunk"),
+        col("n_tokens"), col("seq_id"), col("seq_fill"))
+      .orderBy(col("doc_id"))
 
   // ------------------------------------------------------- c19: curation
 
@@ -209,6 +243,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c18_seq_pack" -> (seqPack _),
+    "c18b_seq_pack_salted" -> (seqPackSalted _),
     "c19_curate" -> (curate _),
     "c19_curate_funnel" -> (curateFunnel _),
     "c20_tfidf_top" -> (tfidfTop _),
@@ -281,6 +316,29 @@ object Pipeline {
          |      THEN p.seq_id ELSE p.seq_id + 1 END
          |  FROM toks t JOIN pack p ON t.source = p.source AND t.rn = p.rn + 1)
          |SELECT doc_id, source, n_tokens,
+         |  CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(seq_fill AS BIGINT) AS seq_fill
+         |FROM pack ORDER BY doc_id""".stripMargin,
+    "c18b_seq_pack_salted" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, source, doc_id // $PackChunk AS chunk,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY source, doc_id // $PackChunk
+         |      ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |pack AS (
+         |  SELECT doc_id, source, chunk, n_tokens, rn,
+         |    n_tokens AS seq_fill, CAST(0 AS BIGINT) AS seq_id
+         |  FROM toks WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.doc_id, t.source, t.chunk, t.n_tokens, t.rn,
+         |    CASE WHEN p.seq_fill + t.n_tokens <= $PackBudget
+         |      THEN p.seq_fill + t.n_tokens ELSE t.n_tokens END,
+         |    CASE WHEN p.seq_fill + t.n_tokens <= $PackBudget
+         |      THEN p.seq_id ELSE p.seq_id + 1 END
+         |  FROM toks t JOIN pack p
+         |    ON t.source = p.source AND t.chunk = p.chunk AND t.rn = p.rn + 1)
+         |SELECT doc_id, source, CAST(chunk AS BIGINT) AS chunk, n_tokens,
          |  CAST(seq_id AS BIGINT) AS seq_id,
          |  CAST(seq_fill AS BIGINT) AS seq_fill
          |FROM pack ORDER BY doc_id""".stripMargin,

@@ -62,6 +62,49 @@ class PipelineSpec extends SparkSpec {
     assert(counts.last == Pipeline.curate(spark, sf0001).count())
   }
 
+  test("packStream invariants hold on adversarial synthetic input " +
+    "(giant stream, oversized docs, exact-budget fits, singletons)") {
+    import spark.implicits._
+    val rows =
+      (1L to 200L).map(i => (i, "big", if (i % 17 == 0) 1000L else i % 97 + 1)) ++
+        Seq((1000L, "single", 50L)) ++
+        Seq((2000L, "exact", Pipeline.PackBudget),
+          (2001L, "exact", Pipeline.PackBudget))
+    val out = Pipeline.packStream(rows.toDF("doc_id", "skey", "n_tokens"))
+      .collect()
+    assert(out.length == rows.length)
+    out.groupBy(_.getAs[String]("skey")).foreach { case (k, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      assert(sorted.head.getAs[Long]("seq_id") == 0L)
+      var fill = 0L; var seq = 0L
+      sorted.foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        if (r eq sorted.head) fill = n
+        else if (fill + n <= Pipeline.PackBudget) fill += n
+        else { seq += 1L; fill = n }
+        assert(r.getAs[Long]("seq_id") == seq, s"$k seq drift at $r")
+        assert(r.getAs[Long]("seq_fill") == fill, s"$k fill drift at $r")
+      }
+    }
+    // the exact-budget stream must produce two full, separate sequences
+    val exact = out.filter(_.getAs[String]("skey") == "exact")
+      .sortBy(_.getAs[Long]("doc_id"))
+    assert(exact.map(_.getAs[Long]("seq_id")).toSeq == Seq(0L, 1L))
+    assert(exact.forall(_.getAs[Long]("seq_fill") == Pipeline.PackBudget))
+  }
+
+  test("salted pack: sequences never cross a chunk boundary and chunks " +
+    "restart their numbering") {
+    val out = Pipeline.seqPackSalted(spark, sf0001).collect()
+    out.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("chunk")))
+      .foreach { case ((src, ch), rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+        assert(sorted.head.getAs[Long]("seq_id") == 0L, s"($src,$ch)")
+        assert(sorted.head.getAs[Long]("seq_fill")
+          == sorted.head.getAs[Long]("n_tokens"), s"($src,$ch)")
+      }
+  }
+
   test("seq_pack plan: exactly one pre-pack shuffle (on the stream key) " +
     "and a map-side linear scan") {
     val plan = Pipeline.seqPack(spark, sf0001)
