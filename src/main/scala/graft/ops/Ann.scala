@@ -41,7 +41,7 @@ object Ann {
     * order-independent, and the single final division is one IEEE op —
     * so the mean is bit-identical regardless of partitioning/engine
     * (a plain float/double sum would vary with summation order). */
-  private val Quant = 1L << 20
+  private[ops] val Quant = 1L << 20
 
   private[ops] def centroids(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).where(col("vec_id") < C)
@@ -158,6 +158,53 @@ object Ann {
   def ivfTopkTrained(s: SparkSession, d: String): DataFrame =
     ivfTopkFrom(s, d, trainedCentroids(s, d), trainedAssignments(s, d))
 
+  /** Per-label prototype centroids: the quantized elementwise mean of
+    * every vector carrying the label (same engine-exact arithmetic as
+    * `refineOnce`, keyed by label instead of cluster). One partial-agg'd
+    * shuffle of (label·dim) sums. */
+  private def labelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.repartitioned(Tables.embeddings(s, d), s)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * lit(Quant.toDouble)).cast("long"))
+        .as("sq"), count(lit(1)).as("n"))
+      .withColumn("mval",
+        (col("sq").cast("double") / (col("n") * lit(Quant)).cast("double"))
+          .cast("float"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mval")))).as("pm"))
+      .select(col("label").as("c_label"),
+        transform(col("pm"), x => x.getField("mval")).as("cent_vec"))
+
+  /** NCC: nearest-centroid (Rocchio/prototype) classification — the
+    * O(n·L) companion to O(n²) KNN: every vector goes to its nearest
+    * label prototype by cosine distance. The entire classifier is one
+    * broadcast of L centroid rows + a map-side argmin; at 100 TB this is
+    * the shape that classifies a corpus in a single scan. Deterministic
+    * (quantized means, label-asc tie-break) → fully oracled. */
+  def nccClassify(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist").asc, col("c_label").asc)
+    Tables.repartitioned(Tables.embeddings(s, d), s)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(labelCentroids(s, d)))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        VectorExpressions.cosine_distance(s, col("embedding"), col("cent_vec"))
+          .as("cdist"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("pred"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** NCC confusion matrix — how the one-scan prototype classifier
+    * confuses labels (compare with knn_confusion for the accuracy/cost
+    * trade between O(n·L) and O(n²)). */
+  def nccConfusion(s: SparkSession, d: String): DataFrame =
+    nccClassify(s, d)
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred"))
+
   /** Inverted-list census — list sizes per centroid (skew visibility). */
   def ivfStats(s: SparkSession, d: String): DataFrame =
     assignments(s, d).groupBy(col("cent_id"))
@@ -190,6 +237,8 @@ object Ann {
     "ann_ivf_stats" -> (ivfStats _),
     "ann_recall" -> (recallSeed _),
     "ann_recall_trained" -> (recallTrained _),
+    "ncc_classify" -> (nccClassify _),
+    "ncc_confusion" -> (nccConfusion _),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -284,7 +333,38 @@ object Ann {
     * count, exact order-independent arithmetic, total-order tie-breaks),
     * so all five carry full DuckDB oracles — including the Lloyd's-trained
     * index, whose quantized means are engine-exact by construction. */
+  /** DuckDB twin of [[labelCentroids]] + argmin assignment, leaving a
+    * `pred` CTE with (vec_id, label, pred). */
+  private val nccCtes: String =
+    s"""cm AS (
+       |  SELECT label, i AS pos,
+       |    CAST(CAST(sum(CAST(floor(
+       |        CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * $Quant)
+       |      AS BIGINT)) AS DOUBLE)
+       |      / CAST(count(*) * $Quant AS DOUBLE) AS REAL) AS mval
+       |  FROM (SELECT label, embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings) x
+       |  GROUP BY label, i),
+       |cents AS (
+       |  SELECT label AS c_label, list(mval ORDER BY pos) AS cent_vec
+       |  FROM cm GROUP BY label),
+       |pred AS (
+       |  SELECT vec_id, label, c_label AS pred FROM (
+       |    SELECT e.vec_id, e.label, c.c_label,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                     CAST(c.cent_vec AS DOUBLE[])) ASC,
+       |        c.c_label ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) z WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ncc_classify" ->
+      s"""WITH $nccCtes
+         |SELECT vec_id, label, pred FROM pred ORDER BY vec_id""".stripMargin,
+    "ncc_confusion" ->
+      s"""WITH $nccCtes
+         |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+         |FROM pred GROUP BY label, pred ORDER BY label, pred""".stripMargin,
     "ann_ivf_stats" ->
       s"""WITH $seedCentsCte,
          |${ivfCtes("cents0")}
