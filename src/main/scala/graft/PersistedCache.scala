@@ -34,15 +34,21 @@ final class PersistedCache {
   private def hook(s: SparkSession): Unit =
     if (hooked.putIfAbsent(s, ()).isEmpty) {
       s.sparkContext.addSparkListener(new SparkListener {
-        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
           evict(s)
+          // the application is over — this session can never build again,
+          // so dropping the marker here leaks nothing and releases the
+          // last strong reference to the (now dead) session
+          hooked.remove(s)
+        }
       })
     }
 
   /** Drop (and unpersist) every entry belonging to one session. The
-    * `hooked` marker is NOT dropped: the listener stays registered (it is
-    * idempotent), so repeated evict/build cycles on one session never
-    * stack up duplicate listeners. */
+    * `hooked` marker is NOT dropped for a LIVE session: the listener
+    * stays registered (it is idempotent), so repeated evict/build cycles
+    * never stack up duplicate listeners; the marker is released only in
+    * the application-end path above, where the session is dead. */
   def evict(s: SparkSession): Unit =
     map.keys.filter(_._1 eq s).foreach(k => map.remove(k).foreach(quietUnpersist))
 

@@ -95,22 +95,30 @@ object Ann {
           .as("cdist"))
       .withColumn("crn", row_number().over(w)).where(col("crn") === 1)
       .select(col("cent_id"), col("embedding"))
-    val means = assign
-      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("cent_id"), col("pos"))
+    val means = quantizedMeans(assign, "cent_id").withColumnRenamed("mean_vec", "new_vec")
+    cents.join(means, Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("new_vec"), col("cent_vec")).as("cent_vec"))
+  }
+
+  /** Per-key quantized elementwise mean of `embedding` (see `Quant` for
+    * why this is engine-exact) — the ONE definition of the mean
+    * arithmetic, shared by Lloyd's refinement and the NCC prototypes so
+    * the two families can never drift apart. Input: (keyCol, embedding);
+    * output: (keyCol, mean_vec). */
+  private def quantizedMeans(df: DataFrame, keyCol: String): DataFrame =
+    df
+      .select(col(keyCol), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col(keyCol), col("pos"))
       .agg(sum(floor(col("v").cast("double") * lit(Quant.toDouble)).cast("long"))
         .as("sq"), count(lit(1)).as("n"))
       .withColumn("mval",
         (col("sq").cast("double") / (col("n") * lit(Quant)).cast("double"))
           .cast("float"))
-      .groupBy(col("cent_id"))
+      .groupBy(col(keyCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("mval")))).as("pm"))
-      .select(col("cent_id"),
-        transform(col("pm"), x => x.getField("mval")).as("new_vec"))
-    cents.join(means, Seq("cent_id"), "left")
-      .select(col("cent_id"),
-        coalesce(col("new_vec"), col("cent_vec")).as("cent_vec"))
-  }
+      .select(col(keyCol),
+        transform(col("pm"), x => x.getField("mval")).as("mean_vec"))
 
   /** `LloydIters` rounds of deterministic Lloyd's from the seed pick. */
   def trainedCentroids(s: SparkSession, d: String): DataFrame =
@@ -163,18 +171,10 @@ object Ann {
     * `refineOnce`, keyed by label instead of cluster). One partial-agg'd
     * shuffle of (label·dim) sums. */
   private def labelCentroids(s: SparkSession, d: String): DataFrame =
-    Tables.repartitioned(Tables.embeddings(s, d), s)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(floor(col("v").cast("double") * lit(Quant.toDouble)).cast("long"))
-        .as("sq"), count(lit(1)).as("n"))
-      .withColumn("mval",
-        (col("sq").cast("double") / (col("n") * lit(Quant)).cast("double"))
-          .cast("float"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("mval")))).as("pm"))
-      .select(col("label").as("c_label"),
-        transform(col("pm"), x => x.getField("mval")).as("cent_vec"))
+    quantizedMeans(
+      Tables.repartitioned(Tables.embeddings(s, d), s)
+        .select(col("label"), col("embedding")), "label")
+      .select(col("label").as("c_label"), col("mean_vec").as("cent_vec"))
 
   /** NCC: nearest-centroid (Rocchio/prototype) classification — the
     * O(n·L) companion to O(n²) KNN: every vector goes to its nearest

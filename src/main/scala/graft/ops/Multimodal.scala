@@ -60,12 +60,17 @@ object Multimodal {
     * A real deployment replaces `parseHeader` with the codec call; the
     * mapPartitions mounting (per-partition decoder lifecycle) is the
     * production shape and is what this operator actually exercises. */
-  def decodeMeta(s: SparkSession, d: String): DataFrame = {
+  def decodeMeta(s: SparkSession, d: String): DataFrame =
+    decodePayloads(s, assets(s, d).select(col("asset_id"), col("payload")))
+
+  /** The ONE decode path — (asset_id, payload) → AssetMeta rows via a
+    * mapPartitions decoder (per-partition init, once, not per row) —
+    * shared by decodeMeta and resizeMeta so a header-format change can
+    * never leave one of them decoding stale offsets. */
+  private def decodePayloads(s: SparkSession, df: DataFrame): DataFrame = {
     import s.implicits._
-    assets(s, d).select(col("asset_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+    df.as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition "decoder" init happens here (once, not per row)
         rows.map { case (id, bytes) =>
           val (fmt, w, h, fps) = parseHeader(bytes)
           AssetMeta(id, fmt, w, h, fps, bytes.length - 8)
@@ -178,19 +183,9 @@ object Multimodal {
     * as m02. Value-checks the whole rewrite: new dimensions land in the
     * header, fps survives, and the body shrinks to the documented
     * max(1, n/2) prefix. */
-  def resizeMeta(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    resize(s, d, 320, 240)
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
-          val (fmt, w, h, fps) = parseHeader(bytes)
-          AssetMeta(id, fmt, w, h, fps, bytes.length - 8)
-        }
-      }
-      .toDF()
+  def resizeMeta(s: SparkSession, d: String): DataFrame =
+    decodePayloads(s, resize(s, d, 320, 240))
       .orderBy(col("asset_id"))
-  }
 
   /** Declared metadata query — the oracle-checkable slice of the binary
     * pipeline (byte lengths and header-derived fields are pure SQL on

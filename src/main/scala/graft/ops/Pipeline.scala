@@ -100,7 +100,10 @@ object Pipeline {
             expr(s"doc_id div $PackChunk")).as("skey"),
           size(split(col("text"), " ")).cast("long").as("n_tokens")))
       .select(col("doc_id"),
-        substring_index(col("skey"), ":", 1).as("source"),
+        // strip the ":<chunk>" suffix by length, not by first-colon
+        // search — robust even if a source value ever contains a colon
+        expr(s"substring(skey, 1, length(skey) - length(CAST(doc_id div $PackChunk AS STRING)) - 1)")
+          .as("source"),
         expr(s"doc_id div $PackChunk").as("chunk"),
         col("n_tokens"), col("seq_id"), col("seq_fill"))
       .orderBy(col("doc_id"))

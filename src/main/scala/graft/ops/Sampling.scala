@@ -36,26 +36,29 @@ object Sampling {
     pmod(HashExpressions.fnv1a64(s,
       concat(lit(salt), col("doc_id").cast("string"))), lit(mod.toLong))
 
-  /** 80/10/10 train/val/test assignment for every document. */
-  def splitAssign(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("bucket", hashBucket(s, "", 100).cast("int"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
-      .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
-      .orderBy(col("doc_id"))
-
-  /** Balance check over the split — the query a pipeline runs to confirm
-    * the carve is ~80/10/10 and every language appears in every split. */
-  def splitStats(s: SparkSession, d: String): DataFrame =
+  /** The ONE definition of the 80/10/10 carve (salt, modulus, and
+    * cut-points), shared by s01 and s02 so retuning the ratios can never
+    * leave the assignment and its balance check describing different
+    * splits. */
+  private def withSplit(s: SparkSession, d: String) =
     Tables.documents(s, d)
       .withColumn("bucket", hashBucket(s, "", 100))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
+
+  /** 80/10/10 train/val/test assignment for every document. */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    withSplit(s, d)
+      .select(col("doc_id"), col("lang"),
+        col("bucket").cast("int").as("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** Balance check over the split — the query a pipeline runs to confirm
+    * the carve is ~80/10/10 and every language appears in every split. */
+  def splitStats(s: SparkSession, d: String): DataFrame =
+    withSplit(s, d)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars_sum"),
