@@ -250,7 +250,8 @@ object Relational {
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("prank"))
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
       .orderBy(col("s_nationkey"), col("s_suppkey"))
   }
 
@@ -690,7 +691,8 @@ object Relational {
         |  rank() OVER w AS rnk,
         |  dense_rank() OVER w AS drnk,
         |  ntile(4) OVER w AS quartile,
-        |  round(percent_rank() OVER w, 6) AS prank
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
         |ORDER BY s_nationkey, s_suppkey""".stripMargin,

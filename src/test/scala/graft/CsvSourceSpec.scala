@@ -13,6 +13,21 @@ class CsvSourceSpec extends SparkSpec {
 
   private val csvDir = "target/test-csv/embeddings"
 
+  test("schema evolution: mergeSchema unions parquet parts written with " +
+    "old and new schemas, nulling the missing column") {
+    val dir = "target/test-merge/docs"
+    val old = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val neu = Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+    old.write.mode("overwrite").parquet(s"$dir/part=old")
+    neu.write.mode("overwrite").parquet(s"$dir/part=new")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang", "part"))
+    val rows = merged.select("doc_id", "lang").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(rows.toSeq == Seq((1L, None), (2L, Some("en"))),
+      "old-schema rows must surface the evolved column as null")
+  }
+
   test("CSV point-set source parses to the identical labeled point set") {
     val parquet = Tables.embeddings(spark, sf0001)
     parquet
