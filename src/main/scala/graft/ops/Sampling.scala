@@ -95,7 +95,30 @@ object Sampling {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Curriculum bucketing: ntile(10) over the global (n_chars, doc_id)
+    * order — equal-population length deciles with per-bucket stats, the
+    * "sort examples easy→hard, batch by difficulty" prep step. ntile's
+    * distribution rule (first n mod b tiles get the extra row) is SQL
+    * standard and identical in both engines; the doc_id tie-break makes
+    * the decile edges exact. Scale: a global ntile means a global sort —
+    * on a cluster this becomes a range-partitioned sort (Spark's orderBy
+    * already range-partitions), after which tile assignment is per-
+    * partition arithmetic; the declared output is the 10-row census, so
+    * nothing but group stats ever collects. */
+  def curriculumBuckets(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s05_curriculum_buckets" -> (curriculumBuckets _),
     "s01_split_assign" -> (splitAssign _),
     "s02_split_stats" -> (splitStats _),
     "s03_stratified_sample" -> (stratifiedSample _),
@@ -121,6 +144,15 @@ object Sampling {
     "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
 
   val oracles: Map[String, String] = Map(
+    "s05_curriculum_buckets" ->
+      """WITH t AS (
+        |  SELECT n_chars,
+        |    ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS decile
+        |  FROM documents)
+        |SELECT decile, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
     "s01_split_assign" ->
       s"""WITH ${hashedDocs("", 100)}
          |SELECT doc_id, lang, CAST(bucket AS INTEGER) AS bucket,

@@ -489,7 +489,66 @@ object TextOps {
           .as("n_flat6"))
       .orderBy(col("doc_id"))
 
+  /** C22: fuzzy (edit-distance) near-dup join — pairs whose document
+    * lengths differ by ≤ LevLenWindow chars AND whose 80-char prefixes are
+    * within LevTau edits. Candidate generation is a LENGTH-BAND equi-join:
+    * each doc lands in bucket n_chars div (LevLenWindow+1), the probe side
+    * fans out to the ±1 neighbor buckets, so any qualifying pair shares a
+    * bucket key (|Δlen| ≤ window ⇒ bucket ids differ by ≤ 1) — a hash
+    * shuffle on ~len/41 buckets, never a global O(n²) scan. The exact
+    * levenshtein re-check runs once per candidate behind an aggregation
+    * barrier (same pattern as c02: without it Catalyst re-evaluates the
+    * O(80²) DP at every expression reference). Corpus-measured: the band
+    * join admits 16% of all pairs, and edit distance separates cleanly
+    * (25 pairs ≤ 8 edits, none between 9 and 20). */
+  val LevTau = 8
+  val LevLenWindow = 40
+  def fuzzyNearDup(s: SparkSession, d: String): DataFrame = {
+    val bw = LevLenWindow + 1
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), expr("left(text, 80)").as("prefix"))
+    val probe = docs
+      .withColumn("cb", explode(array(
+        (col("n_chars") / bw).cast("long") - 1,
+        (col("n_chars") / bw).cast("long"),
+        (col("n_chars") / bw).cast("long") + 1)))
+      .select(col("doc_id").as("a_id"), col("n_chars").as("a_len"),
+        col("prefix").as("a_prefix"), col("cb"))
+    val build = docs
+      .select(col("doc_id").as("b_id"), col("n_chars").as("b_len"),
+        col("prefix").as("b_prefix"),
+        (col("n_chars") / bw).cast("long").as("b_band"))
+    probe.join(build,
+        col("cb") === col("b_band") && col("a_id") < col("b_id") &&
+          abs(col("a_len") - col("b_len")) <= LevLenWindow)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(levenshtein(col("a_prefix"), col("b_prefix"))).as("lev"))
+      .where(col("lev") <= LevTau)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** C23: document chunking — fixed-size character windows (ChunkSize)
+    * with overlap (stride ChunkStride < ChunkSize), the standard
+    * pretraining/RAG segmentation op. Pure map-side row explosion
+    * (Generate): no shuffle at any scale; chunk identity is checked via
+    * md5 so the declared output stays narrow while still value-checking
+    * every chunk byte. */
+  val ChunkSize = 200
+  val ChunkStride = 150
+  def chunkDocuments(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(sequence(lit(1L), greatest(length(col("text")), lit(1)).cast("long"),
+          lit(ChunkStride.toLong))).as(Seq("chunk_no", "start")),
+        col("text"))
+      .select(col("doc_id"), col("chunk_no"), col("start"),
+        length(expr(s"substr(text, CAST(start AS INT), $ChunkSize)")).as("chunk_len"),
+        md5(expr(s"substr(text, CAST(start AS INT), $ChunkSize)")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c22_fuzzy_neardup" -> (fuzzyNearDup _),
+    "c23_chunking" -> (chunkDocuments _),
     "c16_array_ops2" -> (arrayOps2 _),
     "e03_string_kitchen" -> (stringKitchen _),
     "c15_bigrams" -> (bigramStats _),
@@ -651,6 +710,30 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // the all-pairs form the length-band join provably equals (the band
+    // fan-out only restricts the |Δlen| ≤ window predicate, stated here
+    // directly; levenshtein is integer DP — exact on both engines)
+    "c22_fuzzy_neardup" ->
+      s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(levenshtein(left(a.text, 80), left(b.text, 80)) AS INTEGER) AS lev
+         |FROM documents a JOIN documents b
+         |  ON a.doc_id < b.doc_id
+         | AND abs(a.n_chars - b.n_chars) <= $LevLenWindow
+         |WHERE levenshtein(left(a.text, 80), left(b.text, 80)) <= $LevTau
+         |ORDER BY a_id, b_id""".stripMargin,
+    "c23_chunking" ->
+      s"""SELECT doc_id, chunk_no, start,
+         |  length(substr(text, CAST(start AS INTEGER), $ChunkSize)) AS chunk_len,
+         |  md5(substr(text, CAST(start AS INTEGER), $ChunkSize)) AS chunk_md5
+         |FROM (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(1, CAST(greatest(length(text), 1) AS BIGINT),
+         |                           $ChunkStride)) AS start,
+         |    generate_subscripts(generate_series(1,
+         |      CAST(greatest(length(text), 1) AS BIGINT), $ChunkStride), 1) - 1
+         |      AS chunk_no
+         |  FROM documents)
+         |ORDER BY doc_id, chunk_no""".stripMargin,
     "c08_fingerprint" -> winnowOracle,
     "c10_minhash_lsh" -> minhashLshOracle,
     "c11_simhash" -> simhashOracle,

@@ -51,6 +51,25 @@ class EventsSpec extends SparkSpec {
     assert(windows === 4)
   }
 
+  test("interval join bucket decomposition equals the direct range join") {
+    val q = graft.ops.EventOps.intervalJoin(spark, sf0001)
+    // the decomposition's point: candidates come from an equi-join on
+    // (type, bucket), never a cartesian per-type expansion
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val e = Tables.events(spark, sf0001)
+      .select($"event_id", $"event_type", expr("ts_ns div 1000000000").as("sec"))
+    val ref = e.toDF("a_id", "a_type", "a_sec")
+      .join(e.toDF("b_id", "b_type", "b_sec"),
+        $"a_type" === $"b_type" && $"b_sec" >= $"a_sec" - 60 &&
+          $"b_sec" <= $"a_sec" && $"b_id" =!= $"a_id", "left")
+      .groupBy($"a_id".as("event_id"), $"a_type".as("event_type"))
+      .agg(count($"b_id").as("n_near"))
+      .orderBy($"event_id")
+    assert(q.collect().toSeq === ref.collect().toSeq)
+  }
+
   test("salted two-phase aggregation equals direct aggregation on skewed keys") {
     // skew pattern: one dominant key; salt splits it across partitions,
     // phase 1 aggregates (key, salt), phase 2 merges per key.

@@ -70,6 +70,44 @@ class TextSpec extends SparkSpec {
     assert(q.where(col("jaccard") < graft.ops.TextOps.ShingleTau).count() === 0)
   }
 
+  test("fuzzy near-dup length-band join equals the all-pairs form") {
+    import org.apache.spark.sql.functions._
+    val q = graft.ops.TextOps.fuzzyNearDup(spark, sf0001)
+    // the banded join must stay an equi-join on the bucket key
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // all-pairs reference (sound AND complete twin of the band join)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars"), expr("left(text, 80)").as("p"))
+    val ref = docs.toDF("a_id", "a_len", "a_p")
+      .crossJoin(docs.toDF("b_id", "b_len", "b_p"))
+      .where(col("a_id") < col("b_id") &&
+        abs(col("a_len") - col("b_len")) <= graft.ops.TextOps.LevLenWindow &&
+        levenshtein(col("a_p"), col("b_p")) <= graft.ops.TextOps.LevTau)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_p"), col("b_p")).as("lev"))
+      .orderBy(col("a_id"), col("b_id"))
+    assert(q.collect().toSeq === ref.collect().toSeq)
+  }
+
+  test("chunking covers every text byte with the declared size/stride") {
+    import org.apache.spark.sql.functions._
+    val q = graft.ops.TextOps.chunkDocuments(spark, sf0001)
+    val n = Tables.documents(spark, sf0001).count()
+    // per doc: starts 1, 151, … ≤ len — so chunk_no 0 exists for every doc
+    assert(q.where(col("chunk_no") === 0).count() === n)
+    // start positions follow the stride exactly...
+    assert(q.where(col("start") =!=
+      col("chunk_no") * graft.ops.TextOps.ChunkStride + 1).count() === 0)
+    // ...and every chunk is exactly min(size, remaining-bytes) long
+    val withLen = q.join(
+      Tables.documents(spark, sf0001).select(col("doc_id"), length(col("text")).as("len")),
+      "doc_id")
+    assert(withLen.where(col("chunk_len") =!=
+      least(lit(graft.ops.TextOps.ChunkSize), col("len") - col("start") + 1))
+      .count() === 0)
+  }
+
   test("declared text queries with oracles are consistent sets") {
     // Round 3: the sketch paths (c10 MinHash-LSH, c11 SimHash) carry
     // exact FNV-in-HUGEINT oracles too — every text query is oracled.
