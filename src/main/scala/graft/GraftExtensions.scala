@@ -53,5 +53,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("fnv1a64", "fnv1a64(s) - unseeded FNV-1a of the UTF-8 bytes of s, as signed int64"),
       (exprs: Seq[Expression]) => functions.Fnv1a64Expr(exprs(0))))
     ext.injectOptimizerRule(_ => plans.SelfDistanceElimination)
+    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
   }
 }

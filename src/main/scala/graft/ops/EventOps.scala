@@ -270,7 +270,29 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** D6c: the as-of join through the NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]] via the injected planner strategy) —
+    * the third formulation of the same semantics. d06 composes a range
+    * join + max-aggregate, d06b a union + window; this one runs the
+    * co-partitioned sorted merge directly: one shuffle per side, one
+    * O(n+m) pass, constant state. Same aggregate shape and the SAME
+    * oracle as the other two — three plans, one provable answer. */
+  def asofNative(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"))
+    org.apache.spark.sql.graft.AsOfDataFrame
+      .asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate")
+      .groupBy(col("event_type"))
+      .agg(count(col("o_orderdate")).as("n_matched"),
+        count(lit(1)).as("n_events"),
+        sum(datediff(col("ts"), col("o_orderdate"))).as("sum_days_since"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_asof_native" -> (asofNative _),
     "d11_interval_join" -> (intervalJoin _),
     "d10_gap_fill" -> (gapFill _),
     "d09_pivot" -> (pivotCounts _),
@@ -298,6 +320,9 @@ object EventOps {
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical semantics to d06/d06b — the physical operator changed,
+    // the answer must not
+    "d12_asof_native" -> asofOracle,
     // the plain range-join form the bucketed equi-join provably equals
     "d11_interval_join" ->
       """WITH e AS (

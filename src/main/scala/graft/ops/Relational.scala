@@ -550,7 +550,26 @@ object Relational {
       .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
   }
 
+  /** B23: ordered string aggregation (listagg/group_concat) — the
+    * collect-and-join aggregate family. Determinism: collect_list order
+    * is partition-dependent, so the list is ALWAYS array_sort'ed before
+    * joining (and the oracle uses ORDER BY inside the aggregate) — the
+    * only portable contract for string aggregation on a distributed
+    * engine. The full concat stays bounded (≤ customers-per-nation
+    * names); at 100 TB one would cap with slice() exactly as top3 does. */
+  def stringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .where(col("c_custkey") <= 200)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        array_join(array_sort(collect_list(col("c_name"))), ",").as("names_csv"),
+        array_join(slice(array_sort(collect_list(col("c_name"))), 1, 3), ",")
+          .as("top3_names"))
+      .orderBy(col("n_name"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b23_string_agg" -> (stringAgg _),
     "b21_percentile_disc" -> (percentileDisc _),
     "b22_exists_correlated" -> (existsCorrelated _),
     "b16b_range_frame" -> (rangeFrame _),
@@ -587,6 +606,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "b23_string_agg" ->
+      """SELECT n_name, count(*) AS n_customers,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names_csv,
+        |  array_to_string((list(c_name ORDER BY c_name))[1:3], ',') AS top3_names
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey <= 200
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "b21_percentile_disc" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_totalprice,

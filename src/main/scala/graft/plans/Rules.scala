@@ -29,11 +29,17 @@ object SelfDistanceElimination extends Rule[LogicalPlan] {
 }
 
 object Rules {
-  /** Idempotently install the graft optimizer rules on a session. */
+  /** Idempotently install the graft optimizer rules and planner
+    * strategies on a session (the runtime twin of GraftExtensions, for
+    * sessions the caller does not construct — Verify/Bench). */
   def install(spark: SparkSession): Unit = {
     val existing = spark.experimental.extraOptimizations
     if (!existing.contains(SelfDistanceElimination)) {
       spark.experimental.extraOptimizations = existing :+ SelfDistanceElimination
+    }
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies = strategies :+ AsOfJoinStrategy
     }
   }
 }
