@@ -40,6 +40,13 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  // The merge loop compares raw internal values (days-int vs micros-long
+  // would silently "work"), so mismatched sides must fail at plan
+  // construction, not return garbage. Callers insert casts upstream.
+  require(leftKey.dataType == rightKey.dataType,
+    s"asof join: key types differ (${leftKey.dataType} vs ${rightKey.dataType})")
+  require(leftTime.dataType == rightTime.dataType,
+    s"asof join: time types differ (${leftTime.dataType} vs ${rightTime.dataType})")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(

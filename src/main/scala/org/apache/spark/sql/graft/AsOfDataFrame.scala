@@ -27,10 +27,19 @@ object AsOfDataFrame {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
     graft.plans.Rules.install(left.sparkSession)
+    // Resolve like Spark would (case-insensitive under the default
+    // resolver) and refuse ambiguity instead of silently taking the
+    // first of several same-named attributes.
+    val resolver = left.sparkSession.sessionState.analyzer.resolver
     def attr(df: DataFrame, name: String) =
-      df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"asofJoin: no column '$name' in [${df.columns.mkString(", ")}]"))
+      df.queryExecution.analyzed.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"asofJoin: no column '$name' in [${df.columns.mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"asofJoin: ambiguous column '$name' matches " +
+            s"[${many.map(_.name).mkString(", ")}]")
+      }
     val plan = AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       attr(left, leftKey), attr(right, rightKey),
