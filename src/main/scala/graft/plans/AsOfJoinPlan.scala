@@ -42,10 +42,15 @@ case class AsOfJoinPlan(
     leftTime: Expression, rightTime: Expression) extends BinaryNode {
   // The merge loop compares raw internal values (days-int vs micros-long
   // would silently "work"), so mismatched sides must fail at plan
-  // construction, not return garbage. Callers insert casts upstream.
-  require(leftKey.dataType == rightKey.dataType,
+  // construction, not return garbage. AsOfDataFrame widens coercible
+  // sides with explicit Casts before building this node; sameType (not
+  // ==) so nested types differing only in nullability/field-name case —
+  // which one physical ordering can legally compare — are accepted.
+  require(org.apache.spark.sql.types.DataType.equalsStructurally(
+      leftKey.dataType, rightKey.dataType, ignoreNullability = true),
     s"asof join: key types differ (${leftKey.dataType} vs ${rightKey.dataType})")
-  require(leftTime.dataType == rightTime.dataType,
+  require(org.apache.spark.sql.types.DataType.equalsStructurally(
+      leftTime.dataType, rightTime.dataType, ignoreNullability = true),
     s"asof join: time types differ (${leftTime.dataType} vs ${rightTime.dataType})")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))

@@ -1,6 +1,8 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.classic
 
 import graft.plans.AsOfJoinPlan
@@ -40,10 +42,25 @@ object AsOfDataFrame {
           s"asofJoin: ambiguous column '$name' matches " +
             s"[${many.map(_.name).mkString(", ")}]")
       }
+    // Mirror what the analyzer does for built-in joins: sides whose
+    // types differ but are coercible (date vs timestamp, int vs long)
+    // are widened with explicit Casts; truly incompatible pairs fail
+    // here with a named error instead of the plan's require.
+    def widen(l: Expression, r: Expression, what: String): (Expression, Expression) =
+      if (l.dataType.sameType(r.dataType)) (l, r)
+      else TypeCoercion.findWiderTypeForTwo(l.dataType, r.dataType) match {
+        case Some(t) =>
+          (if (l.dataType.sameType(t)) l else Cast(l, t),
+            if (r.dataType.sameType(t)) r else Cast(r, t))
+        case None => throw new IllegalArgumentException(
+          s"asofJoin: incompatible $what types " +
+            s"(${l.dataType.catalogString} vs ${r.dataType.catalogString})")
+      }
+    val (lk, rk) = widen(attr(left, leftKey), attr(right, rightKey), "key")
+    val (lt, rt) = widen(attr(left, leftTime), attr(right, rightTime), "time")
     val plan = AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
-      attr(left, leftKey), attr(right, rightKey),
-      attr(left, leftTime), attr(right, rightTime))
+      lk, rk, lt, rt)
     classic.Dataset.ofRows(
       left.sparkSession.asInstanceOf[classic.SparkSession], plan)
   }

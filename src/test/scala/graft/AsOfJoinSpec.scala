@@ -47,6 +47,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === Seq(("a", Some("r5")), ("nullkey", None), ("nulltime", None)))
   }
 
+  test("coercible type mismatches widen with explicit casts (int key vs long, date time vs timestamp)") {
+    // int32 key + date time on the left, int64 key + timestamp time on
+    // the right: the analyzer-style widening in AsOfDataFrame must cast
+    // (int→long, date→timestamp) instead of failing the plan's require.
+    val l = Seq((1, "2024-01-02", "a"), (1, "2024-01-05", "b"), (2, "2024-01-02", "c"))
+      .toDF("k0", "d", "tag")
+      .select($"k0".as("k"), to_date($"d").as("t"), $"tag")
+    val r = Seq((1L, "2024-01-01 12:00:00", "r1"), (1L, "2024-01-04 00:00:00", "r4"))
+      .toDF("rk", "ts", "rtag")
+      .select($"rk", to_timestamp($"ts").as("rt"), $"rtag")
+    val out = asof(l, r).select($"tag", $"rtag").orderBy($"tag")
+      .as[(String, Option[String])].collect()
+    // date 2024-01-02 casts to midnight, so r1 (noon 01-01) precedes it;
+    // 2024-01-05 midnight sees r4; key 2 never matches
+    assert(out === Seq(("a", Some("r1")), ("b", Some("r4")), ("c", None)))
+  }
+
+  test("incompatible types fail with a named error") {
+    val l = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val r = Seq((Array(1L), 5L, "r")).toDF("rk", "rt", "rtag")
+    val e = intercept[IllegalArgumentException](asof(l, r).collect())
+    assert(e.getMessage.contains("incompatible key types"), e.getMessage)
+  }
+
   test("plan: AsOfJoinExec with exchange + sort inserted per side") {
     val plan = asof(left, right).queryExecution.executedPlan.toString
     assert(plan.contains("AsOfJoin"), plan)
