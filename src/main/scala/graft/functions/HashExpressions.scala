@@ -65,14 +65,66 @@ case class Fnv1a64Expr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** MurmurHash3's 64-bit finalizer (xor-shift / multiply avalanche) over a
+  * signed BIGINT. FNV-1a alone is measurably non-uniform on short keys
+  * (128-minimum-values over the hashes of "1".."2000" lands 2× off the
+  * uniform expectation), which biases any order-statistic sketch; this
+  * finalizer restores full avalanche so the KMV estimator (b09b) meets
+  * its 1/√k error bound. Reproduced in DuckDB HUGEINT mod-2^64 arithmetic
+  * (`Relational.mixFold`) with split-constant multiplication, so the
+  * consumer queries stay exactly oracle-checkable.
+  */
+case class Mix64Expr(child: Expression) extends UnaryExpression
+    with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mix64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mix64 requires a bigint argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    var h = input.asInstanceOf[Long]
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+    h ^= (h >>> 33)
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val h = ctx.freshName("h")
+      s"""
+         |long $h = $c;
+         |$h ^= ($h >>> 33); $h *= 0xff51afd7ed558ccdL;
+         |$h ^= ($h >>> 33); $h *= 0xc4ceb9fe1a85ec53L;
+         |$h ^= ($h >>> 33);
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
-  /** Register the SQL name (idempotent; safe to call per-query). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register the SQL names (idempotent; safe to call per-query). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fnv1a64", exprs => Fnv1a64Expr(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mix64", exprs => Mix64Expr(exprs(0)), "scala_udf")
+  }
 
   def fnv1a64(spark: org.apache.spark.sql.SparkSession, s: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("fnv1a64", s)
+  }
+
+  def mix64(spark: org.apache.spark.sql.SparkSession, h: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("mix64", h)
   }
 }

@@ -177,6 +177,42 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Sketch size for the KMV distinct estimator (b09b). */
+  private[ops] val KmvK = 128
+
+  /** B9b: approximate distinct WITH an exact oracle — the k-minimum-values
+    * sketch over the engine's own fnv1a64 hash ([[graft.functions.KmvAgg]]).
+    * Unlike HLL (b09) the whole computation is a pure function of the
+    * data: the k-th smallest distinct hash per group is order- and
+    * partitioning-independent, and the estimate `(k−1)/(f·2⁻⁶⁴ + 0.5)`
+    * is three IEEE ops from the same signed integer on both engines, so
+    * DuckDB reproduces it bit-for-bit (HUGEINT fnv fold + the identical
+    * division). The exact count rides along for error visibility.
+    *
+    * Scale: one aggregation pass, ≤ k longs of state per group partially
+    * aggregated map-side — the affordable distinct at 100 TB, now with a
+    * cross-engine-checkable answer. Groups with < k distinct values
+    * yield NULL (the sketch cannot fill); consumers fall back to the
+    * exact count that is already in the row. */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    // fnv alone is non-uniform on short numeric keys (2× KMV bias
+    // measured on 2k keys); the murmur finalizer restores avalanche
+    val h = graft.functions.HashExpressions.mix64(s,
+      graft.functions.HashExpressions.fnv1a64(
+        s, col("l_partkey").cast("string")))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).cast("long").as("n_exact"),
+        graft.functions.KmvAgg.kmv_kth(s, h, KmvK).as("f"))
+      .select(col("l_returnflag"), col("n_exact"),
+        round(lit((KmvK - 1).toDouble) /
+          (col("f").cast("double") * lit(math.pow(2, -64)) + lit(0.5)), 6)
+          .as("kmv_est"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** B10: rollup with grouping-null coalescing (region → nation → total). */
   def rollupAgg(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -585,6 +621,7 @@ object Relational {
     "b08_distinct" -> (distinctAgg _),
     "b08_dropdup" -> (dropDup _),
     "b09_approx_distinct" -> (approxDistinct _),
+    "b09b_kmv_distinct" -> (kmvDistinct _),
     "b10_rollup" -> (rollupAgg _),
     "b10_cube" -> (cubeAgg _),
     "b10_grouping_sets" -> (groupingSets _),
@@ -732,6 +769,36 @@ object Relational {
     "b08_dropdup" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the KMV twin of the engine aggregate: same fnv1a64 (HUGEINT fold),
+    // rank distinct hashes in unsigned order, take the k-th, and apply
+    // the identical 3-op estimate from the identical signed integer
+    "b09b_kmv_distinct" ->
+      s"""WITH dv AS (
+         |  SELECT DISTINCT l_returnflag, CAST(l_partkey AS VARCHAR) AS t
+         |  FROM lineitem),
+         |hv AS (SELECT l_returnflag,
+         |         ${TextOps.mix64Fold(s"(${TextOps.fnvFold(TextOps.FnvOffU)})")}
+         |           AS u
+         |       FROM dv),
+         |du AS (SELECT DISTINCT l_returnflag, u FROM hv),
+         |rk AS (
+         |  SELECT l_returnflag, u,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY u) AS rn
+         |  FROM du),
+         |kth AS (
+         |  -- the aggregate returns the SIGN-FLIPPED k-th hash, u − 2^63
+         |  -- (not the signed reinterpretation u − 2^64): always in BIGINT
+         |  SELECT l_returnflag, CAST(u - ${TextOps.H63} AS BIGINT) AS f
+         |  FROM rk WHERE rn = $KmvK),
+         |ex AS (
+         |  SELECT l_returnflag,
+         |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT ex.l_returnflag, ex.n_exact,
+         |  round(CAST(${KmvK - 1} AS DOUBLE) /
+         |    (CAST(f AS DOUBLE) * power(2.0, -64) + 0.5), 6) AS kmv_est
+         |FROM ex LEFT JOIN kth USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
     "b10_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         |  count(*) AS n_customers,

@@ -613,6 +613,25 @@ object TextOps {
   private[ops] def toUnsigned(x: String) =
     s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $M64 ELSE CAST($x AS HUGEINT) END)"
 
+  /** MurmurHash3 64-bit finalizer over an unsigned HUGEINT (the DuckDB
+    * twin of [[graft.functions.Mix64Expr]]). The two 64-bit multiply
+    * constants would overflow HUGEINT (2^64·2^64 > 2^127), so each
+    * multiply is split at 32 bits: x·c mod 2^64 =
+    * x·c_lo + ((x mod 2^32)·c_hi mod 2^32)·2^32 (every intermediate
+    * < 2^97). Xor-shifts run on the signed BIGINT reinterpretation
+    * (bit-identical, as with the band folds above); u >> 33 is
+    * `u // 2^33`, always < 2^31 so its signed form is itself.
+    * Verified value-identical to the JVM finalizer on 2k keys. */
+  private[ops] def mix64Fold(u: String): String = {
+    def xs33(x: String) = toUnsigned(
+      s"xor(${toSigned(x)}, CAST(($x) // 8589934592 AS BIGINT))")
+    def mulmod(x: String, cHi: Long, cLo: Long) =
+      s"((($x) * $cLo + ((($x) % 4294967296) * $cHi % 4294967296) " +
+        s"* 4294967296) % $M64)"
+    xs33(mulmod(xs33(mulmod(xs33(u), 0xff51afd7L, 0xed558ccdL)),
+      0xc4ceb9feL, 0x1a85ec53L))
+  }
+
   /** fold fnv1a over the UTF-8 bytes of token column `t` (ASCII fixtures
     * — asserted by AsciiFixtureSpec) from unsigned HUGEINT init `init`. */
   private[ops] def fnvFold(init: String) =
