@@ -550,6 +550,63 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** B25: MERGE/upsert as a batch operator — the daily-maintenance shape
+    * every warehouse needs: a delta of changed+new rows folds into a base
+    * table, each output row tagged with the action the merge took
+    * (update / insert / keep). Built as ONE full-outer join on the key
+    * with presence flags; at 100 TB the base side is bucketed by key so
+    * only the delta shuffles, and the classify/coalesce step is a
+    * map-side projection. Base and delta are carved deterministically
+    * from `orders` (key mod filters; updated rows get price + 10.00 — a
+    * single exact IEEE add on both engines), and the declared output is
+    * bounded to keys ≤ 4000. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).where(col("o_orderkey") <= 4000)
+    val base = o.where(col("o_orderkey") % 4 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), lit(1).as("in_b"))
+    val delta = o.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(10.0)).as("upd_price"), lit(1).as("in_d"))
+    base.join(delta, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        when(col("in_b").isNotNull && col("in_d").isNotNull, "update")
+          .when(col("in_b").isNull, "insert")
+          .otherwise("keep").as("action"),
+        coalesce(col("upd_price"), col("o_totalprice")).as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** B24: simple linear regression per group — slope, intercept, R² of
+    * extendedprice on quantity. Same exact-moment technique as b07_corr
+    * (integral-double sums for x, lossless DECIMAL sums for y — all
+    * order-independent), then a FIXED sequence of IEEE double ops shared
+    * verbatim with the oracle: parity comes from both engines executing
+    * the identical arithmetic on the identical exact moments, not from
+    * rounding away the difference. Native regr_slope/regr_r2 exist in
+    * both engines but accumulate running double means (order-dependent,
+    * engine-specific) — unusable for hash comparison; this formulation
+    * is also the scale shape (one partial-agg'd shuffle of 6 numbers per
+    * group). */
+  def regression(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sx"), // integral doubles: exact
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)").as("sy"),
+        sum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)").as("syy"),
+        expr("CAST(sum(CAST(l_quantity AS DECIMAL(4,1)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)").as("sxy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("denx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("num") / col("denx"), 6).as("slope"),
+        round(col("sy") / col("n") - col("num") / col("denx") * (col("sx") / col("n")), 6)
+          .as("intercept"),
+        round(col("num") * col("num") / (col("denx") * col("deny")), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+
   /** B22: correlated EXISTS with a non-equi inner predicate, through the
     * SQL front end — suppliers out-banked by a same-nation customer.
     * Catalyst decorrelates this into a join (no per-row subquery
@@ -608,6 +665,8 @@ object Relational {
     "b23_string_agg" -> (stringAgg _),
     "b21_percentile_disc" -> (percentileDisc _),
     "b22_exists_correlated" -> (existsCorrelated _),
+    "b24_regression" -> (regression _),
+    "b25_merge_upsert" -> (mergeUpsert _),
     "b16b_range_frame" -> (rangeFrame _),
     "b20_unpivot" -> (unpivotMeasures _),
     "b01_scan_filter" -> (scanFilter _),
@@ -643,6 +702,43 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the double arithmetic after the exact moments is spelled
+    // EXPRESSION-IDENTICALLY to the Spark side (same ops, same order)
+    "b24_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(l_quantity) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sy,
+        |    sum(l_quantity * l_quantity) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(4,1)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |    n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS denx,
+        |    n * syy - sy * sy AS deny
+        |  FROM m)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(num / denx, 6) AS slope,
+        |  round(sy / n - num / denx * (sx / n), 6) AS intercept,
+        |  round(num * num / (denx * deny), 6) AS r2
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+    "b25_merge_upsert" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 4000),
+        |base AS (
+        |  SELECT o_orderkey, o_totalprice FROM o WHERE o_orderkey % 4 <> 0),
+        |delta AS (
+        |  SELECT o_orderkey, o_totalprice + 10.0 AS upd_price
+        |  FROM o WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NOT NULL AND d.o_orderkey IS NOT NULL
+        |         THEN 'update'
+        |       WHEN b.o_orderkey IS NULL THEN 'insert'
+        |       ELSE 'keep' END AS action,
+        |  coalesce(d.upd_price, b.o_totalprice) AS price
+        |FROM base b FULL OUTER JOIN delta d USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "b23_string_agg" ->
       """SELECT n_name, count(*) AS n_customers,
         |  string_agg(c_name, ',' ORDER BY c_name) AS names_csv,

@@ -546,7 +546,46 @@ object TextOps {
         md5(expr(s"substr(text, CAST(start AS INT), $ChunkSize)")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_no"))
 
+  /** c24: per-document character-distribution stats — alphabet size and
+    * Gini impurity (1 − Σ(cᵢ/n)²), the rational-arithmetic twin of
+    * character entropy: a low-impurity document is dominated by few
+    * symbols (boilerplate, padding, binary junk), which is the same
+    * quality signal entropy gives, but computable as one exact integer
+    * sum (Σcᵢ², order-independent) plus a single double division —
+    * Shannon entropy's `ln` sums are engine-libm territory and cannot be
+    * hash-compared. Top character ties break on the smaller character.
+    *
+    * Scale: one explode (map-side), two partial-agg'd shuffles keyed by
+    * (doc, char) then doc — the wordcount shape at character granularity. */
+  def charStats(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+          .as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("ch").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_chars"),
+        count(lit(1)).as("n_unique"),
+        sum(col("cnt") * col("cnt")).as("sq"),
+        max(when(col("rn") === 1, col("ch"))).as("top_ch"),
+        max(when(col("rn") === 1, col("cnt"))).as("top_cnt"))
+      .select(col("doc_id"), col("n_chars"), col("n_unique"),
+        round(lit(1.0) -
+          col("sq").cast("double") / (col("n_chars") * col("n_chars")).cast("double"), 6)
+          .as("gini"),
+        col("top_ch"), col("top_cnt"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c24_char_stats" -> (charStats _),
     "c22_fuzzy_neardup" -> (fuzzyNearDup _),
     "c23_chunking" -> (chunkDocuments _),
     "c16_array_ops2" -> (arrayOps2 _),
@@ -729,6 +768,29 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // char explode mirrored positionally (substr over a 1-based range);
+    // Gini from the exact integer Σc² with one double division
+    "c24_char_stats" ->
+      """WITH chars AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) + 1),
+        |      i -> substr(text, CAST(i AS INTEGER), 1))) AS ch
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM chars GROUP BY doc_id, ch),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY cnt DESC, ch ASC) AS rn
+        |  FROM counts)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  round(1.0 - CAST(sum(cnt * cnt) AS DOUBLE)
+        |    / CAST(sum(cnt) * sum(cnt) AS DOUBLE), 6) AS gini,
+        |  max(CASE WHEN rn = 1 THEN ch END) AS top_ch,
+        |  max(CASE WHEN rn = 1 THEN cnt END) AS top_cnt
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the all-pairs form the length-band join provably equals (the band
     // fan-out only restricts the |Δlen| ≤ window predicate, stated here
     // directly; levenshtein is integer DP — exact on both engines)
