@@ -357,6 +357,57 @@ object Relational {
     u.union(i).union(e).union(ua).orderBy(col("op"))
   }
 
+  /** B17b: MULTISET set ops — `intersectAll`/`exceptAll` keep duplicate
+    * multiplicity (SQL INTERSECT ALL / EXCEPT ALL), which Spark executes
+    * as a count-and-replicate aggregation rather than a distinct-ing
+    * join; contrasted with the distinct counts so the multiset/set gap
+    * is visible in the output. One partial-agg'd shuffle per side. */
+  def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val a = li.where(col("l_returnflag") === "A").select(col("l_partkey"))
+    val n = li.where(col("l_returnflag") === "N").select(col("l_partkey"))
+    val ia = a.intersectAll(n).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("n"))
+    val ea = a.exceptAll(n).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("n"))
+    val id = a.intersect(n).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_distinct").as("op"), col("n"))
+    val ed = a.except(n).agg(count(lit(1)).as("n"))
+      .select(lit("except_distinct").as("op"), col("n"))
+    ia.union(ea).union(id).union(ed).orderBy(col("op"))
+  }
+
+  /** B26: NOT IN versus NOT EXISTS under NULLs — the classic three-valued
+    * -logic trap, declared so the engine's answer is pinned against the
+    * oracle: a NULL anywhere in a NOT IN subquery makes EVERY row's
+    * predicate UNKNOWN (count 0), while NOT EXISTS and the null-filtered
+    * NOT IN return the real complement. Spark plans the unfiltered form
+    * as a null-aware anti join (asserted in RelationalSpec); the
+    * subquery side is tiny after aggregation, so at scale all three are
+    * one broadcast anti join each. */
+  def notInNulls(s: SparkSession, d: String): DataFrame = {
+    val pv = s"part_ni_${java.lang.Integer.toHexString(d.hashCode)}"
+    val lv = s"line_ni_${java.lang.Integer.toHexString(d.hashCode)}"
+    Tables.part(s, d).createOrReplaceTempView(pv)
+    Tables.lineitem(s, d).createOrReplaceTempView(lv)
+    // every 100th-order lineitem contributes NULL instead of its part key
+    val pk = s"CASE WHEN l_orderkey % 100 = 0 THEN NULL ELSE l_partkey END"
+    // restrict to pre-1996 shipments (as b06) so a complement exists
+    val old = "l_shipdate < TIMESTAMP '1996-01-01'"
+    s.sql(
+      s"""SELECT 'not_in' AS variant, count(*) AS n FROM $pv
+         |WHERE p_partkey NOT IN (SELECT $pk FROM $lv WHERE $old)
+         |UNION ALL
+         |SELECT 'not_in_null_filtered', count(*) FROM $pv
+         |WHERE p_partkey NOT IN
+         |  (SELECT $pk FROM $lv WHERE $old AND $pk IS NOT NULL)
+         |UNION ALL
+         |SELECT 'not_exists', count(*) FROM $pv p
+         |WHERE NOT EXISTS
+         |  (SELECT 1 FROM $lv l WHERE $old AND $pk = p.p_partkey)
+         |ORDER BY variant""".stripMargin)
+  }
+
   /** B18: scalar subquery — orders above the global average price. The
     * threshold is decimal-exact so both engines cut the same rows. */
   def subqueryAgg(s: SparkSession, d: String): DataFrame = {
@@ -667,6 +718,8 @@ object Relational {
     "b22_exists_correlated" -> (existsCorrelated _),
     "b24_regression" -> (regression _),
     "b25_merge_upsert" -> (mergeUpsert _),
+    "b17b_setops_all" -> (setOpsAll _),
+    "b26_not_in_nulls" -> (notInNulls _),
     "b16b_range_frame" -> (rangeFrame _),
     "b20_unpivot" -> (unpivotMeasures _),
     "b01_scan_filter" -> (scanFilter _),
@@ -724,6 +777,46 @@ object Relational {
         |  round(sy / n - num / denx * (sx / n), 6) AS intercept,
         |  round(num * num / (denx * deny), 6) AS r2
         |FROM d ORDER BY l_returnflag""".stripMargin,
+    "b17b_setops_all" ->
+      """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+        |n AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N')
+        |SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM n)
+        |UNION ALL
+        |SELECT 'except_all', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM n)
+        |UNION ALL
+        |SELECT 'intersect_distinct', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT * FROM a INTERSECT SELECT * FROM n)
+        |UNION ALL
+        |SELECT 'except_distinct', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT * FROM a EXCEPT SELECT * FROM n)
+        |ORDER BY op""".stripMargin,
+    "b26_not_in_nulls" ->
+      """SELECT 'not_in' AS variant, CAST(count(*) AS BIGINT) AS n
+        |FROM part
+        |WHERE p_partkey NOT IN
+        |  (SELECT CASE WHEN l_orderkey % 100 = 0 THEN NULL
+        |               ELSE l_partkey END FROM lineitem
+        |   WHERE l_shipdate < TIMESTAMP '1996-01-01')
+        |UNION ALL
+        |SELECT 'not_in_null_filtered', CAST(count(*) AS BIGINT)
+        |FROM part
+        |WHERE p_partkey NOT IN
+        |  (SELECT CASE WHEN l_orderkey % 100 = 0 THEN NULL
+        |               ELSE l_partkey END FROM lineitem
+        |   WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        |     AND (CASE WHEN l_orderkey % 100 = 0 THEN NULL
+        |               ELSE l_partkey END) IS NOT NULL)
+        |UNION ALL
+        |SELECT 'not_exists', CAST(count(*) AS BIGINT)
+        |FROM part p
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM lineitem l
+        |   WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        |     AND (CASE WHEN l_orderkey % 100 = 0 THEN NULL
+        |               ELSE l_partkey END) = p.p_partkey)
+        |ORDER BY variant""".stripMargin,
     "b25_merge_upsert" ->
       """WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 4000),
         |base AS (

@@ -118,6 +118,67 @@ object Streams {
       }
   }
 
+  /** D3-stream, production form: like [[closedSessions]] but sessions
+    * ALSO close when the event-time watermark passes their gap horizon
+    * (GroupStateTimeout.EventTimeTimeout) — without this, a user who
+    * simply stops sending events holds an open session (and its state)
+    * forever; with it, state size is bounded by the set of users active
+    * within one gap of the watermark, which is what lets the operator
+    * run indefinitely at production scale. */
+  def closedSessionsTimeout(s: SparkSession, d: String): Dataset[ClosedSession] = {
+    import s.implicits._
+    eventStream(s, d)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .transform(closedSessionsTimeoutFrom)
+  }
+
+  /** Core of [[closedSessionsTimeout]] over an already-watermarked
+    * (user_id, event-time) stream — separated so tests can drive it from
+    * a MemoryStream batch-by-batch. */
+  def closedSessionsTimeoutFrom(
+      input: Dataset[(Long, java.sql.Timestamp)]): Dataset[ClosedSession] = {
+    val s = input.sparkSession
+    import s.implicits._
+    val gapSec = 1800L
+    input
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastSec + gap with no new events: close
+            val o = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, o.startSec, o.lastSec, o.n))
+          } else {
+            val sorted = rows.map(_._2.getTime / 1000L).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { t =>
+              open match {
+                case Some(o) if t - o.lastSec <= gapSec =>
+                  open = Some(o.copy(lastSec = t, n = o.n + 1))
+                case Some(o) =>
+                  closed += ClosedSession(user, o.startSec, o.lastSec, o.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // arm the event-time alarm: fire once the watermark passes
+              // the open session's gap horizon
+              state.setTimeoutTimestamp((o.lastSec + gapSec) * 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Stream-stream join: each click joined to the same user's purchases
     * within the following hour. Watermarks on both sides bound the join
     * state; the time-range condition lets Spark expire buffered rows. */

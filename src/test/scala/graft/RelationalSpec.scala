@@ -52,6 +52,35 @@ class RelationalSpec extends SparkSpec {
     assert(row.getAs[Long]("count_order") === expected.getLong(1))
   }
 
+  test("b26: NOT IN with a NULL in the subquery is empty; NOT EXISTS and " +
+    "the null-filtered NOT IN agree and are positive") {
+    import spark.implicits._
+    val out = Relational.notInNulls(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(out("not_in") === 0L, out.toString)
+    assert(out("not_exists") > 0L, out.toString)
+    assert(out("not_exists") === out("not_in_null_filtered"), out.toString)
+  }
+
+  test("b26 plan: the unfiltered NOT IN runs as a null-aware anti join") {
+    val plan = Relational.notInNulls(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // Spark renders the null-aware broadcast anti join as a
+    // BroadcastHashJoin whose trailing isNullAwareAntiJoin flag is true
+    assert(plan.contains("LeftAnti, BuildRight, true"), plan.take(2000))
+  }
+
+  test("b17b: multiset counts dominate distinct counts and satisfy the " +
+    "multiset identity |A| = |A∩N|_all + |A∖N|_all") {
+    import spark.implicits._
+    val out = Relational.setOpsAll(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    val aTotal = Tables.lineitem(spark, sf0001)
+      .where($"l_returnflag" === "A").count()
+    assert(out("intersect_all") >= out("intersect_distinct"), out.toString)
+    assert(out("intersect_all") + out("except_all") === aTotal, out.toString)
+  }
+
   test("all declared relational queries run on sf0.001 and are non-empty") {
     Relational.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()

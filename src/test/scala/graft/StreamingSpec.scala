@@ -114,6 +114,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout closes an idle session when the watermark passes its gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val sessions = streaming.Streams.closedSessionsTimeoutFrom(
+      input.toDF().toDF("user_id", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)])
+    val q = sessions.toDF().writeStream.format("memory").queryName("to_sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 sends two events 100s apart — one open session;
+      // nothing closes (watermark = 200)
+      input.addData((1L, 100L), (1L, 200L))
+      q.processAllAvailable()
+      assert(spark.table("to_sess").count() === 0)
+      // batch 2: only user 2 speaks, far in the future — the watermark
+      // jumps past user 1's gap horizon (200 + 1800), so user 1's session
+      // must close via TIMEOUT, with no user-1 event in the batch
+      input.addData((2L, 10000L))
+      q.processAllAvailable()
+      val closed = spark.table("to_sess")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(closed === Set((1L, 100L, 200L, 2)),
+        s"expected user 1's idle session to close by timeout: $closed")
+      // batch 3: advance far again — user 2's session times out too
+      input.addData((3L, 100000L))
+      q.processAllAvailable()
+      val all = spark.table("to_sess")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(all === Set((1L, 100L, 200L, 2), (2L, 10000L, 10000L, 1)), all.toString)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits one row per (user, event_type)") {
     Streams.runToMemory(Streams.dedup(spark, sf0001), "stream_dedup",
       OutputMode.Append())
