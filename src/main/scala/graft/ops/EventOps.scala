@@ -291,7 +291,49 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** One smoothed reading: input row plus its running EWMA. */
+  case class EwmaRow(event_id: Long, user_id: Long, value: Double, ewma: Double)
+
+  /** D13: per-user exponential smoothing (EWMA, α = ¼) — the classic
+    * online time-series smoother, inherently sequential per key so the
+    * parallel unit is the user: one shuffle to co-locate each user's
+    * events, a within-partition sort, then a linear scan with O(1) state
+    * (the packStream shape). α and 1−α are exact binary fractions and
+    * each step is two multiplies + one add in a FIXED order, so the
+    * DuckDB recursive-CTE twin reproduces the whole cascade bit-for-bit
+    * (seeded with ewma₁ = x₁). At 100 TB a skewed giant key would salt
+    * by coarse time range exactly like c18b. */
+  def ewmaSmooth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("ts_ns").cast("long"), col("value").cast("double"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_ns"), col("event_id"))
+      .as[(Long, Long, Long, Double)]
+      .mapPartitions { it =>
+        var cur = Long.MinValue // user ids are non-negative
+        var prev = 0.0
+        it.map { case (eid, uid, _, v) =>
+          val e = if (uid != cur) { cur = uid; v } else 0.25 * v + 0.75 * prev
+          prev = e
+          EwmaRow(eid, uid, v, e)
+        }
+      }
+      .toDF()
+      // floor-quantized micro-units, not round(…, 6): EWMA values are
+      // exact decimals whose digit count grows two per step, so they
+      // land on .5 ULP-of-6-decimals boundaries where Spark (BigDecimal
+      // half-up on the binary expansion) and DuckDB (scaled-multiply)
+      // disagree; multiply-then-floor is the same two IEEE ops on both
+      // engines and therefore boundary-proof
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("CAST(floor(ewma * 1000000) AS BIGINT)").as("ewma_micro"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_ewma" -> (ewmaSmooth _),
     "d12_asof_native" -> (asofNative _),
     "d11_interval_join" -> (intervalJoin _),
     "d10_gap_fill" -> (gapFill _),
@@ -323,6 +365,25 @@ object EventOps {
     // identical semantics to d06/d06b — the physical operator changed,
     // the answer must not
     "d12_asof_native" -> asofOracle,
+    // the recursive frontier advances one event per user per step,
+    // applying the identical 0.25·x + 0.75·prev (both constants exact
+    // binary fractions, left-to-right IEEE ops) from the same seed
+    "d13_ewma" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, user_id, value, rn, value AS ewma
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.event_id, e.user_id, e.value, e.rn,
+        |    0.25 * e.value + 0.75 * r.ewma
+        |  FROM ev e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT event_id, user_id, value,
+        |  CAST(floor(ewma * 1000000) AS BIGINT) AS ewma_micro
+        |FROM r ORDER BY event_id""".stripMargin,
     // the plain range-join form the bucketed equi-join provably equals
     "d11_interval_join" ->
       """WITH e AS (

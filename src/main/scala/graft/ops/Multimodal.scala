@@ -199,7 +199,43 @@ object Multimodal {
       octet_length(col("text")).as("n_body_bytes"))
       .orderBy(col("asset_id"))
 
+  /** m06: content-signature near-dup over the BINARY corpus — assets
+    * whose bodies have the same HALF-RESOLUTION byte histogram (the
+    * bag-of-bytes key at count granularity 2: catches exact copies,
+    * content permutations, and single-byte-per-bin edits — the cheap
+    * first tier of binary dedup). The signature is a canonical string of
+    * the non-empty (bin, count div 2) pairs, so candidate generation is ONE
+    * equi-join on a computed key — the same bucketed shape as the text
+    * sketches, never O(n²). Pairs are emitted a<b within each signature
+    * bucket; at 100 TB the signature would be hashed and the join
+    * bucket-partitioned, with the (rare) giant bucket handled by the
+    * same salting as any skewed key. */
+  def assetNearDup(s: SparkSession, d: String): DataFrame = {
+    val hist = udf { (bytes: Array[Byte]) =>
+      val h = new Array[Long](16)
+      var i = 8 // skip header
+      while (i < bytes.length) { h((bytes(i) & 0xff) >> 4) += 1L; i += 1 }
+      h
+    }
+    val sig = assets(s, d)
+      .select(col("asset_id"), posexplode(hist(col("payload"))).as(Seq("bin", "cnt0")))
+      // half-resolution counts: docs differing by one byte per bin still
+      // collide, so the key catches near-identical bodies, not only copies
+      .select(col("asset_id"), col("bin"), expr("cnt0 div 2").as("cnt"))
+      .where(col("cnt") > 0)
+      .groupBy(col("asset_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("bin"), col("cnt")))),
+          x => concat(x.getField("bin").cast("string"), lit(":"),
+            x.getField("cnt").cast("string"))), ",").as("sig"))
+    sig.as("a").join(sig.as("b"),
+        col("a.sig") === col("b.sig") && col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("a_id"), col("b.asset_id").as("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_asset_neardup" -> (assetNearDup _),
     "m01_asset_meta" -> (assetMeta _),
     "m02_decode_meta" -> (decodeMeta _),
     "m03_byte_histogram" -> (byteHistogram _),
@@ -208,6 +244,26 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // m06: the body is the UTF-8 of ASCII text, so the oracle rebuilds
+    // each byte histogram from characters and joins on the same
+    // canonical "bin:cnt,..." signature string
+    "m06_asset_neardup" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    ascii(substr(text, CAST(i AS INTEGER), 1)) // 16 AS bin
+        |  FROM pos),
+        |h AS (SELECT doc_id, bin, count(*) // 2 AS cnt
+        |      FROM c GROUP BY doc_id, bin),
+        |h2 AS (SELECT * FROM h WHERE cnt > 0),
+        |sig AS (
+        |  SELECT doc_id, string_agg(bin || ':' || cnt, ',' ORDER BY bin) AS sig
+        |  FROM h2 GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |ORDER BY a_id, b_id""".stripMargin,
     // m02 = m01's header fields recovered THROUGH the binary payload (the
     // mapPartitions decode path); the oracle describes the same surface
     // from the source table plus the constant magic-derived format tag,

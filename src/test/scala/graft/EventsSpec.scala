@@ -84,4 +84,25 @@ class EventsSpec extends SparkSpec {
       .orderBy($"k").as[(String, Long)].collect()
     assert(salted.sameElements(direct))
   }
+
+  test("d13 EWMA: hand-computed cascade for one user") {
+    import spark.implicits._
+    val out = ops.EventOps.ewmaSmooth(spark, sf0001)
+    // recompute one user's cascade independently from the raw table
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id".cast("long"), $"user_id".cast("long"),
+        $"ts_ns".cast("long"), $"value".cast("double"))
+      .as[(Long, Long, Long, Double)].collect()
+    val uid = ev.head._2
+    val mine = ev.filter(_._2 == uid).sortBy(r => (r._3, r._1))
+    var prev = 0.0
+    val expected = mine.zipWithIndex.map { case ((eid, _, _, v), i) =>
+      val e = if (i == 0) v else 0.25 * v + 0.75 * prev
+      prev = e
+      eid -> math.floor(e * 1000000).toLong
+    }.toMap
+    val got = out.where($"user_id" === uid)
+      .select($"event_id", $"ewma_micro").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
 }

@@ -60,4 +60,15 @@ class MultimodalSpec extends SparkSpec {
       w == 320 && h == 240
     })
   }
+
+  test("m06: signature near-dup pairs are ordered, non-empty, and transitive within buckets") {
+    import spark.implicits._
+    val pairs = Multimodal.assetNearDup(spark, sf0001)
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a < b })
+    // same-signature relation is transitive: a~b and b~c must imply a~c
+    val rel = pairs.toSet
+    for ((a, b) <- rel; (b2, c) <- rel if b2 == b) assert(rel.contains((a, c)))
+  }
 }
