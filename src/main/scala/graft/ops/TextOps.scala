@@ -527,6 +527,44 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** JW prefix length and similarity floor for c25. */
+  val JwPrefix = 60
+  val JwTau = 0.80
+  /** Candidate band half-width on n_chars for c25. */
+  val JwLenWindow = 20
+
+  /** C25: Jaro-Winkler near-dup — the third string-similarity tier
+    * beside token-set Jaccard (c02) and edit distance (c22): JW rewards
+    * shared prefixes and tolerates transpositions, the classic
+    * name/title matcher. Spark has no builtin, so this runs the custom
+    * codegen [[graft.functions.JaroWinklerExpr]] — implemented
+    * bit-compatible with DuckDB's `jaro_winkler_similarity` (3000-pair
+    * fuzz-verified), which is what lets a double-valued similarity carry
+    * an exact oracle. Candidates come from the same-source block plus an
+    * |Δn_chars| ≤ 20 band (JW ≥ 0.8 on same-length-ish prefixes implies
+    * near-equal lengths), so the pair space is bucketed, never global;
+    * the projected score is floor-quantized to micro-units (the d13
+    * rule: identical doubles, engine-divergent round()). */
+  def jwNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr(s"left(text, $JwPrefix)").as("prefix"))
+    val a = docs.select(col("doc_id").as("a_id"), col("source"),
+      col("n_chars").as("a_len"), col("prefix").as("a_prefix"))
+    val b = docs.select(col("doc_id").as("b_id"), col("source"),
+      col("n_chars").as("b_len"), col("prefix").as("b_prefix"))
+    a.join(b, Seq("source"))
+      .where(col("a_id") < col("b_id") &&
+        abs(col("a_len") - col("b_len")) <= JwLenWindow)
+      .select(col("a_id"), col("b_id"),
+        graft.functions.JaroWinklerFunctions
+          .jaro_winkler(s, col("a_prefix"), col("b_prefix")).as("jw"))
+      .where(col("jw") > JwTau)
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(floor(jw * 1000000) AS BIGINT)").as("jw_micro"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** C23: document chunking — fixed-size character windows (ChunkSize)
     * with overlap (stride ChunkStride < ChunkSize), the standard
     * pretraining/RAG segmentation op. Pure map-side row explosion
@@ -586,6 +624,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c24_char_stats" -> (charStats _),
+    "c25_jw_neardup" -> (jwNearDup _),
     "c22_fuzzy_neardup" -> (fuzzyNearDup _),
     "c23_chunking" -> (chunkDocuments _),
     "c16_array_ops2" -> (arrayOps2 _),
@@ -768,6 +807,20 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's native jaro_winkler_similarity IS the reference our
+    // codegen kernel was built bit-compatible against
+    "c25_jw_neardup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, n_chars, left(text, $JwPrefix) AS prefix
+         |  FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(floor(jaro_winkler_similarity(a.prefix, b.prefix) * 1000000)
+         |    AS BIGINT) AS jw_micro
+         |FROM d a JOIN d b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         | AND abs(a.n_chars - b.n_chars) <= $JwLenWindow
+         |WHERE jaro_winkler_similarity(a.prefix, b.prefix) > $JwTau
+         |ORDER BY a_id, b_id""".stripMargin,
     // char explode mirrored positionally (substr over a 1-based range);
     // Gini from the exact integer Σc² with one double division
     "c24_char_stats" ->
