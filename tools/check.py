@@ -78,6 +78,12 @@ def main():
     sf, out = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # strict-overcommit container (CommitLimit ~66G): DuckDB's defaults
+    # (threads = ncpu = 32, memory target 80% of RAM) make large oracle
+    # runs die with spurious allocation failures; modest settings are
+    # plenty for sf<=0.1 oracles
+    con.execute("SET threads = 8")
+    con.execute("SET memory_limit = '12GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
