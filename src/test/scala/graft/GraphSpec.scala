@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+/** Connected components over the near-dup graph (ops.Graph). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components: edge-consistent, representative-minimal, total") {
+    val comp = Graph.components(spark, sf0001).cache()
+    val edges = Graph.nearDupEdges(spark, sf0001)
+
+    // total: every document labeled exactly once
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(comp.count() == nDocs)
+    assert(comp.select("doc_id").distinct().count() == nDocs)
+
+    // edge consistency: both endpoints of every edge share a component
+    // (the defining property of the transitive closure's fixed point)
+    val lab = comp.select(col("doc_id"), col("component"))
+    val split = edges
+      .join(lab.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("component", "ca"), "a_id")
+      .join(lab.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("component", "cb"), "b_id")
+      .where(col("ca") =!= col("cb"))
+      .count()
+    assert(split == 0, s"$split edges cross components")
+
+    // representative minimality: component id == min member id
+    val badRep = comp.groupBy("component").agg(min("doc_id").as("m"))
+      .where(col("component") =!= col("m")).count()
+    assert(badRep == 0)
+
+    // comp_size agrees with the actual group census
+    val badSize = comp.groupBy("component", "comp_size").count()
+      .where(col("comp_size") =!= col("count")).count()
+    assert(badSize == 0)
+    comp.unpersist()
+  }
+
+  test("fixed point is stable: one more propagation round changes nothing") {
+    // Idempotence distinguishes a true fixed point from a bounded-round
+    // scheme (c10's 3-round propagation is NOT idempotent in general).
+    val comp = Graph.components(spark, sf0001)
+      .select(col("doc_id"), col("component"))
+    val e = Graph.nearDupEdges(spark, sf0001)
+    val bi = e.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(e.select(col("b_id").as("u"), col("a_id").as("v")))
+    val nbrMin = bi.join(comp, bi("v") === comp("doc_id"))
+      .groupBy(col("u")).agg(min(col("component")).as("nm"))
+    val moved = comp.join(nbrMin, comp("doc_id") === nbrMin("u"))
+      .where(col("nm") < col("component")).count()
+    assert(moved == 0, s"$moved labels would still move")
+  }
+}
