@@ -117,7 +117,100 @@ object Sampling {
       .orderBy(col("decile"))
   }
 
+  /** Token length of a contamination shingle (s06). 5 is long enough to
+    * discriminate on this corpus (~95% of 5-grams are unique) and is in
+    * the range real decontamination pipelines use (8-13 tokens); the
+    * fixtures' docs are 10-100 tokens, so 8+ would leave short docs with
+    * almost no shingles. */
+  val ContamG = 5
+
+  /** s06: benchmark decontamination check — for every TEST-split
+    * document, the fraction of its distinct token 5-grams that also
+    * appear anywhere in the TRAIN split. This is the standard "is the
+    * eval set leaked into the training corpus" audit (n-gram overlap
+    * decontamination): frac ≈ 1 means the test doc is effectively IN
+    * the training set and must be dropped from eval (or the train dup
+    * removed).
+    *
+    * Scale shape: one equi-join on the shingle string. The train side is
+    * projected to DISTINCT shingles (its only shuffle) — at 100 TB that
+    * side would be hash-partitioned by shingle and is the natural place
+    * for a bloom-filter pushdown onto the (small) test side's probe; the
+    * test side is an eval set, i.e. tiny by construction, so Spark's AQE
+    * broadcasts it and the train scan never shuffles full text. Nothing
+    * in the plan is quadratic; contamination of M test docs against N
+    * train docs costs one pass over N plus |shingles(M)| probe rows. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val g = ContamG
+    val base = withSplit(s, d)
+      .select(col("doc_id"), col("split"), split(col("text"), " ").as("toks"))
+      // sequence(a, b) DESCENDS when b < a (unlike DuckDB's range, which
+      // returns empty) — guard short docs explicitly so both engines
+      // agree on "no shingles". Fixtures are all >= 10 tokens; the guard
+      // is for the operator's contract, not this corpus.
+      .withColumn("g5s",
+        when(size(col("toks")) >= g,
+          array_distinct(transform(
+            sequence(lit(0), size(col("toks")) - g),
+            i => array_join(slice(col("toks"), i + lit(1), lit(g)), " "))))
+          .otherwise(array().cast("array<string>")))
+    val test = base.where(col("split") === "test")
+      .select(col("doc_id"), explode(col("g5s")).as("g"))
+    val train = base.where(col("split") === "train")
+      .select(explode(col("g5s")).as("g")).distinct()
+    val totals = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = test.join(train, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** s07: temperature-scaled source mixing (α = 0.5) — the UniMax /
+    * multilingual-sampling rule: sampling weight ∝ n_docs^α flattens the
+    * source distribution so head sources stop dominating while the tail
+    * is upweighted, and α=1/2 (√n) is the canonical temperature. Emits
+    * the per-source allocation of a 10,000-doc budget.
+    *
+    * Cross-engine exactness: √n is a single IEEE-754 operation (sqrt is
+    * correctly rounded by spec, identical in JVM and DuckDB), then
+    * floor(√n · 10⁶) quantizes the weight to a BIGINT. Everything after
+    * is integer arithmetic — the normalizer is an exact integer SUM
+    * (order-independent, unlike summing doubles), the allocation is
+    * integer division. The only double in the output (mix_frac) is
+    * computed from the two integers and rounded once. This is the same
+    * "quantize early, aggregate integers" discipline the trained-IVF
+    * centroids use.
+    *
+    * Scale shape: a count per source (one partial-agg shuffle of
+    * key+count only) and a ~#sources-row global reduce. The allocation
+    * table is what a weighted sampler consumes; the sampling itself
+    * composes with s04's per-source hash-rank cap. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val Budget = 10000L
+    // Mass = character volume, not doc count: the fixtures draw a uniform
+    // doc count per source (25 each at sf0.01), so count^α would be a
+    // constant vector; char volume varies per source and is the more
+    // faithful notion of "how much of the mixture a source supplies"
+    // anyway (token budgets are what training mixtures allocate).
+    val perSource = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_sum"))
+      .withColumn("weight", floor(sqrt(col("n_chars_sum")) * 1e6).cast("long"))
+    val total = perSource.agg(sum(col("weight")).as("w_total"))
+    perSource.crossJoin(total)
+      .select(col("source"), col("n_docs"), col("n_chars_sum"), col("weight"),
+        expr(s"$Budget * weight div w_total").as("alloc"),
+        round(col("weight").cast("double") / col("w_total"), 6).as("mix_frac"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s07_temperature_mix" -> (temperatureMix _),
+    "s06_decontam" -> (contamination _),
     "s05_curriculum_buckets" -> (curriculumBuckets _),
     "s01_split_assign" -> (splitAssign _),
     "s02_split_stats" -> (splitStats _),
@@ -144,6 +237,39 @@ object Sampling {
     "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
 
   val oracles: Map[String, String] = Map(
+    "s07_temperature_mix" ->
+      """WITH per_source AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+        |    CAST(floor(sqrt(CAST(sum(n_chars) AS BIGINT)) * 1e6) AS BIGINT)
+        |      AS weight
+        |  FROM documents GROUP BY source)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_chars_sum, weight,
+        |  CAST(10000 * weight // (SELECT sum(weight) FROM per_source)
+        |    AS BIGINT) AS alloc,
+        |  round(CAST(weight AS DOUBLE) /
+        |    (SELECT sum(weight) FROM per_source), 6) AS mix_frac
+        |FROM per_source ORDER BY source""".stripMargin,
+    "s06_decontam" ->
+      s"""WITH ${hashedDocs("", 100)},
+         |tk AS (SELECT doc_id, bucket, string_split(text, ' ') AS toks
+         |       FROM bucketed),
+         |g AS (
+         |  SELECT doc_id, bucket,
+         |    unnest(list_distinct(list_transform(
+         |      range(1, len(toks) - ${ContamG - 2}),
+         |      i -> array_to_string(toks[i:i+${ContamG - 1}], ' ')))) AS g
+         |  FROM tk),
+         |train AS (SELECT DISTINCT g FROM g WHERE bucket < 80),
+         |test AS (SELECT doc_id, g FROM g WHERE bucket >= 90),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM test GROUP BY doc_id),
+         |hit AS (
+         |  SELECT t.doc_id, count(*) AS n_hit
+         |  FROM test t JOIN train USING (g) GROUP BY t.doc_id)
+         |SELECT doc_id, n_grams, coalesce(n_hit, 0) AS n_hit,
+         |  round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_grams, 6)
+         |    AS contamination
+         |FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin,
     "s05_curriculum_buckets" ->
       """WITH t AS (
         |  SELECT n_chars,

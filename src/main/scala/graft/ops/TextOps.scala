@@ -622,7 +622,60 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** c27: repetition filtering (the Gopher "repetitive text" signals,
+    * Rae et al. 2021 §A1.1, token-level): per document —
+    * dup_tok_frac (1 − distinct/total unigrams), dup_bigram_frac (same
+    * over bigrams), top_bigram_frac (count of the most frequent bigram /
+    * total bigrams) and the most frequent bigram itself, plus the flag a
+    * curation pipeline actually filters on. Looping generators, stuck
+    * decoders and boilerplate all light these up; thresholds (0.1 /
+    * 0.68) sit at ~p98 of this corpus so the flag is live but sparse.
+    *
+    * Scale shape: unigram stats are per-row array arithmetic (map-side,
+    * codegen'd). Bigram mode needs a count-per-(doc,bigram): explode →
+    * two-level aggregate keyed on doc_id — partial aggregation absorbs
+    * the explosion map-side, and everything shuffles on doc_id (perfectly
+    * distributed, no hot key possible since a doc is one group). The
+    * argmax uses the max_by-with-tiebreak idiom: max on (cnt, bigram)
+    * packed into a struct, so no second window pass is needed. */
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val uni = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tok"),
+        size(array_distinct(col("toks"))).as("n_tok_distinct"),
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + lit(1)),
+            element_at(col("toks"), i + lit(2)))).as("bgs"))
+    val bg = uni.select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+    // argmax with deterministic tie-break: highest count, then smallest
+    // bigram string. struct max orders lexicographically on (cnt, inv),
+    // so invert the string via a rank: use min on (-cnt, bg).
+    val agg = bg.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bg"),
+        count(lit(1)).as("n_bg_distinct"),
+        min(struct((-col("cnt")).as("neg"), col("bg"))).as("top"))
+      .select(col("doc_id"), col("n_bg"), col("n_bg_distinct"),
+        col("top.bg").as("top_bigram"), (-col("top.neg")).as("top_cnt"))
+    uni.join(agg, "doc_id")
+      .select(col("doc_id"), col("n_tok"),
+        round(lit(1.0) - col("n_tok_distinct").cast("double") / col("n_tok"), 6)
+          .as("dup_tok_frac"),
+        round(lit(1.0) - col("n_bg_distinct").cast("double") / col("n_bg"), 6)
+          .as("dup_bigram_frac"),
+        col("top_bigram"),
+        round(col("top_cnt").cast("double") / col("n_bg"), 6)
+          .as("top_bigram_frac"),
+        when(col("top_cnt").cast("double") / col("n_bg") >= 0.1 ||
+          lit(1.0) - col("n_tok_distinct").cast("double") / col("n_tok") >= 0.68,
+          1).otherwise(0).as("is_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c27_repetition" -> (repetitionStats _),
     "c24_char_stats" -> (charStats _),
     "c25_jw_neardup" -> (jwNearDup _),
     "c22_fuzzy_neardup" -> (fuzzyNearDup _),
@@ -823,6 +876,33 @@ object TextOps {
          |ORDER BY a_id, b_id""".stripMargin,
     // char explode mirrored positionally (substr over a 1-based range);
     // Gini from the exact integer Σc² with one double division
+    "c27_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |uni AS (SELECT doc_id, len(toks) AS n_tok,
+        |          len(list_distinct(toks)) AS n_tok_distinct FROM t),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |         i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |r AS (SELECT doc_id, bg, cnt, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY cnt DESC, bg ASC) AS rn
+        |      FROM c),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bg,
+        |        count(*) AS n_bg_distinct,
+        |        max(CASE WHEN rn = 1 THEN bg END) AS top_bigram,
+        |        max(CASE WHEN rn = 1 THEN cnt END) AS top_cnt
+        |      FROM r GROUP BY doc_id)
+        |SELECT u.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  round(1.0 - CAST(n_tok_distinct AS DOUBLE) / n_tok, 6)
+        |    AS dup_tok_frac,
+        |  round(1.0 - CAST(n_bg_distinct AS DOUBLE) / n_bg, 6)
+        |    AS dup_bigram_frac,
+        |  top_bigram,
+        |  round(CAST(top_cnt AS DOUBLE) / n_bg, 6) AS top_bigram_frac,
+        |  CASE WHEN CAST(top_cnt AS DOUBLE) / n_bg >= 0.1
+        |         OR 1.0 - CAST(n_tok_distinct AS DOUBLE) / n_tok >= 0.68
+        |    THEN 1 ELSE 0 END AS is_repetitive
+        |FROM uni u JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "c24_char_stats" ->
       """WITH chars AS (
         |  SELECT doc_id,

@@ -88,4 +88,44 @@ class SamplingSpec extends SparkSpec {
     // rank<=20 must run as a bounded per-group top-k, not a full sort+filter
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("decontam covers exactly the test split with fractions in [0,1]") {
+    val con = Sampling.contamination(spark, sf0001).cache()
+    val testIds = Sampling.splitAssign(spark, sf0001)
+      .where(col("split") === "test").select("doc_id")
+    // fixtures have >= 10 tokens per doc, so every test doc has shingles
+    assert(con.count() == testIds.count())
+    assert(con.join(testIds, Seq("doc_id"), "left_anti").count() == 0)
+    val bad = con.where(col("n_hit") > col("n_grams") ||
+      col("contamination") < 0 || col("contamination") > 1).count()
+    assert(bad == 0)
+    // a doc's contamination is n_hit/n_grams exactly
+    val mismatch = con.where(
+      abs(col("contamination") -
+        round(col("n_hit").cast("double") / col("n_grams"), 6)) > 1e-12).count()
+    assert(mismatch == 0)
+    con.unpersist()
+  }
+
+  test("temperature mix: integer-exact allocation within budget, flattened") {
+    val mix = Sampling.temperatureMix(spark, sf0001).cache()
+    val rows = mix.as[(String, Long, Long, Long, Long, Double)].collect()
+    // floor allocation never overshoots the 10k budget
+    assert(rows.map(_._5).sum <= 10000L)
+    rows.foreach { case (src, _, chars, w, alloc, frac) =>
+      assert(w == math.floor(math.sqrt(chars.toDouble) * 1e6).toLong, src)
+      assert(alloc >= 0 && frac >= 0 && frac <= 1, src)
+    }
+    // temperature flattens: the allocation ratio between the biggest and
+    // smallest source is strictly below their volume ratio
+    val byChars = rows.sortBy(_._3)
+    val (lo, hi) = (byChars.head, byChars.last)
+    if (lo._3 < hi._3) {
+      val volRatio = hi._3.toDouble / lo._3
+      val allocRatio = hi._5.toDouble / lo._5
+      assert(allocRatio < volRatio,
+        s"alloc ratio $allocRatio !< volume ratio $volRatio")
+    }
+    mix.unpersist()
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.ops.TextOps
 
 /** Text/dedup surface tests: hand fixtures + sketch-vs-exact recall. */
@@ -113,5 +115,33 @@ class TextSpec extends SparkSpec {
     // exact FNV-in-HUGEINT oracles too — every text query is oracled.
     val noOracle = TextOps.queries.keySet -- TextOps.oracles.keySet
     assert(noOracle === Set.empty)
+  }
+
+  test("repetition stats: bounds, known-answer, and flag consistency") {
+    import spark.implicits._
+    val df = TextOps.repetitionStats(spark, sf0001).cache()
+    assert(df.count() == Tables.documents(spark, sf0001).count())
+    val outOfRange = df.where(
+      col("dup_tok_frac") < 0 || col("dup_tok_frac") > 1 ||
+      col("dup_bigram_frac") < 0 || col("dup_bigram_frac") > 1 ||
+      col("top_bigram_frac") <= 0 || col("top_bigram_frac") > 1).count()
+    assert(outOfRange == 0)
+    // flag must equal the threshold predicate applied to the fractions
+    // (tolerant form: recompute from the emitted rounded values with a
+    // 1e-6 guard band around each threshold, exact elsewhere)
+    val sus = df.where(
+      (col("is_repetitive") === 1 && col("top_bigram_frac") < 0.1 - 1e-6 &&
+        col("dup_tok_frac") < 0.68 - 1e-6) ||
+      (col("is_repetitive") === 0 && (col("top_bigram_frac") >= 0.1 + 1e-6 ||
+        col("dup_tok_frac") >= 0.68 + 1e-6))).count()
+    assert(sus == 0)
+    // known answer on a hand-built doc: "a b a b c" → bigrams
+    // [a b, b a, a b, b c]: 4 total, 3 distinct, top "a b" ×2
+    val tiny = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val got = tiny.select(
+      size(toks).as("n"), size(array_distinct(toks)).as("nd")).head()
+    assert(got.getInt(0) == 5 && got.getInt(1) == 3)
+    df.unpersist()
   }
 }

@@ -100,9 +100,28 @@ def main():
         try:
             duck_df = con.execute(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
+            # Transient allocation failures happen when a just-exited
+            # Spark JVM still holds committed memory (strict-overcommit
+            # container). Retry once on a fresh connection after a pause.
+            if "Out of Memory" in str(e) or "bad allocation" in str(e):
+                import time
+                time.sleep(5)
+                try:
+                    con = duckdb.connect()
+                    con.execute("SET threads = 8")
+                    con.execute("SET memory_limit = '12GB'")
+                    for t in TABLES:
+                        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                                    f"read_parquet('{sf}/{t}.parquet')")
+                    duck_df = con.execute(sql).df()
+                except Exception as e2:
+                    print(f"FAIL {name}: duckdb error: {e2}")
+                    n_fail += 1
+                    continue
+            else:
+                print(f"FAIL {name}: duckdb error: {e}")
+                n_fail += 1
+                continue
         if compare(name, spark_df, duck_df):
             print(f"OK   {name}: {len(spark_df)} rows")
             n_ok += 1
