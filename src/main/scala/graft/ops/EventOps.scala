@@ -332,7 +332,35 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** d14: rolling distinct-count — per event type, the number of
+    * DISTINCT users among the last 100 events (a sliding uniques gauge:
+    * "how many different actors drove the recent burst", the windowed
+    * form of a fraud/bot signal). Spark has no count(DISTINCT) window
+    * aggregate, so the operator is `size(collect_set(...))` over a
+    * row frame — semantically identical, and the set is bounded by the
+    * frame (≤100 entries) so per-row state is small and constant.
+    *
+    * Scale shape: one shuffle on event_type (the window partition key),
+    * then a single sorted pass with an O(frame) sliding state per
+    * partition. A 100 TB stream would use high-cardinality partition
+    * keys (type × shard-of-time) the same way the tumbling windows here
+    * do; the frame bound keeps memory flat regardless of partition size.
+    * The ordering ties on whole-second ts are broken by event_id in BOTH
+    * engines, which makes the frame contents — not just the ordering —
+    * deterministic. */
+  def rollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-99, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"), col("user_id"))
+      .withColumn("d_users_100", size(collect_set(col("user_id")).over(w)))
+      .select(col("event_id"), col("event_type"), col("d_users_100"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_rolling_distinct" -> (rollingDistinct _),
     "d13_ewma" -> (ewmaSmooth _),
     "d12_asof_native" -> (asofNative _),
     "d11_interval_join" -> (intervalJoin _),
@@ -362,6 +390,15 @@ object EventOps {
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d14_rolling_distinct" ->
+      s"""WITH e AS (SELECT event_id, event_type, user_id,
+         |            $duckSecTs AS sts FROM events)
+         |SELECT event_id, event_type,
+         |  CAST(count(DISTINCT user_id) OVER (
+         |    PARTITION BY event_type ORDER BY sts ASC, event_id ASC
+         |    ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS INTEGER)
+         |    AS d_users_100
+         |FROM e ORDER BY event_id""".stripMargin,
     // identical semantics to d06/d06b — the physical operator changed,
     // the answer must not
     "d12_asof_native" -> asofOracle,

@@ -601,6 +601,68 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** B27: interpolated percentiles (SQL PERCENTILE_CONT semantics) per
+    * order priority. Both engines evaluate the SAME manual formulation —
+    * h = p·(n−1); linear interpolation between the two bracketing
+    * order statistics — instead of their native quantile functions,
+    * whose interpolation arithmetic is not specified to the ulp. The
+    * shape is b21's rank-targeting trick twice over: row_number + count
+    * windows, then the bracketing values are picked out by a max(CASE
+    * rn = target) aggregate — one window pass and one partial-agg
+    * shuffle, no per-group sort-and-collect anywhere.
+    *
+    * The `frac = 0` guard is load-bearing: at the top rank (p·(n−1)
+    * integral, e.g. p50 of odd n) the hi bracket does not exist and the
+    * unguarded formula would be `v + 0 · (NULL − v)` = NULL. */
+  def percentileCont(s: SparkSession, d: String): DataFrame = {
+    val byP = Window.partitionBy(col("o_orderpriority"))
+    val w = byP.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val ps = Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9))
+    val base = Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byP))
+    val aggs = ps.flatMap { case (nm, p) =>
+      val h = lit(p) * (col("n") - 1)
+      Seq(
+        max(when(col("rn") === floor(h) + 1, col("o_totalprice")))
+          .as(nm + "_lo"),
+        max(when(col("rn") === floor(h) + 2, col("o_totalprice")))
+          .as(nm + "_hi"),
+        max(h - floor(h)).as(nm + "_f"))
+    }
+    val outCols = col("o_orderpriority") +: col("n") +:
+      ps.map { case (nm, _) =>
+        round(when(col(nm + "_f") === 0, col(nm + "_lo"))
+          .otherwise(col(nm + "_lo") +
+            col(nm + "_f") * (col(nm + "_hi") - col(nm + "_lo"))), 6).as(nm)
+      }
+    base.groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n"), aggs: _*)
+      .select(outCols: _*)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** B28: per-group mode (most frequent value) with a deterministic
+    * tie-break — SQL's MODE() leaves ties implementation-defined, so the
+    * portable form is the argmax idiom: count per (group, value), then
+    * rank by (count desc, value asc) and keep rank 1 — here "which ship
+    * month is the busiest per return flag". Two shuffles, both
+    * on small-cardinality keys, both partial-aggregated map-side; the
+    * rank-1 filter is a WindowGroupLimit at scale. */
+  def modePerGroup(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("ship_month"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("ship_month").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("l_returnflag"), col("ship_month").as("mode_month"),
+        col("cnt").as("mode_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** B25: MERGE/upsert as a batch operator — the daily-maintenance shape
     * every warehouse needs: a delta of changed+new rows folds into a base
     * table, each output row tagged with the action the merge took
@@ -715,6 +777,8 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b23_string_agg" -> (stringAgg _),
     "b21_percentile_disc" -> (percentileDisc _),
+    "b27_percentile_cont" -> (percentileCont _),
+    "b28_mode" -> (modePerGroup _),
     "b22_exists_correlated" -> (existsCorrelated _),
     "b24_regression" -> (regression _),
     "b25_merge_upsert" -> (mergeUpsert _),
@@ -851,6 +915,47 @@ object Relational {
         |  max(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50,
         |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN o_totalprice END) AS p90
         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "b27_percentile_cont" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+        |    max(CASE WHEN rn = floor(0.25*(n-1)) + 1 THEN o_totalprice END) AS p25_lo,
+        |    max(CASE WHEN rn = floor(0.25*(n-1)) + 2 THEN o_totalprice END) AS p25_hi,
+        |    max(0.25*(n-1) - floor(0.25*(n-1))) AS p25_f,
+        |    max(CASE WHEN rn = floor(0.5*(n-1)) + 1 THEN o_totalprice END) AS p50_lo,
+        |    max(CASE WHEN rn = floor(0.5*(n-1)) + 2 THEN o_totalprice END) AS p50_hi,
+        |    max(0.5*(n-1) - floor(0.5*(n-1))) AS p50_f,
+        |    max(CASE WHEN rn = floor(0.9*(n-1)) + 1 THEN o_totalprice END) AS p90_lo,
+        |    max(CASE WHEN rn = floor(0.9*(n-1)) + 2 THEN o_totalprice END) AS p90_hi,
+        |    max(0.9*(n-1) - floor(0.9*(n-1))) AS p90_f
+        |  FROM r GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n,
+        |  round(CASE WHEN p25_f = 0 THEN p25_lo
+        |    ELSE p25_lo + p25_f * (p25_hi - p25_lo) END, 6) AS p25,
+        |  round(CASE WHEN p50_f = 0 THEN p50_lo
+        |    ELSE p50_lo + p50_f * (p50_hi - p50_lo) END, 6) AS p50,
+        |  round(CASE WHEN p90_f = 0 THEN p90_lo
+        |    ELSE p90_lo + p90_f * (p90_hi - p90_lo) END, 6) AS p90
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+    "b28_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(date_part('month', l_shipdate) AS INTEGER) AS ship_month,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, ship_month, cnt, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY cnt DESC, ship_month ASC)
+        |    AS rn
+        |  FROM c)
+        |SELECT l_returnflag, ship_month AS mode_month,
+        |  CAST(cnt AS BIGINT) AS mode_count
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "b22_exists_correlated" ->
       """SELECT s_nationkey, count(*) AS n_outranked
         |FROM supplier

@@ -674,7 +674,33 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** c28: dictionary scrub — redact a blocklist of sensitive terms and
+    * report per-document hit counts. This is the PII/boilerplate-scrub
+    * shape (emails, phone numbers, watermark strings): a stateless
+    * map-side regexp over the text column, zero shuffles, the filter
+    * every corpus pass composes with dedup. The corpus is synthetic
+    * all-lowercase words (no digits — AsciiFixtureSpec), so the
+    * "dictionary" is three live tokens; swapping the pattern for an
+    * email/phone regex changes nothing structural. \b word boundaries
+    * behave identically in Java regex and RE2 on ASCII word chars —
+    * both engines must count AND rewrite with the same regex. Only
+    * docs with ≥1 hit are emitted (at scale the untouched majority
+    * passes through a different branch untouched). */
+  def dictionaryScrub(s: SparkSession, d: String): DataFrame = {
+    val pat = "\\b(customer|order|table)\\b"
+    Tables.documents(s, d)
+      .withColumn("n_hits", regexp_count(col("text"), lit(pat)))
+      .where(col("n_hits") > 0)
+      .withColumn("scrubbed", regexp_replace(col("text"), pat, "[REDACTED]"))
+      .select(col("doc_id"), col("n_hits"),
+        length(col("text")).as("len_before"),
+        length(col("scrubbed")).as("len_after"),
+        substring(col("scrubbed"), 1, 80).as("scrubbed_head"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c28_scrub" -> (dictionaryScrub _),
     "c27_repetition" -> (repetitionStats _),
     "c24_char_stats" -> (charStats _),
     "c25_jw_neardup" -> (jwNearDup _),
@@ -876,6 +902,19 @@ object TextOps {
          |ORDER BY a_id, b_id""".stripMargin,
     // char explode mirrored positionally (substr over a 1-based range);
     // Gini from the exact integer Σc² with one double division
+    "c28_scrub" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text, '\b(customer|order|table)\b'))
+        |      AS n_hits,
+        |    regexp_replace(text, '\b(customer|order|table)\b',
+        |      '[REDACTED]', 'g') AS scrubbed
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_hits AS INTEGER) AS n_hits,
+        |  CAST(length(text) AS INTEGER) AS len_before,
+        |  CAST(length(scrubbed) AS INTEGER) AS len_after,
+        |  substr(scrubbed, 1, 80) AS scrubbed_head
+        |FROM h WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
     "c27_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),

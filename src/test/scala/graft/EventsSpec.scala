@@ -105,4 +105,21 @@ class EventsSpec extends SparkSpec {
       .select($"event_id", $"ewma_micro").as[(Long, Long)].collect().toMap
     assert(got === expected)
   }
+
+  test("rolling distinct users is bounded by the frame and by row rank") {
+    val out = ops.EventOps.rollingDistinct(spark, sf0001).cache()
+    val ev = Tables.events(spark, sf0001)
+    assert(out.count() == ev.count())
+    // 1 <= d_users_100 <= min(100, rank within the partition, frame-
+    // aligned ordering (ts, event_id) recovered by joining ts back)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"ts".asc, $"event_id".asc)
+    val bad = out
+      .join(ev.select($"event_id", $"ts"), "event_id")
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .where($"d_users_100" < 1 || $"d_users_100" > 100 ||
+        $"d_users_100" > $"rk").count()
+    assert(bad == 0)
+    out.unpersist()
+  }
 }

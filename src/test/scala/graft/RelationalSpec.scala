@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, count, max, min, month}
+
 import graft.ops.Relational
 
 /** Relational-surface tests: result sanity on sf0.001 plus physical-plan
@@ -79,6 +81,39 @@ class RelationalSpec extends SparkSpec {
       .where($"l_returnflag" === "A").count()
     assert(out("intersect_all") >= out("intersect_distinct"), out.toString)
     assert(out("intersect_all") + out("except_all") === aTotal, out.toString)
+  }
+
+  test("percentile_cont brackets and orders its percentiles") {
+    val df = Relational.percentileCont(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p25, p50, p90) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p25 <= p50 && p50 <= p90, r.toString)
+    }
+    // p50 of each group sits between the group's min and max price
+    val bounds = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority"))
+      .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    val oob = df.join(bounds, "o_orderpriority")
+      .where(col("p50") < col("lo") || col("p50") > col("hi")).count()
+    assert(oob == 0)
+  }
+
+  test("mode emits one deterministic argmax row per group") {
+    val m = Relational.modePerGroup(spark, sf0001)
+    val flags = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag")).distinct().count()
+    assert(m.count() == flags)
+    // the reported count really is the max over that group's months
+    val counts = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("m"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag")).agg(max(col("cnt")).as("mx"))
+    val bad = m.join(counts, "l_returnflag")
+      .where(col("mode_count") =!= col("mx")).count()
+    assert(bad == 0)
   }
 
   test("all declared relational queries run on sf0.001 and are non-empty") {

@@ -74,18 +74,36 @@ def compare(name, spark_df, duck_df):
     return ok
 
 
+def fresh_con(sf):
+    """One connection per query: a query that dies inside DuckDB's
+    allocator (observed: spurious tiny-block OOMs then a segfault after
+    heavy list/recursive oracles) must not poison the connection every
+    later query runs on. Views over parquet are lazy, so per-query
+    setup costs ~nothing."""
+    con = duckdb.connect()
+    # small limits: DuckDB's defaults (threads = ncpu = 32, memory
+    # target 80% of RAM) are tuned for a machine it doesn't share. This
+    # host is co-loaded (VM memory is not always backable even when
+    # /proc/meminfo says free), so keep the footprint minimal — sf0.01
+    # oracles need well under 4G.
+    con.execute("SET threads = 4")
+    con.execute("SET memory_limit = '4GB'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    return con
+
+
+def run_oracle(sf, sql):
+    con = fresh_con(sf)
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    con = duckdb.connect()
-    # strict-overcommit container (CommitLimit ~66G): DuckDB's defaults
-    # (threads = ncpu = 32, memory target 80% of RAM) make large oracle
-    # runs die with spurious allocation failures; modest settings are
-    # plenty for sf<=0.1 oracles
-    con.execute("SET threads = 8")
-    con.execute("SET memory_limit = '12GB'")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_ok = n_fail = 0
     for name, sql in sorted(oracle.items()):
@@ -97,31 +115,24 @@ def main():
             n_fail += 1
             continue
         spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-        try:
-            duck_df = con.execute(sql).df()
-        except Exception as e:
-            # Transient allocation failures happen when a just-exited
-            # Spark JVM still holds committed memory (strict-overcommit
-            # container). Retry once on a fresh connection after a pause.
-            if "Out of Memory" in str(e) or "bad allocation" in str(e):
-                import time
-                time.sleep(5)
-                try:
-                    con = duckdb.connect()
-                    con.execute("SET threads = 8")
-                    con.execute("SET memory_limit = '12GB'")
-                    for t in TABLES:
-                        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                                    f"read_parquet('{sf}/{t}.parquet')")
-                    duck_df = con.execute(sql).df()
-                except Exception as e2:
-                    print(f"FAIL {name}: duckdb error: {e2}")
-                    n_fail += 1
-                    continue
-            else:
-                print(f"FAIL {name}: duckdb error: {e}")
-                n_fail += 1
-                continue
+        # Allocation failures come in bursts on this co-loaded host
+        # (observed: a fresh process failing 256K mallocs with 123G
+        # "free" for ~a minute, then recovering) — retry with backoff.
+        import time
+        duck_df = err = None
+        for attempt in range(4):
+            try:
+                duck_df = run_oracle(sf, sql)
+                break
+            except Exception as e:
+                err = e
+                if "Out of Memory" not in str(e) and "allocat" not in str(e):
+                    break
+                time.sleep(10 * (attempt + 1))
+        if duck_df is None:
+            print(f"FAIL {name}: duckdb error: {err}")
+            n_fail += 1
+            continue
         if compare(name, spark_df, duck_df):
             print(f"OK   {name}: {len(spark_df)} rows")
             n_ok += 1
