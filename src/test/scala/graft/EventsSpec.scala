@@ -122,4 +122,42 @@ class EventsSpec extends SparkSpec {
     assert(bad == 0)
     out.unpersist()
   }
+
+  test("funnel chains are ordered, deadline-bounded, and stage-consistent") {
+    val f = ops.EventOps.funnel(spark, sf0001).cache()
+    // chain order with the 24h step deadline
+    val badChain = f.where(
+      (col("t_click").isNotNull && (col("t_click") <= col("t_view") ||
+        col("t_click") > col("t_view") + expr("INTERVAL 24 HOURS"))) ||
+      (col("t_purchase").isNotNull && (col("t_purchase") <= col("t_click") ||
+        col("t_purchase") > col("t_click") + expr("INTERVAL 24 HOURS")))).count()
+    assert(badChain == 0)
+    // stage = 1 + #later steps present; purchase requires click
+    val badStage = f.where(
+      col("stage") =!= lit(1) +
+        when(col("t_click").isNotNull, 1).otherwise(0) +
+        when(col("t_purchase").isNotNull, 1).otherwise(0) ||
+      (col("t_purchase").isNotNull && col("t_click").isNull)).count()
+    assert(badStage == 0)
+    f.unpersist()
+  }
+
+  test("retention has an offset-0 cell per cohort bounded by cohort size") {
+    val r = ops.EventOps.cohortRetention(spark, sf0001).cache()
+    assert(r.where(col("day_offset") < 0).count() == 0)
+    // every cohort's day-0 cell exists and equals the cohort's size
+    // (every user is active on their own first day by construction)
+    val cohortSizes = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("sz"))
+    val day0 = r.where(col("day_offset") === 0)
+    val bad = day0.join(cohortSizes, "cohort_day")
+      .where(col("n_active") =!= col("sz")).count()
+    assert(bad == 0)
+    assert(day0.count() == cohortSizes.count())
+    r.unpersist()
+  }
 }

@@ -117,6 +117,25 @@ class TextSpec extends SparkSpec {
     assert(noOracle === Set.empty)
   }
 
+  test("containment pairs superset the jaccard pairs at the same tau") {
+    // jac >= 0.9 implies max-containment >= 2*0.9/1.9 > 0.9, so every
+    // c02 pair must reappear in c29 — a cross-operator consistency law.
+    val jacPairs = TextOps.jaccardNearDup(spark, sf0001)
+      .select("a_id", "b_id")
+    val contPairs = TextOps.containmentNearDup(spark, sf0001)
+      .select("a_id", "b_id")
+    assert(jacPairs.join(contPairs, Seq("a_id", "b_id"), "left_anti")
+      .count() == 0)
+    // directional coefficients live in (0, 1] and at least one side
+    // clears the threshold
+    val bad = TextOps.containmentNearDup(spark, sf0001).where(
+      col("cont_a") <= 0 || col("cont_a") > 1 ||
+      col("cont_b") <= 0 || col("cont_b") > 1 ||
+      (col("cont_a") < TextOps.ContainTau &&
+        col("cont_b") < TextOps.ContainTau)).count()
+    assert(bad == 0)
+  }
+
   test("repetition stats: bounds, known-answer, and flag consistency") {
     import spark.implicits._
     val df = TextOps.repetitionStats(spark, sf0001).cache()
