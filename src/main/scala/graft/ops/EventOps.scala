@@ -412,7 +412,33 @@ object EventOps {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** e05: the date/time scalar surface in one projection — extraction
+    * (year…weekofyear), calendar arithmetic (last_day, add_months,
+    * date_add, month truncation) and day differencing, every function
+    * chosen because its semantics are pinned by the SQL standard /
+    * ISO-8601 in BOTH engines (e.g. weekofyear is ISO in Spark and
+    * DuckDB; dayofweek differs by origin — Spark is 1=Sunday, DuckDB
+    * 0=Sunday — so the oracle shifts by +1 explicitly rather than
+    * pretending they agree). Map-side stateless; the o_orderkey bound
+    * keeps the declared output small. */
+  def datetimeKitchen(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .where(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      .select(col("o_orderkey"), col("d"),
+        year(col("d")).as("y"), quarter(col("d")).as("q"),
+        month(col("d")).as("m"), dayofmonth(col("d")).as("dom"),
+        dayofweek(col("d")).as("dow"), dayofyear(col("d")).as("doy"),
+        weekofyear(col("d")).as("wk"),
+        last_day(col("d")).as("month_end"),
+        add_months(col("d"), 2).as("plus2m"),
+        date_add(col("d"), 45).as("plus45d"),
+        trunc(col("d"), "month").as("month_start"),
+        datediff(col("d"), lit("1995-01-01").cast("date")).as("days_since"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e05_datetime_kitchen" -> (datetimeKitchen _),
     "d15_funnel" -> (funnel _),
     "d16_retention" -> (cohortRetention _),
     "d14_rolling_distinct" -> (rollingDistinct _),
@@ -445,6 +471,25 @@ object EventOps {
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e05_datetime_kitchen" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders WHERE o_orderkey <= 1000)
+        |SELECT o_orderkey, d,
+        |  CAST(date_part('year', d) AS INTEGER) AS y,
+        |  CAST(date_part('quarter', d) AS INTEGER) AS q,
+        |  CAST(date_part('month', d) AS INTEGER) AS m,
+        |  CAST(date_part('day', d) AS INTEGER) AS dom,
+        |  CAST(date_part('dow', d) + 1 AS INTEGER) AS dow,
+        |  CAST(date_part('doy', d) AS INTEGER) AS doy,
+        |  CAST(date_part('week', d) AS INTEGER) AS wk,
+        |  last_day(d) AS month_end,
+        |  CAST(d + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  d + 45 AS plus45d,
+        |  CAST(date_trunc('month', d) AS DATE) AS month_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', d) AS INTEGER)
+        |    AS days_since
+        |FROM o ORDER BY o_orderkey""".stripMargin,
     "d15_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, $duckSecTs AS ts
          |           FROM events),
