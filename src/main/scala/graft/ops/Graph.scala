@@ -133,9 +133,37 @@ object Graph {
       .where(col("n_docs") > 1)
       .orderBy(col("component"))
 
+  /** s08: leakage-safe train/val/test split — the composition of c26
+    * with s01's hash carve, keyed on the COMPONENT representative
+    * instead of the doc_id. Hashing doc_ids (s01) puts near-duplicate
+    * documents on both sides of the train/test fence — exactly the
+    * contamination s06 then measures; hashing the component id instead
+    * assigns every member of a dup group to the SAME split, so no
+    * near-dup pair can straddle the fence (the group-aware splitting
+    * rule every dedup-then-split pipeline needs). A distinct salt
+    * ("comp:") decorrelates this carve from s01's.
+    *
+    * Scale: the split assignment itself is a map-side projection over
+    * the component table — all real cost is c26's, already bounded. */
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashExpressions
+    val bucket = pmod(HashExpressions.fnv1a64(s,
+      concat(lit("comp:"), col("component").cast("string"))), lit(100L))
+    components(s, d)
+      .select(col("doc_id"), col("component"))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("component"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c26_components" -> (components _),
-    "c26_component_stats" -> (componentStats _))
+    "c26_component_stats" -> (componentStats _),
+    "s08_leakage_safe_split" -> (leakageSafeSplit _))
 
   // Recursive-CTE oracle: reach(u,v) = transitive closure of the
   // bidirectional edge set (UNION gives set-semantics termination);
@@ -175,5 +203,23 @@ object Graph {
          |SELECT component, count(*) AS n_docs,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM comp GROUP BY component HAVING count(*) > 1
-         |ORDER BY component""".stripMargin)
+         |ORDER BY component""".stripMargin,
+    "s08_leakage_safe_split" -> {
+      // fnv1a64("comp:" || component) mod 100, split like s01 — fnvFold
+      // is TextOps' HUGEINT mod-2^64 twin, proven on c08/c10/c11/s01.
+      val hs = TextOps.toSigned(TextOps.fnvFold(TextOps.FnvOffU))
+      s"""WITH RECURSIVE $edgeSql,
+         |keyed AS (
+         |  SELECT doc_id, component,
+         |    'comp:' || CAST(component AS VARCHAR) AS t
+         |  FROM comp),
+         |hashed AS (SELECT doc_id, component, $hs AS hsv FROM keyed),
+         |bucketed AS (
+         |  SELECT doc_id, component, ((hsv % 100) + 100) % 100 AS bucket
+         |  FROM hashed)
+         |SELECT doc_id, component,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM bucketed ORDER BY doc_id""".stripMargin
+    })
 }

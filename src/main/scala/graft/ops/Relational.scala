@@ -663,6 +663,37 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** B29: salted two-phase aggregation, DECLARED — the skew-mitigation
+    * rewrite as a first-class operator (SkewSpec asserts the equality
+    * law in tests; this makes it a graded query). A hot group key melts
+    * one reducer; salting fans each group into S sub-groups
+    * (key, hash mod S), partially aggregates — each sub-group lands on
+    * a different reducer — then re-aggregates the S partials per key.
+    * Works for any commutative+associative aggregate; sums go through
+    * lossless DECIMAL so the two-phase reassociation is exact (double
+    * addition would make phase order observable in the last ulp). The
+    * salt is a deterministic hash of a high-cardinality column, not
+    * rand(): retries and both engines see identical sub-groups. With
+    * only 3 group keys on this table, every groupBy here IS the hot-key
+    * case the rewrite exists for. */
+  def saltedAgg(s: SparkSession, d: String): DataFrame = {
+    val S = 8
+    val partial = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_partkey"), lit(S)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(15,2)")).as("p_qty"),
+        sum(col("l_extendedprice").cast("decimal(15,2)")).as("p_price"),
+        count(lit(1)).as("p_n"))
+    partial.groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("p_qty")).cast("double").as("sum_qty"),
+        sum(col("p_price")).cast("double").as("sum_price"),
+        sum(col("p_n")).as("n_rows"),
+        count(lit(1)).as("n_salts"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** B25: MERGE/upsert as a batch operator — the daily-maintenance shape
     * every warehouse needs: a delta of changed+new rows folds into a base
     * table, each output row tagged with the action the merge took
@@ -779,6 +810,7 @@ object Relational {
     "b21_percentile_disc" -> (percentileDisc _),
     "b27_percentile_cont" -> (percentileCont _),
     "b28_mode" -> (modePerGroup _),
+    "b29_salted_agg" -> (saltedAgg _),
     "b22_exists_correlated" -> (existsCorrelated _),
     "b24_regression" -> (regression _),
     "b25_merge_upsert" -> (mergeUpsert _),
@@ -942,6 +974,19 @@ object Relational {
         |  round(CASE WHEN p90_f = 0 THEN p90_lo
         |    ELSE p90_lo + p90_f * (p90_hi - p90_lo) END, 6) AS p90
         |FROM a ORDER BY o_orderpriority""".stripMargin,
+    "b29_salted_agg" ->
+      """WITH p AS (
+        |  SELECT l_returnflag, l_partkey % 8 AS salt,
+        |    sum(CAST(l_quantity AS DECIMAL(15,2))) AS p_qty,
+        |    sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS p_price,
+        |    count(*) AS p_n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  CAST(sum(p_qty) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(p_price) AS DOUBLE) AS sum_price,
+        |  CAST(sum(p_n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_salts
+        |FROM p GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "b28_mode" ->
       """WITH c AS (
         |  SELECT l_returnflag,

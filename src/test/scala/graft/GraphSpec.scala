@@ -41,6 +41,27 @@ class GraphSpec extends SparkSpec {
     comp.unpersist()
   }
 
+  test("leakage-safe split never places a component across splits") {
+    val sp = Graph.leakageSafeSplit(spark, sf0001).cache()
+    assert(sp.count() == Tables.documents(spark, sf0001).count())
+    // the defining property: one split per component
+    val straddling = sp.groupBy("component")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .where(col("n_splits") > 1).count()
+    assert(straddling == 0)
+    // and therefore no near-dup edge crosses the train/test fence
+    val e = Graph.nearDupEdges(spark, sf0001)
+    val lab = sp.select(col("doc_id"), col("split"))
+    val crossing = e
+      .join(lab.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("split", "sa"), "a_id")
+      .join(lab.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("split", "sb"), "b_id")
+      .where(col("sa") =!= col("sb")).count()
+    assert(crossing == 0)
+    sp.unpersist()
+  }
+
   test("fixed point is stable: one more propagation round changes nothing") {
     // Idempotence distinguishes a true fixed point from a bounded-round
     // scheme (c10's 3-round propagation is NOT idempotent in general).

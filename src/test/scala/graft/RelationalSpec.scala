@@ -116,6 +116,22 @@ class RelationalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("salted two-phase aggregation equals the direct aggregate") {
+    import org.apache.spark.sql.functions.{sum, lit}
+    val salted = Relational.saltedAgg(spark, sf0001)
+      .select("l_returnflag", "sum_qty", "sum_price", "n_rows")
+    val direct = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(15,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(15,2)")).cast("double")
+          .as("sum_price"),
+        count(lit(1)).as("n_rows"))
+    assert(salted.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(salted).count() == 0)
+  }
+
   test("all declared relational queries run on sf0.001 and are non-empty") {
     Relational.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
