@@ -694,6 +694,52 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** B31: IGNORE NULLS navigation — `lag(..., ignoreNulls)` and running
+    * `first/last_value` skipping nulls, over a deterministically masked
+    * price column (every third order key reports no price: the
+    * sparse-measurements shape — forward-fill-from-last-reading). Both
+    * engines implement SQL:2011 IGNORE NULLS natively; the mask and the
+    * (date, key) tie-broken ordering make the answer exact. */
+  def ignoreNullsNav(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .where(col("o_orderkey") <= 2000)
+      .withColumn("price_sparse",
+        when(col("o_orderkey") % 3 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")))
+      .select(col("o_orderkey"), col("o_custkey"), col("price_sparse"),
+        lag(col("price_sparse"), 1, null, ignoreNulls = true).over(w)
+          .as("prev_price"),
+        first(col("price_sparse"), ignoreNulls = true).over(running)
+          .as("first_price"),
+        last(col("price_sparse"), ignoreNulls = true).over(running)
+          .as("ffill_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** B32: aggregate FILTER clause — per-aggregate predicates inside one
+    * grouped pass (SQL:2003 FILTER), the idiom that replaces N scans
+    * with one: every conditional count/sum shares the same shuffle and
+    * hash table. Declared through the SQL front end since the DataFrame
+    * DSL spells it `when(...)`; the money sums go through DECIMAL for
+    * order-independent exactness. */
+  def filterClauseAgg(s: SparkSession, d: String): DataFrame = {
+    val lv = s"line_fc_${java.lang.Integer.toHexString(d.hashCode)}"
+    Tables.lineitem(s, d).createOrReplaceTempView(lv)
+    s.sql(
+      s"""SELECT l_returnflag,
+         |  count(*) AS n_all,
+         |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+         |  count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)))
+         |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_revenue,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)))
+         |    FILTER (WHERE l_quantity >= 25) AS DOUBLE) AS bulk_revenue
+         |FROM $lv GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** B25: MERGE/upsert as a batch operator — the daily-maintenance shape
     * every warehouse needs: a delta of changed+new rows folds into a base
     * table, each output row tagged with the action the merge took
@@ -811,6 +857,8 @@ object Relational {
     "b27_percentile_cont" -> (percentileCont _),
     "b28_mode" -> (modePerGroup _),
     "b29_salted_agg" -> (saltedAgg _),
+    "b31_ignore_nulls" -> (ignoreNullsNav _),
+    "b32_filter_clause" -> (filterClauseAgg _),
     "b22_exists_correlated" -> (existsCorrelated _),
     "b24_regression" -> (regression _),
     "b25_merge_upsert" -> (mergeUpsert _),
@@ -974,6 +1022,34 @@ object Relational {
         |  round(CASE WHEN p90_f = 0 THEN p90_lo
         |    ELSE p90_lo + p90_f * (p90_hi - p90_lo) END, 6) AS p90
         |FROM a ORDER BY o_orderpriority""".stripMargin,
+    "b31_ignore_nulls" ->
+      """WITH m AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |         ELSE o_totalprice END AS price_sparse
+        |  FROM orders WHERE o_orderkey <= 2000)
+        |SELECT o_orderkey, o_custkey, price_sparse,
+        |  lag(price_sparse IGNORE NULLS) OVER w AS prev_price,
+        |  first_value(price_sparse IGNORE NULLS) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS first_price,
+        |  last_value(price_sparse IGNORE NULLS) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS ffill_price
+        |FROM m
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
+    "b32_filter_clause" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)))
+        |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)))
+        |    FILTER (WHERE l_quantity >= 25) AS DOUBLE) AS bulk_revenue
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "b29_salted_agg" ->
       """WITH p AS (
         |  SELECT l_returnflag, l_partkey % 8 AS salt,
