@@ -75,10 +75,42 @@ object Graph {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** The fixed point is shared by c26/c26b/s08 through the session cache
+    * (same hygiene as Knn's ranked-neighbor set): the iterative part
+    * runs once per (session, sfDir) and downstream queries reuse it —
+    * exactly how a production pipeline treats its dedup clustering (an
+    * expensive artifact computed once, consumed many times). */
+  private val compCache = new graft.PersistedCache
+
+  /** (doc_id, comp) at the fixed point; lineage truncated so the cache
+    * entry does not pin the per-round intermediates. */
+  private def fixedPoint(s: SparkSession, d: String): DataFrame =
+    compCache.getOrBuild(s, s"cc:$d") {
+      val labels = propagate(s, d)
+      // localCheckpoint materializes the result and CUTS lineage: the
+      // returned plan no longer references the iteration's cached
+      // DataFrames, so they can be unpersisted here, not leaked.
+      val out = labels.localCheckpoint(true)
+      labels.unpersist(blocking = false)
+      out
+    }
+
+  /** Visible for tests: drop the cached fixed points. */
+  private[graft] def clearCache(): Unit = compCache.clear()
+
   /** c26: (doc_id, component, comp_size) for EVERY document — component =
     * min doc_id in the connected component of the τ=0.6 near-dup graph;
     * singletons are their own component. */
   def components(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("component"))
+    fixedPoint(s, d)
+      .select(col("doc_id"), col("comp").as("component"))
+      .withColumn("comp_size", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-label propagation to convergence (see object Scaladoc). */
+  private def propagate(s: SparkSession, d: String): DataFrame = {
     // Bidirectional edge list, hash-partitioned on the probe key and
     // cached once: every propagation round re-joins this exact table, so
     // at scale it is partitioned+persisted and each round's join needs no
@@ -113,13 +145,7 @@ object Graph {
       checksum = nextSum
     }
     bi.unpersist(blocking = false)
-
-    val w = Window.partitionBy(col("component"))
-    val out = labels
-      .select(col("doc_id"), col("comp").as("component"))
-      .withColumn("comp_size", count(lit(1)).over(w))
-      .orderBy(col("doc_id"))
-    out
+    labels
   }
 
   /** c26b: per-component census — the dedup planner's view (how many
