@@ -307,6 +307,58 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** c30: exact MinHash-LSH dedup clusters — c10's band graph taken to
+    * the TRUE fixed point instead of 3 bounded rounds. c10 is the
+    * per-batch production shape (bounded latency, possibly split
+    * clusters on long chains); c30 is the weekly full-corpus
+    * consolidation that must be exact at any diameter. Same alternating
+    * doc→bucket→doc min-label rounds — each round two keyed shuffles of
+    * (id, label) pairs only, the band table built once and reused —
+    * with c26's scalar checksum convergence test (the label sum is a
+    * monotone non-increasing integer). Oracled against a recursive-CTE
+    * closure over the star-reduced hypergraph. */
+  def lshComponents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val bands = Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextHash.minhash_signature(tokens, lit(32)).as("sig"))
+      .select(col("doc_id"),
+        posexplode(TextHash.lsh_bands(col("sig"), lit(4)))
+          .as(Seq("band", "bucket")))
+      .repartition(Tables.parallelism(s), col("band"), col("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cluster = bands.select(col("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var checksum = cluster.agg(sum(col("cluster_id"))).head().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      rounds += 1
+      val bucketMin = bands.join(cluster, "doc_id")
+        .groupBy(col("band"), col("bucket"))
+        .agg(min(col("cluster_id")).as("rep"))
+      val next = bands.join(bucketMin, Seq("band", "bucket"))
+        .groupBy(col("doc_id")).agg(min(col("rep")).as("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = next.agg(sum(col("cluster_id"))).head().getLong(0)
+      cluster.unpersist(blocking = false)
+      cluster = next
+      converged = nextSum == checksum
+      checksum = nextSum
+    }
+    val out = cluster
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+    // materialize before releasing the iteration caches
+    val checkpointed = out.localCheckpoint(true)
+    cluster.unpersist(blocking = false)
+    bands.unpersist(blocking = false)
+    checkpointed
+  }
+
   /** C2-scale (no oracle): SimHash near-dup — 64-bit simhash per doc;
     * same-source pairs within Hamming distance 6.
     *
@@ -761,6 +813,7 @@ object TextOps {
     "c07_token_count" -> (tokenCount _),
     "c08_fingerprint" -> (fingerprint _),
     "c10_minhash_lsh" -> (minhashLsh _),
+    "c30_lsh_components" -> (lshComponents _),
     "c11_simhash" -> (simhashNearDup _),
     "c12_embedding_neardup" -> (embeddingNearDup _),
     "c13_vector_ops" -> (vectorOps _),
@@ -877,7 +930,11 @@ object TextOps {
     * of 8 signature values (full 64-bit xor in signed BIGINT), then the
     * 3 min-label propagation rounds unrolled as CTEs — the same
     * bounded-iteration connected-components the Spark path runs. */
-  private val minhashLshOracle: String = {
+  /** Shared CTE prefix: documents → 32-hash MinHash signatures → 4
+    * folded band buckets per doc (the exact twin of TextHash
+    * minhash_signature + lsh_bands). Used by the c10 oracle and c30's
+    * recursive-closure oracle. */
+  private lazy val lshBandsCte: String = {
     val seedInit = toUnsigned(
       s"xor(CAST($FnvOffS AS BIGINT), CAST(s * $FnvP AS BIGINT))")
     val bandStep = s"(${toUnsigned("xor(h, x)")} * $FnvP) % $M64"
@@ -885,7 +942,7 @@ object TextOps {
       s"""list_reduce(
          |    list_concat([CAST($FnvOffS AS BIGINT)], sigs),
          |    (h, x) -> ${toSigned(bandStep)})""".stripMargin
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
        |  FROM documents),
        |vocab AS (SELECT DISTINCT t FROM tok),
@@ -901,7 +958,11 @@ object TextOps {
        |  SELECT doc_id, i // 8 AS band, list(sv ORDER BY i) AS sigs
        |  FROM sig GROUP BY doc_id, i // 8),
        |bands AS (
-       |  SELECT doc_id, band, $bandFold AS bucket FROM sigl),
+       |  SELECT doc_id, band, $bandFold AS bucket FROM sigl)""".stripMargin
+  }
+
+  private val minhashLshOracle: String =
+    s"""WITH $lshBandsCte,
        |r0 AS (
        |  SELECT b.doc_id, min(rep) AS cluster_id
        |  FROM bands b JOIN (
@@ -923,7 +984,35 @@ object TextOps {
        |SELECT r2.doc_id, r2.cluster_id,
        |  CAST(count(*) OVER (PARTITION BY r2.cluster_id) AS BIGINT) AS cluster_size
        |FROM r2 ORDER BY doc_id""".stripMargin
-  }
+
+  /** c30 twin: exact components of the doc↔(band,bucket) hypergraph via
+    * star reduction — every doc gets an edge to the min doc of each of
+    * its buckets; the transitive closure of those edges has exactly the
+    * hypergraph's components (two docs sharing a bucket both link to its
+    * rep). Same closure shape as c26's oracle. */
+  private val lshComponentsOracle: String =
+    s"""WITH RECURSIVE $lshBandsCte,
+       |star AS (
+       |  SELECT b.doc_id AS u, m.rep AS v
+       |  FROM bands b JOIN (
+       |    SELECT band, bucket, min(doc_id) AS rep FROM bands
+       |    GROUP BY band, bucket) m
+       |  USING (band, bucket)
+       |  WHERE b.doc_id <> m.rep),
+       |bi AS (SELECT u, v FROM star UNION ALL SELECT v, u FROM star),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM bi
+       |  UNION
+       |  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
+       |comp AS (
+       |  SELECT d.doc_id,
+       |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+       |    AS cluster_size
+       |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // DuckDB's native jaro_winkler_similarity IS the reference our
@@ -1044,6 +1133,7 @@ object TextOps {
          |ORDER BY doc_id, chunk_no""".stripMargin,
     "c08_fingerprint" -> winnowOracle,
     "c10_minhash_lsh" -> minhashLshOracle,
+    "c30_lsh_components" -> lshComponentsOracle,
     "c11_simhash" -> simhashOracle,
     // the all-pairs form the prefix-filter join provably equals (the
     // quadratic oracle anchor; the Spark path never enumerates all pairs)

@@ -117,6 +117,32 @@ class TextSpec extends SparkSpec {
     assert(noOracle === Set.empty)
   }
 
+  test("lsh components: idempotent fixed point refining c10's labels") {
+    val fixed = TextOps.lshComponents(spark, sf0001)
+      .select(col("doc_id"), col("cluster_id")).cache()
+    val bounded = TextOps.minhashLsh(spark, sf0001)
+      .select(col("doc_id"), col("cluster_id").as("c10_id"))
+    // min-label propagation only ever lowers labels, so the true fixed
+    // point is pointwise <= any bounded-round approximation
+    val worse = fixed.join(bounded, "doc_id")
+      .where(col("cluster_id") > col("c10_id")).count()
+    assert(worse == 0)
+    // one-hop stability: docs sharing any (band, bucket) share a cluster
+    val bands = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.functions.TextHash.minhash_signature(
+          array_distinct(split(col("text"), " ")), lit(32)).as("sig"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextHash.lsh_bands(col("sig"), lit(4)))
+          .as(Seq("band", "bucket")))
+    val labeled = bands.join(fixed, "doc_id")
+    val splitBuckets = labeled.groupBy(col("band"), col("bucket"))
+      .agg(countDistinct(col("cluster_id")).as("n"))
+      .where(col("n") > 1).count()
+    assert(splitBuckets == 0)
+    fixed.unpersist()
+  }
+
   test("containment pairs superset the jaccard pairs at the same tau") {
     // jac >= 0.9 implies max-containment >= 2*0.9/1.9 > 0.9, so every
     // c02 pair must reappear in c29 — a cross-operator consistency law.
