@@ -279,13 +279,24 @@ object TextOps {
     * candidate pairs / 14 s on sf0.1, vs 5 small shuffles / <1 s for
     * cluster assignment). Pairwise exact near-dup stays available as the
     * oracle-checked c02. */
+  /** The (doc_id, band, bucket) table is the expensive part of every
+    * MinHash query (vocab × 32 hashes); c10, c30 and c31 share it
+    * through the session cache, like Knn's ranked-neighbor set. */
+  private val lshCache = new graft.PersistedCache
+
+  private def lshBandTable(s: SparkSession, d: String): DataFrame =
+    lshCache.getOrBuild(s, s"lsh_bands:$d") {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextHash.minhash_signature(tokens, lit(32)).as("sig"))
+        .select(col("doc_id"),
+          posexplode(TextHash.lsh_bands(col("sig"), lit(4)))
+            .as(Seq("band", "bucket")))
+        .repartition(Tables.parallelism(s), col("band"), col("bucket"))
+    }
+
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), tokens.as("tok"))
-    val sig = docs.select(col("doc_id"),
-      TextHash.minhash_signature(col("tok"), lit(32)).as("sig"))
-    val bands = sig.select(col("doc_id"),
-      posexplode(TextHash.lsh_bands(col("sig"), lit(4))).as(Seq("band", "bucket")))
+    val bands = lshBandTable(s, d)
     // 3 rounds of min-label propagation over the doc↔bucket bipartite
     // graph (bounded-iteration connected components — the standard
     // scalable dedup-clustering loop; each round is two small shuffles).
@@ -317,16 +328,14 @@ object TextOps {
     * with c26's scalar checksum convergence test (the label sum is a
     * monotone non-increasing integer). Oracled against a recursive-CTE
     * closure over the star-reduced hypergraph. */
-  def lshComponents(s: SparkSession, d: String): DataFrame = {
+  def lshComponents(s: SparkSession, d: String): DataFrame =
+    lshCache.getOrBuild(s, s"lsh_fixed_point:$d") {
+      lshComponentsUncached(s, d)
+    }
+
+  private def lshComponentsUncached(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val bands = Tables.documents(s, d)
-      .select(col("doc_id"),
-        TextHash.minhash_signature(tokens, lit(32)).as("sig"))
-      .select(col("doc_id"),
-        posexplode(TextHash.lsh_bands(col("sig"), lit(4)))
-          .as(Seq("band", "bucket")))
-      .repartition(Tables.parallelism(s), col("band"), col("bucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = lshBandTable(s, d)
     var cluster = bands.select(col("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -352,12 +361,30 @@ object TextOps {
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
-    // materialize before releasing the iteration caches
+    // materialize before releasing the iteration caches (the band table
+    // is cache-owned and stays persisted for the sibling queries)
     val checkpointed = out.localCheckpoint(true)
     cluster.unpersist(blocking = false)
-    bands.unpersist(blocking = false)
     checkpointed
   }
+
+  /** c31: the deduplicated corpus — the operator a user actually runs:
+    * one canonical representative per exact-LSH cluster (the cluster's
+    * min doc_id, i.e. doc_id == cluster_id at c30's fixed point), with
+    * its metadata and how many near-dups it absorbed. Detect (c02…) →
+    * cluster (c30) → THIS keep-list → split (s08) is the full curation
+    * arc; downstream consumers read this instead of re-deriving dedup
+    * decisions. Cost beyond the shared fixed point: one broadcast-sized
+    * join to re-attach metadata. */
+  def dedupCorpus(s: SparkSession, d: String): DataFrame =
+    lshComponents(s, d)
+      .where(col("doc_id") === col("cluster_id"))
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        (col("cluster_size") - 1).as("n_dups_absorbed"))
+      .orderBy(col("doc_id"))
 
   /** C2-scale (no oracle): SimHash near-dup — 64-bit simhash per doc;
     * same-source pairs within Hamming distance 6.
@@ -814,6 +841,7 @@ object TextOps {
     "c08_fingerprint" -> (fingerprint _),
     "c10_minhash_lsh" -> (minhashLsh _),
     "c30_lsh_components" -> (lshComponents _),
+    "c31_dedup_corpus" -> (dedupCorpus _),
     "c11_simhash" -> (simhashNearDup _),
     "c12_embedding_neardup" -> (embeddingNearDup _),
     "c13_vector_ops" -> (vectorOps _),
@@ -1134,6 +1162,34 @@ object TextOps {
     "c08_fingerprint" -> winnowOracle,
     "c10_minhash_lsh" -> minhashLshOracle,
     "c30_lsh_components" -> lshComponentsOracle,
+    "c31_dedup_corpus" ->
+      s"""WITH RECURSIVE $lshBandsCte,
+         |star AS (
+         |  SELECT b.doc_id AS u, m.rep AS v
+         |  FROM bands b JOIN (
+         |    SELECT band, bucket, min(doc_id) AS rep FROM bands
+         |    GROUP BY band, bucket) m
+         |  USING (band, bucket)
+         |  WHERE b.doc_id <> m.rep),
+         |bi AS (SELECT u, v FROM star UNION ALL SELECT v, u FROM star),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM bi
+         |  UNION
+         |  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
+         |comp AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+         |  GROUP BY d.doc_id),
+         |sized AS (
+         |  SELECT doc_id, cluster_id,
+         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |  FROM comp)
+         |SELECT s.doc_id, d.lang, d.source, d.n_chars,
+         |  CAST(s.cluster_size - 1 AS BIGINT) AS n_dups_absorbed
+         |FROM sized s JOIN documents d USING (doc_id)
+         |WHERE s.doc_id = s.cluster_id
+         |ORDER BY s.doc_id""".stripMargin,
     "c11_simhash" -> simhashOracle,
     // the all-pairs form the prefix-filter join provably equals (the
     // quadratic oracle anchor; the Spark path never enumerates all pairs)
