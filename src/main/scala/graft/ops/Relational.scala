@@ -740,6 +740,40 @@ object Relational {
          |FROM $lv GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** B33: higher-moment aggregates — skewness and excess kurtosis per
+    * group, from EXACT integer power sums (l_quantity is integral 1-50,
+    * so Σq..Σq⁴ are exact BIGINTs; Σq⁴ ≤ 6.25e6·n stays far inside
+    * int64 at any realistic group size). Native `skewness`/`kurtosis`
+    * are order-dependent streaming one-pass estimates — not
+    * hash-comparable across engines; the raw-sum formulation is
+    * order-independent by construction, and the float stage is a single
+    * FIXED sequence of IEEE ops both engines evaluate identically
+    * (b24_regression's discipline, one moment higher). Map-side partial
+    * aggregation of five integer sums; no second pass. */
+  def higherMoments(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    val agg = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("s1"), sum(q * q).as("s2"),
+        sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+    val n = col("n").cast("double")
+    val m = col("s1").cast("double") / n
+    val a2 = col("s2").cast("double") / n
+    val a3 = col("s3").cast("double") / n
+    val a4 = col("s4").cast("double") / n
+    val v = a2 - m * m
+    val m3 = a3 - lit(3) * m * a2 + lit(2) * m * m * m
+    val m4 = a4 - lit(4) * m * a3 + lit(6) * m * m * a2 -
+      lit(3) * m * m * m * m
+    agg.select(col("l_returnflag"), col("n"),
+        round(m, 6).as("mean_qty"),
+        round(v, 6).as("var_qty"),
+        round(m3 / (v * sqrt(v)), 6).as("skewness"),
+        round(m4 / (v * v) - 3, 6).as("excess_kurtosis"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** B25: MERGE/upsert as a batch operator — the daily-maintenance shape
     * every warehouse needs: a delta of changed+new rows folds into a base
     * table, each output row tagged with the action the merge took
@@ -859,6 +893,7 @@ object Relational {
     "b29_salted_agg" -> (saltedAgg _),
     "b31_ignore_nulls" -> (ignoreNullsNav _),
     "b32_filter_clause" -> (filterClauseAgg _),
+    "b33_higher_moments" -> (higherMoments _),
     "b22_exists_correlated" -> (existsCorrelated _),
     "b24_regression" -> (regression _),
     "b25_merge_upsert" -> (mergeUpsert _),
@@ -1022,6 +1057,34 @@ object Relational {
         |  round(CASE WHEN p90_f = 0 THEN p90_lo
         |    ELSE p90_lo + p90_f * (p90_hi - p90_lo) END, 6) AS p90
         |FROM a ORDER BY o_orderpriority""".stripMargin,
+    "b33_higher_moments" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s1,
+        |    CAST(sum(q*q) AS BIGINT) AS s2,
+        |    CAST(sum(q*q*q) AS BIGINT) AS s3,
+        |    CAST(sum(q*q*q*q) AS BIGINT) AS s4
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag),
+        |f AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS a2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS a3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS a4
+        |  FROM a),
+        |g AS (
+        |  SELECT l_returnflag, n, m, a2 - m * m AS v,
+        |    a3 - 3 * m * a2 + 2 * m * m * m AS m3,
+        |    a4 - 4 * m * a3 + 6 * m * m * a2 - 3 * m * m * m * m AS m4
+        |  FROM f)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(m, 6) AS mean_qty,
+        |  round(v, 6) AS var_qty,
+        |  round(m3 / (v * sqrt(v)), 6) AS skewness,
+        |  round(m4 / (v * v) - 3, 6) AS excess_kurtosis
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     "b31_ignore_nulls" ->
       """WITH m AS (
         |  SELECT o_orderkey, o_custkey, o_orderdate,

@@ -132,6 +132,21 @@ class RelationalSpec extends SparkSpec {
     assert(direct.exceptAll(salted).count() == 0)
   }
 
+  test("higher moments match the analytic shape of uniform quantities") {
+    // l_quantity is ~uniform over 1..50 ⇒ skewness ≈ 0 and excess
+    // kurtosis ≈ -1.2 (exactly -6/5·(n²+1)/(n²-1) for discrete uniform);
+    // wide tolerances because sf0.001 groups are small samples
+    val rows = Relational.higherMoments(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, skew, kurt) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(v > 100 && v < 350, s"var $v")        // uniform(1,50) ⇒ ~208
+      assert(math.abs(skew) < 0.5, s"skew $skew")
+      assert(kurt > -1.6 && kurt < -0.6, s"kurt $kurt")
+    }
+  }
+
   test("all declared relational queries run on sf0.001 and are non-empty") {
     Relational.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
