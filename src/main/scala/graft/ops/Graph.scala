@@ -53,27 +53,13 @@ object Graph {
   /** Looser than c02's 0.9 so components are multi-hop (see Scaladoc). */
   val CcTau = 0.6
 
-  private def tokens = array_distinct(split(col("text"), " "))
-
-  /** Undirected near-dup edge list (a_id < b_id), c02's candidate scheme
-    * at [[CcTau]]. */
-  private[graft] def nearDupEdges(s: SparkSession, d: String): DataFrame = {
-    val t = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), tokens.as("tok"))
-      .withColumn("n_tok", size(col("tok")))
-      .repartition(Tables.parallelism(s), col("source"))
-    val a = t.select(col("doc_id").as("a_id"), col("source"),
-      col("tok").as("a_tok"), col("n_tok").as("a_n"))
-    val b = t.select(col("doc_id").as("b_id"), col("source").as("b_source"),
-      col("tok").as("b_tok"), col("n_tok").as("b_n"))
-    a.join(b, col("source") === col("b_source") && col("a_id") < col("b_id") &&
-        col("a_n") >= col("b_n") * CcTau && col("b_n") >= col("a_n") * CcTau)
-      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
-      .agg(max(size(array_intersect(col("a_tok"), col("b_tok")))).as("inter"))
+  /** Undirected near-dup edge list (a_id < b_id) — c02's candidate
+    * scaffold ([[TextOps.blockedPairs]]) at [[CcTau]]. */
+  private[graft] def nearDupEdges(s: SparkSession, d: String): DataFrame =
+    TextOps.blockedPairs(s, d, Some(CcTau))
       .where(col("inter").cast("double") /
         (col("a_n") + col("b_n") - col("inter")) >= CcTau)
       .select(col("a_id"), col("b_id"))
-  }
 
   /** The fixed point is shared by c26/c26b/s08 through the session cache
     * (same hygiene as Knn's ranked-neighbor set): the iterative part
@@ -145,6 +131,13 @@ object Graph {
       checksum = nextSum
     }
     bi.unpersist(blocking = false)
+    // The docstring promises a TRUE fixed point (s08's no-leak law and
+    // the oracle both depend on it) — returning unconverged labels
+    // silently would be the worst failure mode, so fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"components: no fixed point after $rounds rounds (graph diameter " +
+          "exceeds the cap — raise it or switch to large-star/small-star)")
     labels
   }
 

@@ -55,9 +55,22 @@ object TextOps {
     * `source`. |A∪B| is computed as |A|+|B|-|A∩B| (pure integers; the
     * single double division is engine-identical). */
   val JaccardTau = 0.9
-  def jaccardNearDup(s: SparkSession, d: String): DataFrame = {
-    // repartition = an exchange that materializes the token arrays once;
-    // without it Catalyst re-evaluates split+distinct per joined pair.
+  /** Shared source-blocked pair scaffold for every token-set similarity
+    * join (c02 Jaccard, c29 containment, c26's edge generation): same-
+    * source pairs (a_id < b_id) with token counts and the exact
+    * intersection size, evaluated ONCE per pair.
+    *
+    *  - repartition = an exchange that materializes the token arrays
+    *    once; without it Catalyst re-evaluates split+distinct per pair.
+    *  - `lengthTau = Some(τ)` installs the standard similarity-join
+    *    length filter (jac >= τ forces τ·|B| <= |A| <= |B|/τ) so
+    *    size-incompatible pairs never pay for an intersection; callers
+    *    whose measure permits any size ratio (containment) pass None.
+    *  - the pass-through aggregate is a barrier that evaluates the
+    *    (expensive) array_intersect exactly once per pair; a plain
+    *    Filter+Project would re-expand it at each reference. */
+  private[graft] def blockedPairs(
+      s: SparkSession, d: String, lengthTau: Option[Double]): DataFrame = {
     val t = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), tokens.as("tok"))
       .withColumn("n_tok", size(col("tok")))
@@ -66,23 +79,23 @@ object TextOps {
       col("tok").as("a_tok"), col("n_tok").as("a_n"))
     val b = t.select(col("doc_id").as("b_id"), col("source").as("b_source"),
       col("tok").as("b_tok"), col("n_tok").as("b_n"))
-    // Length filter (standard similarity-join pruning): jac >= τ forces
-    // τ·|B| <= |A| <= |B|/τ, so size-incompatible pairs never pay for an
-    // intersection. Present in the oracle too — it cannot change results.
-    a.join(b, col("source") === col("b_source") && col("a_id") < col("b_id") &&
-        col("a_n") >= col("b_n") * JaccardTau &&
-        col("b_n") >= col("a_n") * JaccardTau)
-      // pass-through aggregate = a barrier that evaluates the (expensive)
-      // intersection exactly once per pair; a plain Filter+Project would
-      // re-expand the array_intersect expression at each reference.
+    val sizeCompatible = lengthTau
+      .map(tau => col("a_n") >= col("b_n") * tau &&
+        col("b_n") >= col("a_n") * tau)
+      .getOrElse(lit(true))
+    a.join(b, col("source") === col("b_source") &&
+        col("a_id") < col("b_id") && sizeCompatible)
       .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
       .agg(max(size(array_intersect(col("a_tok"), col("b_tok")))).as("inter"))
+  }
+
+  def jaccardNearDup(s: SparkSession, d: String): DataFrame =
+    blockedPairs(s, d, Some(JaccardTau))
       .withColumn("jac", col("inter").cast("double") /
         (col("a_n") + col("b_n") - col("inter")))
       .where(col("jac") >= JaccardTau)
       .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   /** C2-ngram: character-shingle (8-gram) Jaccard near-dup, GLOBALLY
     * exact via prefix filtering (AllPairs/PPJoin candidate generation) —
@@ -336,7 +349,10 @@ object TextOps {
   private def lshComponentsUncached(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val bands = lshBandTable(s, d)
-    var cluster = bands.select(col("doc_id")).distinct()
+    // Label universe = ALL documents (matching the oracle's LEFT JOIN):
+    // a doc producing no band rows (e.g. null text) must still appear
+    // as its own singleton cluster, not vanish from the output.
+    var cluster = Tables.documents(s, d).select(col("doc_id"))
       .withColumn("cluster_id", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var checksum = cluster.agg(sum(col("cluster_id"))).head().getLong(0)
@@ -347,8 +363,12 @@ object TextOps {
       val bucketMin = bands.join(cluster, "doc_id")
         .groupBy(col("band"), col("bucket"))
         .agg(min(col("cluster_id")).as("rep"))
-      val next = bands.join(bucketMin, Seq("band", "bucket"))
-        .groupBy(col("doc_id")).agg(min(col("rep")).as("cluster_id"))
+      val nbrMin = bands.join(bucketMin, Seq("band", "bucket"))
+        .groupBy(col("doc_id")).agg(min(col("rep")).as("nbr_min"))
+      val next = cluster.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nextSum = next.agg(sum(col("cluster_id"))).head().getLong(0)
       cluster.unpersist(blocking = false)
@@ -356,6 +376,9 @@ object TextOps {
       converged = nextSum == checksum
       checksum = nextSum
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"lshComponents: no fixed point after $rounds rounds")
     val out = cluster
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -723,9 +746,15 @@ object TextOps {
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n_tok"),
         size(array_distinct(col("toks"))).as("n_tok_distinct"),
-        transform(sequence(lit(0), size(col("toks")) - 2),
-          i => concat_ws(" ", element_at(col("toks"), i + lit(1)),
-            element_at(col("toks"), i + lit(2)))).as("bgs"))
+        // sequence(a, b) DESCENDS when b < a, so a 1-token doc would
+        // evaluate element_at(toks, 0) and crash — guard exactly as
+        // s06 does (the oracle's range() is empty for the same doc, so
+        // both engines drop bigram-less docs at the later inner join)
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i + lit(1)),
+              element_at(col("toks"), i + lit(2)))))
+          .otherwise(array().cast("array<string>")).as("bgs"))
     val bg = uni.select(col("doc_id"), explode(col("bgs")).as("bg"))
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
@@ -796,18 +825,8 @@ object TextOps {
     * c17, is the sound tightening; the re-check here is already exact).
     * Same barrier trick as c02: the intersection evaluates once per
     * pair behind a pass-through aggregate. */
-  def containmentNearDup(s: SparkSession, d: String): DataFrame = {
-    val t = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), tokens.as("tok"))
-      .withColumn("n_tok", size(col("tok")))
-      .repartition(Tables.parallelism(s), col("source"))
-    val a = t.select(col("doc_id").as("a_id"), col("source"),
-      col("tok").as("a_tok"), col("n_tok").as("a_n"))
-    val b = t.select(col("doc_id").as("b_id"), col("source").as("b_source"),
-      col("tok").as("b_tok"), col("n_tok").as("b_n"))
-    a.join(b, col("source") === col("b_source") && col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
-      .agg(max(size(array_intersect(col("a_tok"), col("b_tok")))).as("inter"))
+  def containmentNearDup(s: SparkSession, d: String): DataFrame =
+    blockedPairs(s, d, None)
       .withColumn("cont_a", col("inter").cast("double") / col("a_n"))
       .withColumn("cont_b", col("inter").cast("double") / col("b_n"))
       .where(greatest(col("cont_a"), col("cont_b")) >= ContainTau)
@@ -815,7 +834,6 @@ object TextOps {
         round(col("cont_a"), 6).as("cont_a"),
         round(col("cont_b"), 6).as("cont_b"))
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c29_containment" -> (containmentNearDup _),
@@ -1013,13 +1031,14 @@ object TextOps {
        |  CAST(count(*) OVER (PARTITION BY r2.cluster_id) AS BIGINT) AS cluster_size
        |FROM r2 ORDER BY doc_id""".stripMargin
 
-  /** c30 twin: exact components of the doc↔(band,bucket) hypergraph via
-    * star reduction — every doc gets an edge to the min doc of each of
-    * its buckets; the transitive closure of those edges has exactly the
-    * hypergraph's components (two docs sharing a bucket both link to its
-    * rep). Same closure shape as c26's oracle. */
-  private val lshComponentsOracle: String =
-    s"""WITH RECURSIVE $lshBandsCte,
+  /** Closure CTE over the star-reduced band hypergraph, shared by the
+    * c30 and c31 oracles: every doc gets an edge to the min doc of each
+    * of its buckets; the transitive closure of those edges has exactly
+    * the hypergraph's components (two docs sharing a bucket both link
+    * to its rep). Same closure shape as c26's oracle. Ends at `sized`
+    * (doc_id, cluster_id, cluster_size). */
+  private lazy val lshClosureCte: String =
+    s"""$lshBandsCte,
        |star AS (
        |  SELECT b.doc_id AS u, m.rep AS v
        |  FROM bands b JOIN (
@@ -1036,11 +1055,17 @@ object TextOps {
        |  SELECT d.doc_id,
        |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
        |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
-       |  GROUP BY d.doc_id)
+       |  GROUP BY d.doc_id),
+       |sized AS (
+       |  SELECT doc_id, cluster_id,
+       |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM comp)""".stripMargin
+
+  private val lshComponentsOracle: String =
+    s"""WITH RECURSIVE $lshClosureCte
        |SELECT doc_id, cluster_id,
-       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
-       |    AS cluster_size
-       |FROM comp ORDER BY doc_id""".stripMargin
+       |  CAST(cluster_size AS BIGINT) AS cluster_size
+       |FROM sized ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // DuckDB's native jaro_winkler_similarity IS the reference our
@@ -1163,28 +1188,7 @@ object TextOps {
     "c10_minhash_lsh" -> minhashLshOracle,
     "c30_lsh_components" -> lshComponentsOracle,
     "c31_dedup_corpus" ->
-      s"""WITH RECURSIVE $lshBandsCte,
-         |star AS (
-         |  SELECT b.doc_id AS u, m.rep AS v
-         |  FROM bands b JOIN (
-         |    SELECT band, bucket, min(doc_id) AS rep FROM bands
-         |    GROUP BY band, bucket) m
-         |  USING (band, bucket)
-         |  WHERE b.doc_id <> m.rep),
-         |bi AS (SELECT u, v FROM star UNION ALL SELECT v, u FROM star),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM bi
-         |  UNION
-         |  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
-         |comp AS (
-         |  SELECT d.doc_id,
-         |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
-         |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
-         |  GROUP BY d.doc_id),
-         |sized AS (
-         |  SELECT doc_id, cluster_id,
-         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-         |  FROM comp)
+      s"""WITH RECURSIVE $lshClosureCte
          |SELECT s.doc_id, d.lang, d.source, d.n_chars,
          |  CAST(s.cluster_size - 1 AS BIGINT) AS n_dups_absorbed
          |FROM sized s JOIN documents d USING (doc_id)

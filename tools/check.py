@@ -81,13 +81,14 @@ def fresh_con(sf):
     later query runs on. Views over parquet are lazy, so per-query
     setup costs ~nothing."""
     con = duckdb.connect()
-    # small limits: DuckDB's defaults (threads = ncpu = 32, memory
-    # target 80% of RAM) are tuned for a machine it doesn't share. This
-    # host is co-loaded (VM memory is not always backable even when
-    # /proc/meminfo says free), so keep the footprint minimal — sf0.01
-    # oracles need well under 4G.
+    # modest limits: DuckDB's defaults (threads = ncpu = 32, memory
+    # target 80% of RAM) are tuned for a machine it doesn't share. 12GB
+    # keeps sf0.1 oracle headroom (a genuinely over-limit query would
+    # otherwise burn the retry loop's full backoff before FAILing);
+    # threads stay low because the co-loaded host refuses allocation
+    # bursts, and fewer threads touch less memory at once.
     con.execute("SET threads = 4")
-    con.execute("SET memory_limit = '4GB'")
+    con.execute("SET memory_limit = '12GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     return con
