@@ -437,7 +437,50 @@ object EventOps {
         datediff(col("d"), lit("1995-01-01").cast("date")).as("days_since"))
       .orderBy(col("o_orderkey"))
 
+  /** d17: windowed top-k — the top-3 most active users inside each
+    * 1-hour tumbling window: the "trending now" composition of time
+    * bucketing with per-group ranking. One shuffle to the (hour, user)
+    * partial counts, one window pass per hour bucket; WindowGroupLimit
+    * keeps only k rows per hour below the exchange at scale. */
+  def windowTopk(s: SparkSession, d: String): DataFrame = {
+    val hour = date_trunc("hour", col("ts")).as("hour")
+    val counts = Tables.events(s, d)
+      .groupBy(hour, col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("hour"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .orderBy(col("hour"), col("rk"))
+  }
+
+  /** d18: activity streaks — the longest run of CONSECUTIVE active days
+    * per user, by the classic gaps-and-islands rewrite: over each
+    * user's distinct active days in order, `day − row_number()` is
+    * constant exactly within a consecutive run, so grouping by that
+    * anchor yields the islands in two keyed aggregations and one window
+    * — no self-join, no iteration. Every shuffle keys on user_id. */
+  def activityStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    days
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"),
+        min(col("day")).as("streak_start"), max(col("day")).as("streak_end"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        max(struct(col("len"), col("streak_start"))).getField("streak_start")
+          .as("best_start"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_window_topk" -> (windowTopk _),
+    "d18_streaks" -> (activityStreaks _),
     "e05_datetime_kitchen" -> (datetimeKitchen _),
     "d15_funnel" -> (funnel _),
     "d16_retention" -> (cohortRetention _),
@@ -471,6 +514,41 @@ object EventOps {
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d17_window_topk" ->
+      s"""WITH e AS (SELECT date_trunc('hour', $duckSecTs) AS hour, user_id
+         |           FROM events),
+         |c AS (SELECT hour, user_id, count(*) AS n_events
+         |      FROM e GROUP BY 1, 2),
+         |r AS (SELECT hour, user_id, n_events, row_number() OVER (
+         |        PARTITION BY hour ORDER BY n_events DESC, user_id ASC)
+         |        AS rk
+         |      FROM c)
+         |SELECT hour, user_id, CAST(n_events AS BIGINT) AS n_events,
+         |  CAST(rk AS INTEGER) AS rk
+         |FROM r WHERE rk <= 3 ORDER BY hour, rk""".stripMargin,
+    "d18_streaks" ->
+      s"""WITH days AS (
+         |  SELECT DISTINCT user_id, CAST($duckSecTs AS DATE) AS day
+         |  FROM events),
+         |g AS (SELECT user_id, day,
+         |        day - CAST(row_number() OVER (
+         |          PARTITION BY user_id ORDER BY day ASC) AS INTEGER)
+         |          AS anchor
+         |      FROM days),
+         |i AS (SELECT user_id, anchor, count(*) AS len,
+         |        min(day) AS streak_start, max(day) AS streak_end
+         |      FROM g GROUP BY 1, 2),
+         |r AS (SELECT user_id, streak_start, row_number() OVER (
+         |        PARTITION BY user_id
+         |        ORDER BY len DESC, streak_start DESC) AS rn
+         |      FROM i),
+         |a AS (SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+         |        CAST(count(*) AS BIGINT) AS n_streaks
+         |      FROM i GROUP BY user_id)
+         |SELECT a.user_id, a.longest_streak, a.n_streaks,
+         |  r.streak_start AS best_start
+         |FROM a JOIN r ON a.user_id = r.user_id AND r.rn = 1
+         |ORDER BY a.user_id""".stripMargin,
     "e05_datetime_kitchen" ->
       """WITH o AS (
         |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
