@@ -93,6 +93,47 @@ object Knn {
         .as("accuracy"))
   }
 
+  /** A6-sweep: leave-one-out accuracy for k ∈ {1,3,5,10} from ONE
+    * ranked-neighbor pass — the hyperparameter sweep the reference's
+    * coursework would run as four separate jobs. The O(m·n) pair scan
+    * and the rank window are shared (session cache); each k is then a
+    * cheap re-aggregation of the same ≤10-row-per-query set, so
+    * sweeping k costs four tiny aggregates, not four corpus scans. */
+  def knnKSweep(s: SparkSession, d: String): DataFrame = {
+    val truth = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val ranked = topkRankedShared(s, d)
+    val perK = Seq(1, 3, 5, 10).map { k =>
+      val votes = ranked.where(col("rnk") <= k)
+        .groupBy(col("qid"), col("clabel")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("n").desc, col("clabel").asc)
+      votes.withColumn("vr", row_number().over(w)).where(col("vr") === 1)
+        .select(col("qid"), col("clabel").as("pred"))
+        .join(truth, col("qid") === col("vec_id"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(when(col("pred") === col("label"), 1.0).otherwise(0.0)), 6)
+            .as("accuracy"))
+        .select(lit(k).as("k"), col("n_queries"), col("accuracy"))
+    }
+    perK.reduce(_.unionAll(_)).orderBy(col("k"))
+  }
+
+  /** A5-regression: the k-NN REGRESSOR sibling of the classifier —
+    * predict each query's numeric target as the mean of its k
+    * neighbors' labels (labels are small ints, so sum is exact and the
+    * one division is engine-identical), with the per-query absolute
+    * error against the held-out true label. Same shared ranked set. */
+  def knnRegression(s: SparkSession, d: String): DataFrame = {
+    val truth = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    topkRankedShared(s, d)
+      .groupBy(col("qid"))
+      .agg((sum(col("clabel")).cast("double") / count(lit(1))).as("pred"))
+      .join(truth, col("qid") === col("vec_id"))
+      .select(col("qid"), round(col("pred"), 6).as("pred"),
+        round(abs(col("pred") - col("label")), 6).as("abs_err"))
+      .orderBy(col("qid"))
+  }
+
   /** A8: radius / threshold similarity join — all pairs closer than tau.
     * With ~random 64-d vectors cosine distance concentrates near 1, so a
     * small tau keeps the output to the genuinely-near pairs. */
@@ -246,6 +287,8 @@ object Knn {
     "knn_topk" -> (knnTopk _),
     "knn_classify" -> (knnClassify _),
     "knn_accuracy" -> (knnAccuracy _),
+    "knn_ksweep" -> (knnKSweep _),
+    "knn_regression" -> (knnRegression _),
     "knn_radius" -> (knnRadius _),
     "knn_topk_l2" -> (knnTopkL2 _),
   )
@@ -370,6 +413,41 @@ object Knn {
          |SELECT round(avg(CASE WHEN p.pred = e.label THEN 1.0 ELSE 0.0 END), 6)
          |  AS accuracy
          |FROM pred p JOIN embeddings e ON p.qid = e.vec_id""".stripMargin,
+    "knn_ksweep" -> {
+      val perK = Seq(1, 3, 5, 10).map { k =>
+        s"""v$k AS (SELECT qid, clabel, count(*) AS n
+           |  FROM ranked WHERE rnk <= $k GROUP BY qid, clabel),
+           |p$k AS (SELECT qid, clabel AS pred FROM (
+           |  SELECT qid, clabel,
+           |    row_number() OVER (PARTITION BY qid ORDER BY n DESC, clabel ASC)
+           |      AS vr
+           |  FROM v$k) WHERE vr = 1),
+           |a$k AS (SELECT $k AS k, CAST(count(*) AS BIGINT) AS n_queries,
+           |  round(avg(CASE WHEN p.pred = e.label THEN 1.0 ELSE 0.0 END), 6)
+           |    AS accuracy
+           |  FROM p$k p JOIN embeddings e ON p.qid = e.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val union = Seq(1, 3, 5, 10).map(k => s"SELECT * FROM a$k")
+        .mkString(" UNION ALL ")
+      s"""WITH pairs AS ($cosPairs),
+         |ranked AS (SELECT qid, cid, clabel, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rnk
+         |  FROM pairs),
+         |$perK
+         |$union ORDER BY k""".stripMargin
+    },
+    "knn_regression" ->
+      s"""WITH pairs AS ($cosPairs),
+         |ranked AS (SELECT qid, cid, clabel, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rnk
+         |  FROM pairs),
+         |agg AS (SELECT qid,
+         |    CAST(sum(clabel) AS DOUBLE) / count(*) AS pred
+         |  FROM ranked WHERE rnk <= $K GROUP BY qid)
+         |SELECT a.qid, round(a.pred, 6) AS pred,
+         |  round(abs(a.pred - e.label), 6) AS abs_err
+         |FROM agg a JOIN embeddings e ON a.qid = e.vec_id
+         |ORDER BY a.qid""".stripMargin,
     "knn_radius" ->
       s"""WITH pairs AS ($cosPairs)
          |SELECT qid, cid, round(dist, 6) AS dist FROM pairs
