@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Knn.queries ++ ops.Relational.queries ++ ops.TextOps.queries ++
       ops.EventOps.queries ++ ops.Ann.queries ++ ops.Multimodal.queries ++
-      ops.Sampling.queries ++ ops.Pipeline.queries ++ ops.Graph.queries
+      ops.Sampling.queries ++ ops.Pipeline.queries ++ ops.Graph.queries ++
+      ops.Quality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Knn.oracles ++ ops.Relational.oracles ++ ops.TextOps.oracles ++
       ops.EventOps.oracles ++ ops.Ann.oracles ++ ops.Multimodal.oracles ++
-      ops.Sampling.oracles ++ ops.Pipeline.oracles ++ ops.Graph.oracles
+      ops.Sampling.oracles ++ ops.Pipeline.oracles ++ ops.Graph.oracles ++
+      ops.Quality.oracles
 }
