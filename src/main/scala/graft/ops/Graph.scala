@@ -101,13 +101,22 @@ object Graph {
     // cached once: every propagation round re-joins this exact table, so
     // at scale it is partitioned+persisted and each round's join needs no
     // re-shuffle of the (big) edge side.
+    // Bidirectional edges PLUS a self-loop per document. The self-loops
+    // make the round update a single aggregate over one join — every
+    // vertex receives its own label through its self-loop, so no
+    // least/coalesce against the previous labels table is needed. That
+    // keeps each round's plan referencing `labels` exactly ONCE: a
+    // least(own, nbrMin) form references it twice, doubling the
+    // logical-plan size every round (measured 3.5 s -> 18 s on the c30
+    // sibling loop: Catalyst re-analysis, not execution, dominated).
     val bi0 = nearDupEdges(s, d)
+    val docs = Tables.documents(s, d).select(col("doc_id"))
     val bi = bi0.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(bi0.select(col("b_id").as("u"), col("a_id").as("v")))
+      .unionAll(docs.select(col("doc_id").as("u"), col("doc_id").as("v")))
       .repartition(Tables.parallelism(s), col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val docs = Tables.documents(s, d).select(col("doc_id"))
     var labels = docs.withColumn("comp", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Monotone non-increasing integer invariant: changed ⇔ sum drops.
@@ -117,12 +126,11 @@ object Graph {
     var rounds = 0
     while (!converged && rounds < 64) {
       rounds += 1
-      // min label among neighbors (edge (u,v) contributes label(v) to u)
-      val nbrMin = bi.join(labels, bi("v") === labels("doc_id"))
-        .groupBy(col("u")).agg(min(col("comp")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
-        .select(labels("doc_id"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+      // min label among neighbors incl. self (edge (u,v) contributes
+      // label(v) to u; the self-loop contributes u's own label)
+      val next = bi.join(labels, bi("v") === labels("doc_id"))
+        .groupBy(col("u")).agg(min(col("comp")).as("comp"))
+        .withColumnRenamed("u", "doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nextSum = next.agg(sum(col("comp"))).head().getLong(0)
       labels.unpersist(blocking = false)
