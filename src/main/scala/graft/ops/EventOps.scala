@@ -27,7 +27,7 @@ object EventOps {
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
   // DuckDB twin of Tables.events' second-floored timestamp.
-  private val duckSecTs = "make_timestamp((epoch_ns(ts) // 1000000000) * 1000000)"
+  private[ops] val duckSecTs = "make_timestamp((epoch_ns(ts) // 1000000000) * 1000000)"
   private val decValue = "CAST(value AS DECIMAL(9,2))" // values are exact 2-dp
 
   /** D1: tumbling 1-hour window per event type. */

@@ -120,7 +120,12 @@ object Graph {
     var labels = docs.withColumn("comp", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Monotone non-increasing integer invariant: changed ⇔ sum drops.
-    var checksum = labels.agg(sum(col("comp"))).head().getLong(0)
+    // Null-safe: sum over an empty table (empty corpus) is NULL.
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("comp"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var checksum = labelSum(labels)
     var converged = false
     // Hard cap = diameter can't exceed |V|; in practice single digits.
     var rounds = 0
@@ -132,7 +137,7 @@ object Graph {
         .groupBy(col("u")).agg(min(col("comp")).as("comp"))
         .withColumnRenamed("u", "doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(sum(col("comp"))).head().getLong(0)
+      val nextSum = labelSum(next)
       labels.unpersist(blocking = false)
       labels = next
       converged = nextSum == checksum

@@ -76,22 +76,33 @@ object Knn {
 
   /** A1→A5: classify every embedding by majority vote of its 10 nearest
     * (leave-one-out); vote ties break to the smallest label. */
-  def knnClassify(s: SparkSession, d: String): DataFrame = {
-    val votes = topkRankedShared(s, d).groupBy(col("qid"), col("clabel"))
-      .agg(count(lit(1)).as("n"))
+  /** Majority vote over the first k ranked neighbors (tie → smallest
+    * label) — THE vote pipeline; knnClassify is the k = K case and the
+    * k-sweep re-invokes it per k so a tie-break or rounding change can
+    * never fork between them. */
+  private def classifyAt(s: SparkSession, d: String, k: Int): DataFrame = {
+    val votes = topkRankedShared(s, d).where(col("rnk") <= k)
+      .groupBy(col("qid"), col("clabel")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("qid")).orderBy(col("n").desc, col("clabel").asc)
     votes.withColumn("vr", row_number().over(w)).where(col("vr") === 1)
       .select(col("qid"), col("clabel").as("pred"))
-      .orderBy(col("qid"))
   }
 
-  /** A6: leave-one-out accuracy of the 10-NN cosine classifier. */
-  def knnAccuracy(s: SparkSession, d: String): DataFrame = {
+  /** Accuracy of [[classifyAt]] against the held-out labels. */
+  private def accuracyAt(s: SparkSession, d: String, k: Int): DataFrame = {
     val truth = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-    knnClassify(s, d).join(truth, col("qid") === col("vec_id"))
-      .agg(round(avg(when(col("pred") === col("label"), 1.0).otherwise(0.0)), 6)
-        .as("accuracy"))
+    classifyAt(s, d, k).join(truth, col("qid") === col("vec_id"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(when(col("pred") === col("label"), 1.0).otherwise(0.0)), 6)
+          .as("accuracy"))
   }
+
+  def knnClassify(s: SparkSession, d: String): DataFrame =
+    classifyAt(s, d, K).orderBy(col("qid"))
+
+  /** A6: leave-one-out accuracy of the 10-NN cosine classifier. */
+  def knnAccuracy(s: SparkSession, d: String): DataFrame =
+    accuracyAt(s, d, K).select(col("accuracy"))
 
   /** A6-sweep: leave-one-out accuracy for k ∈ {1,3,5,10} from ONE
     * ranked-neighbor pass — the hyperparameter sweep the reference's
@@ -99,24 +110,11 @@ object Knn {
     * and the rank window are shared (session cache); each k is then a
     * cheap re-aggregation of the same ≤10-row-per-query set, so
     * sweeping k costs four tiny aggregates, not four corpus scans. */
-  def knnKSweep(s: SparkSession, d: String): DataFrame = {
-    val truth = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-    val ranked = topkRankedShared(s, d)
-    val perK = Seq(1, 3, 5, 10).map { k =>
-      val votes = ranked.where(col("rnk") <= k)
-        .groupBy(col("qid"), col("clabel")).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("n").desc, col("clabel").asc)
-      votes.withColumn("vr", row_number().over(w)).where(col("vr") === 1)
-        .select(col("qid"), col("clabel").as("pred"))
-        .join(truth, col("qid") === col("vec_id"))
-        .agg(count(lit(1)).as("n_queries"),
-          round(avg(when(col("pred") === col("label"), 1.0).otherwise(0.0)), 6)
-            .as("accuracy"))
-        .select(lit(k).as("k"), col("n_queries"), col("accuracy"))
-    }
-    perK.reduce(_.unionAll(_)).orderBy(col("k"))
-  }
+  def knnKSweep(s: SparkSession, d: String): DataFrame =
+    Seq(1, 3, 5, 10)
+      .map(k => accuracyAt(s, d, k)
+        .select(lit(k).as("k"), col("n_queries"), col("accuracy")))
+      .reduce(_.unionAll(_)).orderBy(col("k"))
 
   /** A5-regression: the k-NN REGRESSOR sibling of the classifier —
     * predict each query's numeric target as the mean of its k
@@ -304,13 +302,16 @@ object Knn {
   private def rankedCte = s"""ranked AS (SELECT qid, cid, clabel, dist,
     |  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rnk
     |  FROM pairs)""".stripMargin
-  private def predCte =
-    s"""votes AS (SELECT qid, clabel, count(*) AS n
-       |  FROM ranked WHERE rnk <= $K GROUP BY qid, clabel),
-       |pred AS (SELECT qid, clabel AS pred FROM (
+  // ONE vote-pipeline CTE builder (suffix-parameterized so the k-sweep
+  // can instantiate it per k) — the oracle mirror of classifyAt.
+  private def voteCtes(k: Int, sfx: String) =
+    s"""votes$sfx AS (SELECT qid, clabel, count(*) AS n
+       |  FROM ranked WHERE rnk <= $k GROUP BY qid, clabel),
+       |pred$sfx AS (SELECT qid, clabel AS pred FROM (
        |  SELECT qid, clabel,
        |    row_number() OVER (PARTITION BY qid ORDER BY n DESC, clabel ASC) AS vr
-       |  FROM votes) WHERE vr = 1)""".stripMargin
+       |  FROM votes$sfx) WHERE vr = 1)""".stripMargin
+  private def predCte = voteCtes(K, "")
 
   val oracles: Map[String, String] = Map(
     "knn_classify_weighted" ->
@@ -415,19 +416,14 @@ object Knn {
          |FROM pred p JOIN embeddings e ON p.qid = e.vec_id""".stripMargin,
     "knn_ksweep" -> {
       val perK = Seq(1, 3, 5, 10).map { k =>
-        s"""v$k AS (SELECT qid, clabel, count(*) AS n
-           |  FROM ranked WHERE rnk <= $k GROUP BY qid, clabel),
-           |p$k AS (SELECT qid, clabel AS pred FROM (
-           |  SELECT qid, clabel,
-           |    row_number() OVER (PARTITION BY qid ORDER BY n DESC, clabel ASC)
-           |      AS vr
-           |  FROM v$k) WHERE vr = 1),
-           |a$k AS (SELECT $k AS k, CAST(count(*) AS BIGINT) AS n_queries,
+        s"""${voteCtes(k, s"_$k")},
+           |acc_$k AS (SELECT $k AS k, CAST(count(*) AS BIGINT) AS n_queries,
            |  round(avg(CASE WHEN p.pred = e.label THEN 1.0 ELSE 0.0 END), 6)
            |    AS accuracy
-           |  FROM p$k p JOIN embeddings e ON p.qid = e.vec_id)""".stripMargin
+           |  FROM pred_$k p JOIN embeddings e ON p.qid = e.vec_id)"""
+          .stripMargin
       }.mkString(",\n")
-      val union = Seq(1, 3, 5, 10).map(k => s"SELECT * FROM a$k")
+      val union = Seq(1, 3, 5, 10).map(k => s"SELECT * FROM acc_$k")
         .mkString(" UNION ALL ")
       s"""WITH pairs AS ($cosPairs),
          |ranked AS (SELECT qid, cid, clabel, dist,

@@ -88,25 +88,33 @@ object Quality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_constraints" -> (constraintChecks _))
 
+  // passed derives from the counted value inside a subquery so the
+  // (possibly expensive) violations query evaluates ONCE per rule —
+  // DuckDB does not CSE repeated uncorrelated scalar subqueries.
   private def ruleSql(name: String, checked: String, violations: String) =
-    s"""SELECT '$name' AS rule,
+    s"""SELECT rule, n_checked, n_violations,
+       |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+       |FROM (SELECT '$name' AS rule,
        |  (SELECT CAST(count(*) AS BIGINT) FROM ($checked)) AS n_checked,
        |  (SELECT CAST(count(*) AS BIGINT) FROM ($violations))
-       |    AS n_violations,
-       |  CASE WHEN (SELECT count(*) FROM ($violations)) = 0
-       |    THEN 1 ELSE 0 END AS passed""".stripMargin
+       |    AS n_violations)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q01_constraints" -> Seq(
+      // NOT EXISTS, not NOT IN: the Spark side is a left_anti join, and
+      // NOT IN over a set containing NULL is never true (the b26 trap) —
+      // the two halves must share anti-join NULL semantics.
       ruleSql("fk_lineitem_orders",
         "SELECT l_orderkey FROM lineitem",
-        """SELECT l_orderkey FROM lineitem
-          |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)"""
+        """SELECT l_orderkey FROM lineitem l
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_orderkey = l.l_orderkey)"""
           .stripMargin),
       ruleSql("fk_orders_customer",
         "SELECT o_custkey FROM orders",
-        """SELECT o_custkey FROM orders
-          |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)"""
+        """SELECT o_custkey FROM orders r
+          |WHERE NOT EXISTS (SELECT 1 FROM customer c
+          |                  WHERE c.c_custkey = r.o_custkey)"""
           .stripMargin),
       ruleSql("pk_orders_unique",
         "SELECT o_orderkey FROM orders",
@@ -118,11 +126,16 @@ object Quality {
       ruleSql("nonempty_document_text",
         "SELECT text FROM documents",
         "SELECT text FROM documents WHERE text IS NULL OR length(text) = 0"),
+      // second-floored twin (EventOps.duckSecTs) like every other events
+      // oracle: the bounds are whole-second-aligned today (so raw-ns
+      // comparison would coincide), but the rule must stay faithful to
+      // the ts the Spark side actually surfaces
       ruleSql("events_ts_in_2024_01",
         "SELECT ts FROM events",
-        """SELECT ts FROM events
-          |WHERE ts < TIMESTAMP '2024-01-01 00:00:00'
-          |   OR ts >= TIMESTAMP '2024-02-01 00:00:00'""".stripMargin),
+        s"""SELECT sts FROM (
+           |  SELECT ${EventOps.duckSecTs} AS sts FROM events)
+           |WHERE sts < TIMESTAMP '2024-01-01 00:00:00'
+           |   OR sts >= TIMESTAMP '2024-02-01 00:00:00'""".stripMargin),
       ruleSql("domain_discount_0_0q1",
         "SELECT l_discount FROM lineitem",
         "SELECT l_discount FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1"),

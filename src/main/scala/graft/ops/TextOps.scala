@@ -357,10 +357,17 @@ object TextOps {
     // (measured 3.5 s -> 18 s at sf0.01: Catalyst re-analysis, not
     // execution, dominates). Docs with no band rows can't have edges,
     // so they join the universe as singletons AFTER convergence.
+    // sum over an EMPTY label table is NULL (an all-null-text corpus
+    // yields zero band rows) — read it null-safely so that case
+    // converges to "all singletons" instead of NPE-ing
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("cluster_id"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var cluster = bands.select(col("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var checksum = cluster.agg(sum(col("cluster_id"))).head().getLong(0)
+    var checksum = labelSum(cluster)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 64) {
@@ -372,7 +379,7 @@ object TextOps {
         .groupBy(col("doc_id")).agg(min(col("rep")).as("cluster_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val rt = System.nanoTime()
-      val nextSum = next.agg(sum(col("cluster_id"))).head().getLong(0)
+      val nextSum = labelSum(next)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] round $rounds: sum=$nextSum (${(System.nanoTime() - rt) / 1e9}%.2f s)")
       cluster.unpersist(blocking = false)
