@@ -1254,10 +1254,21 @@ object Relational {
       s"""WITH dv AS (
          |  SELECT DISTINCT l_returnflag, CAST(l_partkey AS VARCHAR) AS t
          |  FROM lineitem),
-         |hv AS (SELECT l_returnflag,
-         |         ${TextOps.mix64Fold(s"(${TextOps.fnvFold(TextOps.FnvOffU)})")}
-         |           AS u
+         |-- fnv staged into a COLUMN first: mix64Fold textually expands
+         |-- its operand many times, and feeding it the whole fnvFold
+         |-- expression produced ~3 MB of SQL whose expression tree
+         |-- overflowed a DuckDB worker stack (observed segfault at
+         |-- sf0.1, spurious tiny-alloc OOM bursts at sf0.01)
+         |fv AS (SELECT l_returnflag,
+         |         (${TextOps.fnvFold(TextOps.FnvOffU)}) AS h0
          |       FROM dv),
+         |m1 AS (SELECT l_returnflag, ${TextOps.mix64Xs33("h0")} AS h1 FROM fv),
+         |m2 AS (SELECT l_returnflag, ${TextOps.mix64MulMod("h1",
+                  TextOps.Mix64C1._1, TextOps.Mix64C1._2)} AS h2 FROM m1),
+         |m3 AS (SELECT l_returnflag, ${TextOps.mix64Xs33("h2")} AS h3 FROM m2),
+         |m4 AS (SELECT l_returnflag, ${TextOps.mix64MulMod("h3",
+                  TextOps.Mix64C2._1, TextOps.Mix64C2._2)} AS h4 FROM m3),
+         |hv AS (SELECT l_returnflag, ${TextOps.mix64Xs33("h4")} AS u FROM m4),
          |du AS (SELECT DISTINCT l_returnflag, u FROM hv),
          |rk AS (
          |  SELECT l_returnflag, u,

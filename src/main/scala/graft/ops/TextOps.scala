@@ -936,15 +936,23 @@ object TextOps {
     * (bit-identical, as with the band folds above); u >> 33 is
     * `u // 2^33`, always < 2^31 so its signed form is itself.
     * Verified value-identical to the JVM finalizer on 2k keys. */
-  private[ops] def mix64Fold(u: String): String = {
-    def xs33(x: String) = toUnsigned(
-      s"xor(${toSigned(x)}, CAST(($x) // 8589934592 AS BIGINT))")
-    def mulmod(x: String, cHi: Long, cLo: Long) =
-      s"((($x) * $cLo + ((($x) % 4294967296) * $cHi % 4294967296) " +
-        s"* 4294967296) % $M64)"
-    xs33(mulmod(xs33(mulmod(xs33(u), 0xff51afd7L, 0xed558ccdL)),
-      0xc4ceb9feL, 0x1a85ec53L))
-  }
+  private[ops] def mix64Xs33(x: String): String = toUnsigned(
+    s"xor(${toSigned(x)}, CAST(($x) // 8589934592 AS BIGINT))")
+  private[ops] def mix64MulMod(x: String, cHi: Long, cLo: Long): String =
+    s"((($x) * $cLo + ((($x) % 4294967296) * $cHi % 4294967296) " +
+      s"* 4294967296) % $M64)"
+  /** The two multiply constants of the murmur3 finalizer, split at 32
+    * bits for [[mix64MulMod]]. */
+  private[ops] val Mix64C1: (Long, Long) = (0xff51afd7L, 0xed558ccdL)
+  private[ops] val Mix64C2: (Long, Long) = (0xc4ceb9feL, 0x1a85ec53L)
+  // NOTE: each helper substitutes its operand string SEVERAL times, so
+  // composing them textually is exponential in depth — callers must
+  // stage each step through a named CTE column (pass "h1", not a
+  // composed expression). mix64Fold below exists only for SHORT column
+  // operands and is kept for the fuzz test.
+  private[ops] def mix64Fold(u: String): String =
+    mix64Xs33(mix64MulMod(mix64Xs33(mix64MulMod(mix64Xs33(u),
+      Mix64C1._1, Mix64C1._2)), Mix64C2._1, Mix64C2._2))
 
   /** fold fnv1a over the UTF-8 bytes of token column `t` (ASCII fixtures
     * — asserted by AsciiFixtureSpec) from unsigned HUGEINT init `init`. */
