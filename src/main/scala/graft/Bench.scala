@@ -6,9 +6,20 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   *
   * Methodology matches BASELINE.md: headline queries (the shapes measured
-  * there), one discarded warm-up execution per query, wall-clock around
-  * .count(). Set SPARK_GRAFT_BENCH_ALL=1 to time every declared query
-  * instead (no warm-up, cold path).
+  * there), wall-clock around .count(). Set SPARK_GRAFT_BENCH_ALL=1 to
+  * time every declared query instead (single cold rep per query).
+  *
+  * Cache honesty: several queries share persisted intermediates (the KNN
+  * ranked-neighbor set, the IVF assignment table, the LSH band table,
+  * the components fixed point). Round 6 proved that letting those caches
+  * leak across timed queries makes per-query numbers a function of RUN
+  * ORDER — knn_classify "regressed" 3.2× round-over-round purely because
+  * a different query had warmed its cache first. So every recorded
+  * number here is COLD: all graft caches are dropped before each timed
+  * rep, and each query pays its own shared-state build. The warm number
+  * (caches left standing) is reported alongside in "warm" — the
+  * steady-state a real session sees — so both views stay visible and
+  * neither depends on ordering.
   */
 object Bench {
   /** The BASELINE.md headline set (same workload shapes, same order). */
@@ -21,6 +32,14 @@ object Bench {
     "c01_dedup_exact",    // normalized-text dedup — 0.30 s baseline
     "d01_window_tumbling", // 1-h tumbling window — 0.87 s baseline
   )
+
+  /** Drop every graft session cache — the cold-rep reset. */
+  private def clearAllCaches(): Unit = {
+    ops.Knn.clearCache()
+    ops.Ann.clearCache()
+    ops.Graph.clearCache()
+    ops.TextOps.clearCache()
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,68 +56,69 @@ object Bench {
       if (all) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
     var failed = List.empty[String]
-    def timeOnce(name: String, recordFailure: Boolean = true): Option[Double] = {
+    def timeOnce(name: String): Option[Double] = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
-        if (recordFailure) failed ::= name
+        failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         None
       }
     }
     // Steady state is what BASELINE.md records and what regressions should
-    // be judged on: 2 discarded warm-ups absorb JVM/codegen/page-cache
-    // ramp (one was not enough — sub-second queries still carried ~0.5 s
-    // of residue into the recorded number), then MINIMUM of 5 timed reps.
-    // Minimum, not median: on a co-loaded host every rep can be inflated
-    // by external contention (round 3 recorded 3× the locally reproducible
-    // steady state across the board), and min is the standard estimator
-    // under additive positive noise — one clean rep recovers the true
-    // cost, while no estimator can manufacture a time below it.
-    def timeSteady(name: String): Option[Double] = {
+    // be judged on: 2 discarded warm-up executions absorb JVM/codegen/
+    // page-cache ramp (one was not enough — sub-second queries still
+    // carried ~0.5 s of residue into the recorded number), then MINIMUM
+    // of 5 timed reps per view. Minimum, not median: on a co-loaded host
+    // every rep can be inflated by external contention (round 3 recorded
+    // 3× the locally reproducible steady state across the board), and min
+    // is the standard estimator under additive positive noise — one clean
+    // rep recovers the true cost, while no estimator can manufacture a
+    // time below it.
+    def timeSteady(name: String): (Option[Double], Option[Double]) = {
       (1 to 2).foreach { _ =>
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case _: Throwable => }
       }
-      val reps = (1 to 5).flatMap(_ => timeOnce(name))
-      // a query failing all reps must surface as ONE failure, not five
+      val cold = (1 to 5).flatMap { _ => clearAllCaches(); timeOnce(name) }
+      // the last cold rep left the caches populated — these reps measure
+      // the shared-state steady state a live session sees
+      val warm = (1 to 5).flatMap(_ => timeOnce(name))
+      // a query failing all reps must surface as ONE failure, not ten
       failed = failed.distinct
-      if (reps.isEmpty) None else Some(reps.min)
+      (cold.minOption, warm.minOption)
     }
+    var warmResults = List.empty[(String, Double)]
     val results = names.flatMap { name =>
-      (if (all) timeOnce(name) else timeSteady(name)).map(name -> _)
+      if (all) { clearAllCaches(); timeOnce(name).map(name -> _) }
+      else {
+        val (cold, warm) = timeSteady(name)
+        warm.foreach(w => warmResults ::= name -> w)
+        cold.map(name -> _)
+      }
     }
-    // knn_classify above is subsidized by the persisted shared top-k set
-    // (knn_topk runs first); also report the independent-pipeline number.
-    // A failure here is tracked in its own JSON field, NOT in `failed` —
-    // the cached run already succeeded and its time stands.
-    var uncachedFailed = false
-    val uncached =
-      if (!all && SparkEntry.queries.contains("knn_classify")) {
-        // same min-estimator as timeSteady, but the cache must be dropped
-        // before every rep — the first rep IS the uncached steady state
-        // (plans/codegen are already warm from the cached runs above)
-        val reps = (1 to 3).flatMap { _ =>
-          graft.ops.Knn.clearCache()
-          timeOnce("knn_classify", recordFailure = false)
-        }
-        uncachedFailed = reps.isEmpty
-        reps.minOption
-      } else None
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: " +
         failed.sorted.mkString(", "))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jsonMap(results)
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total covers successful queries only; "failed" makes a fast-failing
     // regression visible instead of reading as a speedup.
     val total = results.map(_._2).sum
-    val un = uncached.map(",\"uncached_knn_classify\":" + _)
-      .getOrElse(if (uncachedFailed) ",\"uncached_knn_classify\":null" else "")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$un,"sf":"$sfDir"}""")
+    val extras = new StringBuilder
+    if (!all) {
+      extras ++= ",\"warm\":" + jsonMap(warmResults.reverse)
+      // continuity field for round-over-round artifacts: the recorded
+      // cold knn_classify IS the uncached number earlier rounds broke out
+      results.find(_._1 == "knn_classify").foreach { case (_, v) =>
+        extras ++= ",\"uncached_knn_classify\":" + v
+      }
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$extras,"sf":"$sfDir"}""")
     spark.stop()
-    if (failed.nonEmpty || uncachedFailed) sys.exit(1)
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

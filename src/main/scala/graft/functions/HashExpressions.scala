@@ -112,10 +112,8 @@ case class Mix64Expr(child: Expression) extends UnaryExpression
 object HashExpressions {
   /** Register the SQL names (idempotent; safe to call per-query). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fnv1a64", exprs => Fnv1a64Expr(exprs(0)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "mix64", exprs => Mix64Expr(exprs(0)), "scala_udf")
+    Registry.ensure(spark, "fnv1a64")(exprs => Fnv1a64Expr(exprs(0)))
+    Registry.ensure(spark, "mix64")(exprs => Mix64Expr(exprs(0)))
   }
 
   def fnv1a64(spark: org.apache.spark.sql.SparkSession, s: Column): Column = {

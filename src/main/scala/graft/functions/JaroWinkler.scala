@@ -109,8 +109,8 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
 
 object JaroWinklerFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaro_winkler", exprs => JaroWinklerExpr(exprs(0), exprs(1)), "scala_udf")
+    Registry.ensure(spark, "jaro_winkler")(
+      exprs => JaroWinklerExpr(exprs(0), exprs(1)))
 
   def jaro_winkler(spark: org.apache.spark.sql.SparkSession,
       a: Column, b: Column): Column = {

@@ -116,7 +116,7 @@ object KmvAgg {
   /** Register `kmv_kth(hash, k)` in the session's function registry
     * (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("kmv_kth",
+    Registry.ensure(spark, "kmv_kth")(
       exprs => {
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: java.lang.Integer, _) =>
@@ -127,7 +127,7 @@ object KmvAgg {
             s"kmv_kth k must be an integer literal, got $other")
         }
         KmvKthAggregate(exprs(0), k).toAggregateExpression()
-      }, "scala_udf")
+      })
 
   def kmv_kth(spark: SparkSession, hash: Column, k: Int): Column = {
     register(spark)

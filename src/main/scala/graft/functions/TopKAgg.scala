@@ -149,7 +149,7 @@ object TopKAgg {
   /** Register `top_k_by(dist, id, label, k)` in the session's function
     * registry (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("top_k_by",
+    Registry.ensure(spark, "top_k_by")(
       exprs => {
         // match the boxed integer types explicitly: a NULL literal or a
         // non-integer literal falls through to the helpful error instead
@@ -163,7 +163,7 @@ object TopKAgg {
             s"top_k_by k must be an integer literal, got $other")
         }
         TopKByAggregate(exprs(0), exprs(1), exprs(2), k).toAggregateExpression()
-      }, "scala_udf")
+      })
 
   def top_k_by(spark: SparkSession, dist: Column, id: Column, label: Column,
       k: Int): Column = {

@@ -127,11 +127,10 @@ object VectorExpressions {
   /** Register SQL names so the expressions are callable from any session
     * (idempotent; safe to call per-query). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_distance",
-      exprs => CosineDistanceExpr(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("euclidean_distance",
-      exprs => EuclideanDistanceExpr(exprs(0), exprs(1)), "scala_udf")
+    Registry.ensure(spark, "cosine_distance")(
+      exprs => CosineDistanceExpr(exprs(0), exprs(1)))
+    Registry.ensure(spark, "euclidean_distance")(
+      exprs => EuclideanDistanceExpr(exprs(0), exprs(1)))
   }
 
   def cosine_distance(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {

@@ -73,6 +73,42 @@ object Relational {
         expr(s"CAST(sum($decPrice * $decDisc) AS DOUBLE)").as("revenue"))
       .orderBy(col("o_orderpriority"))
 
+  /** B34: composed TPC-H Q5/Q9-shape flagship — the full star topology
+    * in ONE query: lineitem fact filtered on shipdate (pushed to the
+    * scan), four broadcast dimension hops (part, supplier → nation →
+    * region) with selective predicates on both dimension arms, a grouped
+    * revenue aggregate, and a deterministic top-10. The join primitives
+    * (b03–b06) are graded separately; this composes them the way a real
+    * OLAP user does, exercising join ordering + AQE end-to-end. The plan
+    * contract (asserted in RelationalSpec): every dimension broadcasts,
+    * the only shuffle is the final partial→final aggregate exchange, and
+    * the fact table never materializes outside the probe side of the
+    * broadcast chain — at 100 TB that is the only shape that works, and
+    * removing a hint from a grown dimension degrades gracefully to a
+    * shuffled join without touching the query. */
+  def starJoin(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+             col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+    val p = Tables.part(s, d).where(col("p_size") <= 25)
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).where(col("r_name").isin("ASIA", "EUROPE"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"), col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        expr(s"CAST(sum($decPrice * $decDisc) AS DOUBLE)").as("revenue"))
+      // revenue is a cast of an exact decimal sum, so DESC order is
+      // engine-stable; the group key completes the total order
+      .orderBy(col("revenue").desc, col("r_name"), col("n_name"),
+        col("p_brand"))
+      .limit(10)
+  }
+
   /** B5: left outer join — every customer, including the order-less,
     * counted per nation. */
   def joinLeft(s: SparkSession, d: String): DataFrame = {
@@ -164,17 +200,29 @@ object Relational {
       .dropDuplicates("l_returnflag", "l_linestatus")
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** B9: approximate distinct (HyperLogLog++). Sketches are not portable
-    * across engines, so this is declared WITHOUT an oracle (rows-only
-    * check); the exact twin above is the hash-checked one. At 100 TB the
-    * approx form is the only affordable one — fixed-size sketch per
-    * group, mergeable map-side. */
+  /** B9: approximate distinct (HyperLogLog++). The sketch itself is not
+    * portable across engines — DuckDB cannot reproduce Spark's HLL++
+    * registers — so the raw estimate can never be hash-compared. What
+    * CAN be oracled is the sketch's accuracy contract: the estimate is a
+    * deterministic function of the input, so `|approx − exact| / exact ≤
+    * tol` is a stable boolean. The query emits the exact count (oracled
+    * directly) plus that predicate at tol = 0.05 = 2.5× the requested
+    * rsd; the oracle asserts TRUE. A broken HLL (or a silently changed
+    * rsd) flips the boolean and fails the hash — no more unexplained
+    * `no_oracle` row. At 100 TB the approx form is the only affordable
+    * one — fixed-size sketch per group, mergeable map-side; the exact
+    * count rides along here only because the fixture is small. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        (abs(col("approx_parts").cast("double") - col("exact_parts").cast("double"))
+          <= lit(0.05) * col("exact_parts").cast("double")).as("within_tol"))
       .orderBy(col("l_returnflag"))
 
   /** Sketch size for the KMV distinct estimator (b09b). */
@@ -211,6 +259,55 @@ object Relational {
           (col("f").cast("double") * lit(math.pow(2, -64)) + lit(0.5)), 6)
           .as("kmv_est"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Sample size for the KMV rank sketch (b35). */
+  private[ops] val KmvQK = 256
+
+  /** B35: mergeable quantile sketch WITH an exact oracle — b09b's KMV
+    * trick extended from distinct-counting to rank estimation
+    * ([[graft.functions.KmvSampleAgg]]). Keeping the k rows whose
+    * unique-key hashes are smallest in unsigned order is a uniform
+    * deterministic sample per group; the b27 interpolation formula over
+    * the sampled values estimates any percentile with rank error
+    * O(1/√k). Unlike t-digest/KLL the sketch state is a pure function of
+    * the data, so DuckDB reproduces the exact sampled multiset (rank the
+    * same fnv+mix64 hashes, take rn ≤ k) and the estimate hash-matches
+    * bit-for-bit.
+    *
+    * Scale: b21/b27 are exact global rank selections — one full window
+    * pass over every row. This is the 100-TB form: fixed 4 KB of state
+    * per group, partial-aggregated map-side, one tiny final row per
+    * group. Groups with ≤ k rows degrade to the exact interpolation
+    * (law-tested in KmvSampleSpec: sample ≡ population there). */
+  def kmvQuantiles(s: SparkSession, d: String): DataFrame = {
+    // hash the unique ROW key, not the value: duplicate values must be
+    // sampled independently for the sample to be rank-uniform
+    val h = graft.functions.HashExpressions.mix64(s,
+      graft.functions.HashExpressions.fnv1a64(
+        s, col("o_orderkey").cast("string")))
+    val agg = Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"), h.as("h"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        graft.functions.KmvSampleAgg.kmv_sample(
+          s, col("h"), col("o_totalprice"), KmvQK).as("sample"))
+    // b27's interpolation over the k sampled values (already sorted
+    // ascending by the aggregate) — array indexing instead of a window
+    def est(p: Double, nm: String): Column = {
+      val n = size(col("sample"))
+      val hh = lit(p) * (n - lit(1)).cast("double")
+      val lo = element_at(col("sample"), (floor(hh) + 1).cast("int"))
+      val hi = element_at(col("sample"),
+        least((floor(hh) + 2).cast("int"), n))
+      round(when(hh - floor(hh) === 0, lo)
+        .otherwise(lo + (hh - floor(hh)) * (hi - lo)), 6).as(nm)
+    }
+    agg.select(col("o_orderpriority"), col("n_exact"),
+        size(col("sample")).cast("long").as("n_sample"),
+        est(0.5, "p50_est"), est(0.9, "p90_est"))
+      .orderBy(col("o_orderpriority"))
   }
 
   /** B10: rollup with grouping-null coalescing (region → nation → total). */
@@ -904,6 +1001,7 @@ object Relational {
     "b01_scan_filter" -> (scanFilter _),
     "b03_join_broadcast" -> (joinBroadcast _),
     "b04_join_shuffle" -> (joinShuffle _),
+    "b34_star_join" -> (starJoin _),
     "b05_join_left" -> (joinLeft _),
     "b05_join_full" -> (joinFull _),
     "b06_join_anti" -> (joinAnti _),
@@ -913,6 +1011,7 @@ object Relational {
     "b08_dropdup" -> (dropDup _),
     "b09_approx_distinct" -> (approxDistinct _),
     "b09b_kmv_distinct" -> (kmvDistinct _),
+    "b35_kmv_quantiles" -> (kmvQuantiles _),
     "b10_rollup" -> (rollupAgg _),
     "b10_cube" -> (cubeAgg _),
     "b10_grouping_sets" -> (groupingSets _),
@@ -1038,16 +1137,21 @@ object Relational {
         |    count(*) OVER (PARTITION BY o_orderpriority) AS n
         |  FROM orders),
         |a AS (
+        |  -- percentile literals CAST to DOUBLE: DuckDB parses 0.25/0.5/0.9
+        |  -- as DECIMAL, and h = p*(n-1) in decimal arithmetic can differ
+        |  -- from Spark's IEEE product by ~1e-14 — enough to flip a
+        |  -- rounding-boundary hash. The cast makes both engines execute
+        |  -- the identical double op sequence (same discipline as b24/b33).
         |  SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
-        |    max(CASE WHEN rn = floor(0.25*(n-1)) + 1 THEN o_totalprice END) AS p25_lo,
-        |    max(CASE WHEN rn = floor(0.25*(n-1)) + 2 THEN o_totalprice END) AS p25_hi,
-        |    max(0.25*(n-1) - floor(0.25*(n-1))) AS p25_f,
-        |    max(CASE WHEN rn = floor(0.5*(n-1)) + 1 THEN o_totalprice END) AS p50_lo,
-        |    max(CASE WHEN rn = floor(0.5*(n-1)) + 2 THEN o_totalprice END) AS p50_hi,
-        |    max(0.5*(n-1) - floor(0.5*(n-1))) AS p50_f,
-        |    max(CASE WHEN rn = floor(0.9*(n-1)) + 1 THEN o_totalprice END) AS p90_lo,
-        |    max(CASE WHEN rn = floor(0.9*(n-1)) + 2 THEN o_totalprice END) AS p90_hi,
-        |    max(0.9*(n-1) - floor(0.9*(n-1))) AS p90_f
+        |    max(CASE WHEN rn = floor(CAST(0.25 AS DOUBLE)*(n-1)) + 1 THEN o_totalprice END) AS p25_lo,
+        |    max(CASE WHEN rn = floor(CAST(0.25 AS DOUBLE)*(n-1)) + 2 THEN o_totalprice END) AS p25_hi,
+        |    max(CAST(0.25 AS DOUBLE)*(n-1) - floor(CAST(0.25 AS DOUBLE)*(n-1))) AS p25_f,
+        |    max(CASE WHEN rn = floor(CAST(0.5 AS DOUBLE)*(n-1)) + 1 THEN o_totalprice END) AS p50_lo,
+        |    max(CASE WHEN rn = floor(CAST(0.5 AS DOUBLE)*(n-1)) + 2 THEN o_totalprice END) AS p50_hi,
+        |    max(CAST(0.5 AS DOUBLE)*(n-1) - floor(CAST(0.5 AS DOUBLE)*(n-1))) AS p50_f,
+        |    max(CASE WHEN rn = floor(CAST(0.9 AS DOUBLE)*(n-1)) + 1 THEN o_totalprice END) AS p90_lo,
+        |    max(CASE WHEN rn = floor(CAST(0.9 AS DOUBLE)*(n-1)) + 2 THEN o_totalprice END) AS p90_hi,
+        |    max(CAST(0.9 AS DOUBLE)*(n-1) - floor(CAST(0.9 AS DOUBLE)*(n-1))) AS p90_f
         |  FROM r GROUP BY o_orderpriority)
         |SELECT o_orderpriority, n,
         |  round(CASE WHEN p25_f = 0 THEN p25_lo
@@ -1247,6 +1351,86 @@ object Relational {
     "b08_dropdup" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the sketch registers are engine-specific, but the accuracy contract
+    // is oracle-able: the oracle asserts TRUE where Spark emits the
+    // (deterministic) |approx − exact| / exact ≤ 0.05 predicate
+    "b09_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the KMV rank-sketch twin: reproduce the same fnv+mix64 hash per
+    // order key (staged into CTE columns — see b09b's note on expression
+    // blowup), rank per group in unsigned hash order, keep rn ≤ k —
+    // exactly the aggregate's kept multiset — then apply the identical
+    // DOUBLE interpolation over the sample
+    "b35_kmv_quantiles" ->
+      s"""WITH dv AS (
+         |  SELECT o_orderpriority, o_totalprice,
+         |    CAST(o_orderkey AS VARCHAR) AS t
+         |  FROM orders),
+         |fv AS (SELECT o_orderpriority, o_totalprice,
+         |         (${TextOps.fnvFold(TextOps.FnvOffU)}) AS h0
+         |       FROM dv),
+         |m1 AS (SELECT o_orderpriority, o_totalprice,
+         |         ${TextOps.mix64Xs33("h0")} AS h1 FROM fv),
+         |m2 AS (SELECT o_orderpriority, o_totalprice,
+         |         ${TextOps.mix64MulMod("h1",
+                    TextOps.Mix64C1._1, TextOps.Mix64C1._2)} AS h2 FROM m1),
+         |m3 AS (SELECT o_orderpriority, o_totalprice,
+         |         ${TextOps.mix64Xs33("h2")} AS h3 FROM m2),
+         |m4 AS (SELECT o_orderpriority, o_totalprice,
+         |         ${TextOps.mix64MulMod("h3",
+                    TextOps.Mix64C2._1, TextOps.Mix64C2._2)} AS h4 FROM m3),
+         |hv AS (SELECT o_orderpriority, o_totalprice,
+         |         ${TextOps.mix64Xs33("h4")} AS u FROM m4),
+         |rk AS (
+         |  SELECT o_orderpriority, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |                       ORDER BY u, o_totalprice) AS rn
+         |  FROM hv),
+         |sm AS (SELECT o_orderpriority, o_totalprice FROM rk WHERE rn <= $KmvQK),
+         |rv AS (
+         |  SELECT o_orderpriority, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |                       ORDER BY o_totalprice) AS vr,
+         |    count(*) OVER (PARTITION BY o_orderpriority) AS ns
+         |  FROM sm),
+         |a AS (
+         |  SELECT o_orderpriority, CAST(max(ns) AS BIGINT) AS n_sample,
+         |    max(CASE WHEN vr = floor(CAST(0.5 AS DOUBLE)*(ns-1)) + 1 THEN o_totalprice END) AS p50_lo,
+         |    max(CASE WHEN vr = floor(CAST(0.5 AS DOUBLE)*(ns-1)) + 2 THEN o_totalprice END) AS p50_hi,
+         |    max(CAST(0.5 AS DOUBLE)*(ns-1) - floor(CAST(0.5 AS DOUBLE)*(ns-1))) AS p50_f,
+         |    max(CASE WHEN vr = floor(CAST(0.9 AS DOUBLE)*(ns-1)) + 1 THEN o_totalprice END) AS p90_lo,
+         |    max(CASE WHEN vr = floor(CAST(0.9 AS DOUBLE)*(ns-1)) + 2 THEN o_totalprice END) AS p90_hi,
+         |    max(CAST(0.9 AS DOUBLE)*(ns-1) - floor(CAST(0.9 AS DOUBLE)*(ns-1))) AS p90_f
+         |  FROM rv GROUP BY o_orderpriority),
+         |ex AS (
+         |  SELECT o_orderpriority, count(*) AS n_exact
+         |  FROM orders GROUP BY o_orderpriority)
+         |SELECT a.o_orderpriority, ex.n_exact, a.n_sample,
+         |  round(CASE WHEN p50_f = 0 THEN p50_lo
+         |    ELSE p50_lo + p50_f * (p50_hi - p50_lo) END, 6) AS p50_est,
+         |  round(CASE WHEN p90_f = 0 THEN p90_lo
+         |    ELSE p90_lo + p90_f * (p90_hi - p90_lo) END, 6) AS p90_est
+         |FROM a JOIN ex USING (o_orderpriority)
+         |ORDER BY o_orderpriority""".stripMargin,
+    "b34_star_join" ->
+      """SELECT r_name, n_name, p_brand,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND p_size <= 25 AND r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY r_name, n_name, p_brand
+        |ORDER BY revenue DESC, r_name, n_name, p_brand
+        |LIMIT 10""".stripMargin,
     // the KMV twin of the engine aggregate: same fnv1a64 (HUGEINT fold),
     // rank distinct hashes in unsigned order, take the k-th, and apply
     // the identical 3-op estimate from the identical signed integer

@@ -119,6 +119,10 @@ object TextOps {
   /** Drop cached shingle-index state (tests / long-lived sessions). */
   def clearShingleCache(): Unit = shingleCache.clear()
 
+  /** Drop ALL cached TextOps state (shingle index + LSH band table) —
+    * the cache-honest bench clears this before every cold rep. */
+  def clearCache(): Unit = { shingleCache.clear(); lshCache.clear() }
+
   /** The shingle INDEX: one posting row per (doc, distinct 8-char
     * shingle), annotated with document frequency, set size and the
     * rarest-first rank — persisted like Ann's IVF assignments (it is the
@@ -853,7 +857,57 @@ object TextOps {
         round(col("cont_b"), 6).as("cont_b"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Segment width (tokens) and document-frequency threshold for c32.
+    * A "line" in this corpus is a 10-token segment: the fixture text is
+    * single-line space-separated tokens, so the newline-delimited form
+    * real pipelines use (C4/RefinedWeb boilerplate removal) maps to
+    * fixed-width token segments — the operator is delimiter-agnostic,
+    * only the split expression changes. */
+  private val LineSegTokens = 10
+  private val LineDfMax = 2
+
+  /** c32: line-level exact dedup (boilerplate removal) — the sub-document
+    * dedup tier C4/RefinedWeb pipelines run daily: repeated nav/footer
+    * "lines" (here: 10-token segments) that occur in more than
+    * [[LineDfMax]] distinct documents are dropped from every document,
+    * and each document reports its removal stats plus the re-assembled
+    * clean text (NULL when everything was boilerplate — both engines
+    * agree because string_agg over an all-NULL group is NULL).
+    *
+    * Shape: one map-side segment explosion, one count-distinct shuffle
+    * keyed on segment text (bucketable; the doc-frequency table is the
+    * shared "boilerplate index" artifact), one equi-join back, one
+    * per-doc aggregate. No similarity math, no candidate generation —
+    * at 100 TB this is three shuffles of (segment, doc) pairs, and the
+    * frequency side can be bloom-pruned to segments seen twice. */
+  def lineDedup(s: SparkSession, d: String): DataFrame = {
+    val segs = Tables.documents(s, d)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, CAST(ceil(size(split(text, ' ')) / ${LineSegTokens}.0) AS INT) - 1),
+           |  i -> array_join(slice(split(text, ' '), i * $LineSegTokens + 1, $LineSegTokens), ' '))"""
+          .stripMargin)).as(Seq("seg_no", "seg")))
+    val dfreq = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("dfreq"))
+    segs.join(dfreq, "seg")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("dfreq") > LineDfMax, 1).otherwise(0)).as("n_removed"),
+        // collect_list drops the NULLs the `when` leaves for removed
+        // segments; the struct sort restores segment order deterministically
+        sort_array(collect_list(when(col("dfreq") <= LineDfMax,
+          struct(col("seg_no"), col("seg"))))).as("kept"))
+      .select(col("doc_id"), col("n_segs"), col("n_removed"),
+        when(size(col("kept")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(expr("transform(kept, s -> s.seg)"), " "))
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c32_line_dedup" -> (lineDedup _),
     "c29_containment" -> (containmentNearDup _),
     "c28_scrub" -> (dictionaryScrub _),
     "c27_repetition" -> (repetitionStats _),
@@ -1094,6 +1148,30 @@ object TextOps {
        |FROM sized ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical segment construction (token index div width), identical
+    // doc-frequency threshold, identical order-stable reassembly; an
+    // all-boilerplate doc is NULL on both sides (string_agg of no rows)
+    "c32_line_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents WHERE length(text) > 0),
+         |tk AS (
+         |  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i
+         |  FROM toks),
+         |seg AS (
+         |  SELECT doc_id, (i - 1) // $LineSegTokens AS seg_no,
+         |    string_agg(t, ' ' ORDER BY i) AS seg
+         |  FROM tk GROUP BY doc_id, (i - 1) // $LineSegTokens),
+         |dfq AS (
+         |  SELECT seg, count(DISTINCT doc_id) AS dfreq FROM seg GROUP BY seg)
+         |SELECT s.doc_id,
+         |  count(*) AS n_segs,
+         |  CAST(sum(CASE WHEN d.dfreq > $LineDfMax THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  string_agg(CASE WHEN d.dfreq <= $LineDfMax THEN s.seg END, ' '
+         |             ORDER BY s.seg_no) AS clean_text
+         |FROM seg s JOIN dfq d USING (seg)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     // DuckDB's native jaro_winkler_similarity IS the reference our
     // codegen kernel was built bit-compatible against
     "c25_jw_neardup" ->

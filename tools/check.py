@@ -121,14 +121,26 @@ def main():
         # "free" for ~a minute, then recovering) — retry with backoff.
         import time
         duck_df = err = None
+        retry_deadline = time.monotonic() + 120  # cap total retry time per query
         for attempt in range(4):
             try:
                 duck_df = run_oracle(sf, sql)
+                if attempt > 0:
+                    # an absorbed OOM retry must stay visible in the run
+                    # output, not be silently recorded as a slow pass
+                    print(f"WARN {name}: oracle succeeded on retry "
+                          f"{attempt + 1} after: {err}")
                 break
             except Exception as e:
                 err = e
                 if "Out of Memory" not in str(e) and "allocat" not in str(e):
                     break
+                if time.monotonic() >= retry_deadline:
+                    print(f"WARN {name}: retry budget exhausted after "
+                          f"attempt {attempt + 1}")
+                    break
+                print(f"WARN {name}: oracle attempt {attempt + 1} failed "
+                      f"({e}); retrying")
                 time.sleep(10 * (attempt + 1))
         if duck_df is None:
             print(f"FAIL {name}: duckdb error: {err}")
