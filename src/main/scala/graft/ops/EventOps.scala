@@ -478,7 +478,45 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** d19: Markov event-transition matrix — for every ordered pair of
+    * event types, how often one directly follows the other within a
+    * user's stream, plus the row-normalized transition probability (the
+    * first-order Markov model behind next-action prediction, anomaly
+    * scoring, and funnel discovery; the empirical P(next | current)).
+    *
+    * The per-user successor is lead() over (ts, event_id) — the
+    * event_id tie-break makes the successor deterministic on the
+    * whole-second timestamps in BOTH engines, so the transition
+    * multiset itself (not just its counts) is engine-identical. The
+    * probability is one IEEE division of two BIGINT counts (count /
+    * row-total), a single exactly-rounded op — no float accumulation
+    * anywhere, so no quantization is needed.
+    *
+    * Scale shape: one shuffle on user_id (the window partition) to form
+    * pairs, then a partial-aggregated count keyed on the (from, to)
+    * pair — cardinality = |event types|², tiny regardless of stream
+    * size. The row totals come from a second aggregate over the
+    * already-collapsed pair table (|types|² rows, broadcast-sized), NOT
+    * another pass over the stream. */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_total"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("row_total"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_transitions" -> (transitionMatrix _),
     "d17_window_topk" -> (windowTopk _),
     "d18_streaks" -> (activityStreaks _),
     "e05_datetime_kitchen" -> (datetimeKitchen _),
@@ -514,6 +552,23 @@ object EventOps {
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d19_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, $duckSecTs AS ts
+         |           FROM events),
+         |nx AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |                           ORDER BY ts ASC, event_id ASC) AS to_type
+         |  FROM e),
+         |pairs AS (
+         |  SELECT from_type, to_type, count(*) AS n
+         |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT from_type, sum(n) AS row_total
+         |        FROM pairs GROUP BY 1)
+         |SELECT p.from_type, p.to_type, p.n,
+         |  round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS p
+         |FROM pairs p JOIN tot t USING (from_type)
+         |ORDER BY p.from_type, p.to_type""".stripMargin,
     "d17_window_topk" ->
       s"""WITH e AS (SELECT date_trunc('hour', $duckSecTs) AS hour, user_id
          |           FROM events),

@@ -310,6 +310,54 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Sample size for the heavy-hitter estimate (b36). */
+  private[ops] val HhK = 2048
+
+  /** B36: heavy hitters (frequent items) from the deterministic uniform
+    * sample — the third member of the KMV sketch family (b09b distinct
+    * count, b35 quantiles, now frequency). The top actors by event
+    * volume are estimated WITHOUT a full-stream aggregation: keep the
+    * [[HhK]] events whose unique-key hashes are smallest in unsigned
+    * order (a uniform sample, pure function of the data), count each
+    * actor's sample hits, and scale by N/k in exact integer arithmetic
+    * — (hits·N) DIV k. Space-Saving/Misra-Gries state depends on arrival
+    * order, so it could never be hash-checked cross-engine; the
+    * hash-sample estimator is order-free, mergeable, and carries the
+    * same O(1/√k) relative-error guarantee for items above the sampling
+    * fraction. The exact count rides along for the error audit (the
+    * oracle recomputes BOTH sides identically).
+    *
+    * Scale: the sketch is one fixed-size aggregate (4 KB of state,
+    * partial map-side combine); the per-item counting then happens on k
+    * rows, not N. At 100 TB the exact join-back would be dropped and the
+    * estimate alone shipped — it is kept here because auditing the
+    * estimator against truth is the point of the declared query. */
+  def sampledHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val h = graft.functions.HashExpressions.mix64(s,
+      graft.functions.HashExpressions.fnv1a64(
+        s, col("event_id").cast("string")))
+    val ev = Tables.events(s, d)
+    val agg = ev
+      .select(col("user_id").cast("double").as("uv"), h.as("h"))
+      .agg(count(lit(1)).as("n_total"),
+        graft.functions.KmvSampleAgg.kmv_sample(
+          s, col("h"), col("uv"), HhK).as("sample"))
+    // scale by the ACTUAL sample size, not k: a stream smaller than k
+    // is sampled whole (n_sample = N) and the estimate becomes exact
+    val est = agg
+      .select(col("n_total"), size(col("sample")).cast("long").as("n_sample"),
+        explode(col("sample")).as("uv"))
+      .groupBy(col("uv"), col("n_total"), col("n_sample"))
+      .agg(count(lit(1)).as("hits"))
+      .select(col("uv").cast("long").as("user_id"), col("hits"),
+        expr("(hits * n_total) DIV n_sample").as("est_n"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    est.join(exact, "user_id")
+      .select(col("user_id"), col("hits"), col("est_n"), col("exact_n"))
+      .orderBy(col("est_n").desc, col("user_id").asc)
+      .limit(10)
+  }
+
   /** B10: rollup with grouping-null coalescing (region → nation → total). */
   def rollupAgg(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -1012,6 +1060,7 @@ object Relational {
     "b09_approx_distinct" -> (approxDistinct _),
     "b09b_kmv_distinct" -> (kmvDistinct _),
     "b35_kmv_quantiles" -> (kmvQuantiles _),
+    "b36_heavy_hitters" -> (sampledHeavyHitters _),
     "b10_rollup" -> (rollupAgg _),
     "b10_cube" -> (cubeAgg _),
     "b10_grouping_sets" -> (groupingSets _),
@@ -1364,6 +1413,36 @@ object Relational {
     // blowup), rank per group in unsigned hash order, keep rn ≤ k —
     // exactly the aggregate's kept multiset — then apply the identical
     // DOUBLE interpolation over the sample
+    // b36: rank the same fnv+mix64 hashes of the unique event key, keep
+    // rn <= k (ties break by value, mirroring the buffer's (hash, value)
+    // order), count sample hits per user, scale by N/k in BIGINT
+    // arithmetic — both engines compute the identical estimate.
+    "b36_heavy_hitters" ->
+      s"""WITH dv AS (
+         |  SELECT CAST(event_id AS VARCHAR) AS t,
+         |         CAST(user_id AS DOUBLE) AS uv
+         |  FROM events),
+         |fv AS (SELECT uv, (${TextOps.fnvFold(TextOps.FnvOffU)}) AS h0
+         |       FROM dv),
+         |m1 AS (SELECT uv, ${TextOps.mix64Xs33("h0")} AS h1 FROM fv),
+         |m2 AS (SELECT uv, ${TextOps.mix64MulMod("h1",
+                  TextOps.Mix64C1._1, TextOps.Mix64C1._2)} AS h2 FROM m1),
+         |m3 AS (SELECT uv, ${TextOps.mix64Xs33("h2")} AS h3 FROM m2),
+         |m4 AS (SELECT uv, ${TextOps.mix64MulMod("h3",
+                  TextOps.Mix64C2._1, TextOps.Mix64C2._2)} AS h4 FROM m3),
+         |hv AS (SELECT uv, ${TextOps.mix64Xs33("h4")} AS u FROM m4),
+         |rk AS (SELECT uv, row_number() OVER (ORDER BY u, uv) AS rn
+         |       FROM hv),
+         |sm AS (SELECT uv FROM rk WHERE rn <= $HhK),
+         |tot AS (SELECT count(*) AS n_total FROM events),
+         |ns AS (SELECT count(*) AS n_sample FROM sm),
+         |hh AS (SELECT uv, count(*) AS hits FROM sm GROUP BY uv),
+         |ex AS (SELECT CAST(user_id AS DOUBLE) AS uv, count(*) AS exact_n
+         |       FROM events GROUP BY user_id)
+         |SELECT CAST(hh.uv AS BIGINT) AS user_id, hh.hits,
+         |  (hh.hits * tot.n_total) // ns.n_sample AS est_n, ex.exact_n
+         |FROM hh JOIN ex USING (uv) CROSS JOIN tot CROSS JOIN ns
+         |ORDER BY est_n DESC, user_id LIMIT 10""".stripMargin,
     "b35_kmv_quantiles" ->
       s"""WITH dv AS (
          |  SELECT o_orderpriority, o_totalprice,

@@ -174,8 +174,18 @@ object TextOps {
         )).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
-    cand
+    // Join-back strategy is PINNED to sort-merge: `sets` carries every
+    // doc's full shingle list (corpus-sized, ~45 KB rows at sf0.1), so
+    // letting the planner broadcast it — which its post-aggregate size
+    // ESTIMATE invites, while cand's post-explode estimate looks huge —
+    // OOMs the driver at sf0.1 and would be fatal at real scale; a
+    // shuffled-hash build of the array-bearing side dies the same way
+    // (hash relations don't spill). SMJ shuffles both sides on doc_id
+    // and spills its sorts: the only join here whose memory is bounded
+    // regardless of corpus size — the 100-TB plan.
+    cand.hint("merge")
       .join(sets.select(col("doc_id").as("a_id"), col("sgs").as("a_sgs")), "a_id")
+      .hint("merge")
       .join(sets.select(col("doc_id").as("b_id"), col("sgs").as("b_sgs")), "b_id")
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("a_sgs"), col("b_sgs"))).as("inter"),
@@ -906,7 +916,76 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Calibrated once on this corpus (DuckDB probe over all three SF
+    * tiers: scores span ~28.4–38.2 million nano, tertile boundaries
+    * ~32.6–34.3 million depending on tier). CCNet-style FIXED cutoffs —
+    * computed once offline, then applied map-side — NOT per-batch
+    * quantiles, which would add a global ranking pass to every run.
+    * All three buckets are live at every SF tier by construction. */
+  private val LmHeadNano = 33000000L
+  private val LmTailNano = 32600000L
+
+  /** c33: bigram language-model quality score — the CCNet/RedPajama
+    * perplexity-filter shape: score every document by how predictable
+    * its token stream is under a bigram model TRAINED ON THE CORPUS
+    * ITSELF, then bucket into head/middle/tail for curation (keep head,
+    * downsample tail). Gibberish, boilerplate soup, and wrong-language
+    * docs land in the tail because their bigrams are rare given their
+    * unigram histories.
+    *
+    * The score is the mean add-one-smoothed bigram probability
+    * mean over bigrams of (c(w1,w2)+1)/(c(w1)+V), kept in NANO-UNIT
+    * INTEGER arithmetic end to end: each bigram's probability becomes
+    * (10⁹·(c12+1)) div (c1+V) — one exact BIGINT division — and the
+    * per-doc mean is a BIGINT sum div count. No float ever accumulates
+    * and no libm call occurs, so the result is bit-identical in any
+    * engine (true perplexity would exponentiate a mean LOG probability;
+    * ln's last-ulp rounding is libm-implementation-specific, so the
+    * arithmetic mean — same detector, monotone in the same tail — is
+    * the form that stays provable. c20 made the identical trade for
+    * idf).
+    *
+    * Scale shape: the "model" is two count tables (unigrams, bigrams) —
+    * one shuffle each, vocabulary-sized, partial-aggregated map-side;
+    * scoring is two equi-joins of the exploded stream against them
+    * (bucketable/bloomable; at 100 TB you'd train on a sample shard and
+    * broadcast the model, which changes no semantics here since both
+    * sides join the same tables) plus one per-doc aggregate. The
+    * head/tail cutoffs are fixed constants, so bucketing is map-side —
+    * no global ranking pass. */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .where(size(col("tok")) >= 2)
+    val uni = toks
+      .select(explode(col("tok")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bigrams = toks.select(col("doc_id"), explode(transform(
+      sequence(lit(1), size(col("tok")) - 1),
+      i => struct(element_at(col("tok"), i).as("w1"),
+        element_at(col("tok"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bcounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    bigrams
+      .join(bcounts, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("1000000000L * (c12 + 1) DIV (c1 + v)").as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(q) DIV count(1)").as("score_nano"))
+      .withColumn("bucket",
+        when(col("score_nano") >= LmHeadNano, "head")
+          .when(col("score_nano") < LmTailNano, "tail")
+          .otherwise("middle"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c33_lm_score" -> (lmScore _),
     "c32_line_dedup" -> (lineDedup _),
     "c29_containment" -> (containmentNearDup _),
     "c28_scrub" -> (dictionaryScrub _),
@@ -1148,6 +1227,37 @@ object TextOps {
        |FROM sized ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical integer nano-unit arithmetic: (10⁹·(c12+1)) // (c1+V)
+    // per bigram, BIGINT sum // count per doc — DuckDB's // and Spark's
+    // DIV agree on non-negative operands, and no float is ever summed.
+    // Tokens are space-split, so 'w1 w2' re-splits unambiguously.
+    "c33_lm_score" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |c1 AS (SELECT w, count(*) AS c1
+         |       FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+         |vv AS (SELECT count(*) AS v FROM c1),
+         |sp AS (
+         |  SELECT doc_id, split_part(bgm, ' ', 1) AS w1,
+         |         split_part(bgm, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |          i -> t[i] || ' ' || t[i+1])) AS bgm FROM tk)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM sp GROUP BY w1, w2),
+         |q AS (
+         |  SELECT sp.doc_id,
+         |    (1000000000 * (c12.c12 + 1)) // (c1.c1 + vv.v) AS q
+         |  FROM sp JOIN c12 USING (w1, w2)
+         |  JOIN c1 ON sp.w1 = c1.w CROSS JOIN vv),
+         |d AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(q) AS BIGINT) // count(*) AS score_nano
+         |  FROM q GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, score_nano,
+         |  CASE WHEN score_nano >= $LmHeadNano THEN 'head'
+         |       WHEN score_nano < $LmTailNano THEN 'tail'
+         |       ELSE 'middle' END AS bucket
+         |FROM d ORDER BY doc_id""".stripMargin,
     // identical segment construction (token index div width), identical
     // doc-frequency threshold, identical order-stable reassembly; an
     // all-boilerplate doc is NULL on both sides (string_agg of no rows)
@@ -1299,19 +1409,44 @@ object TextOps {
          |WHERE s.doc_id = s.cluster_id
          |ORDER BY s.doc_id""".stripMargin,
     "c11_simhash" -> simhashOracle,
-    // the all-pairs form the prefix-filter join provably equals (the
-    // quadratic oracle anchor; the Spark path never enumerates all pairs)
+    // the same prefix-filter candidate generation as the engine (rank
+    // shingles rarest-first per doc, keep the n − ⌈τn⌉ + 1 prefix, join
+    // postings on the prefix shingles, size-ratio prune, exact re-check)
+    // — NOT the quadratic all-pairs form, which was provably equal but
+    // took O(docs²) list_intersect calls and could not finish at sf0.1.
+    // The prefix bound uses INTEGER arithmetic (⌈4n/5⌉ = (4n+4)//5, and
+    // 5·a_n ≥ 4·b_n for the τ = 0.8 ratio prune) so no decimal-vs-double
+    // ceil boundary can fork the candidate set; both sides' candidate
+    // sets are supersets of the true pairs and the exact jaccard
+    // re-check makes the final rows identical either way.
     "c17_shingle_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id, list_distinct(list_transform(
          |    range(1, length(text) - ${ShingleK - 1} + 1),
          |    i -> substr(text, CAST(i AS INTEGER), $ShingleK))) AS sgs
          |  FROM documents),
+         |post AS (SELECT doc_id, len(sgs) AS n, unnest(sgs) AS sg FROM sh),
+         |dfq AS (SELECT sg, count(*) AS df FROM post GROUP BY sg),
+         |rk AS (
+         |  SELECT p.doc_id, p.sg, p.n,
+         |    row_number() OVER (PARTITION BY p.doc_id
+         |                       ORDER BY d.df ASC, p.sg ASC) AS rn
+         |  FROM post p JOIN dfq d USING (sg)),
+         |pre AS (
+         |  SELECT doc_id, sg, n FROM rk
+         |  WHERE rn <= n - (4 * n + 4) // 5 + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pre a JOIN pre b
+         |    ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |  WHERE 5 * a.n >= 4 * b.n AND 5 * b.n >= 4 * a.n),
          |p AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    len(list_intersect(a.sgs, b.sgs)) AS inter,
-         |    len(a.sgs) AS na, len(b.sgs) AS nb
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  SELECT c.a_id, c.b_id,
+         |    len(list_intersect(sa.sgs, sb.sgs)) AS inter,
+         |    len(sa.sgs) AS na, len(sb.sgs) AS nb
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id)
          |SELECT a_id, b_id,
          |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
          |FROM p

@@ -160,4 +160,22 @@ class EventsSpec extends SparkSpec {
     assert(day0.count() == cohortSizes.count())
     r.unpersist()
   }
+
+  test("transition matrix: conservation and row-stochastic probabilities") {
+    val tm = ops.EventOps.transitionMatrix(spark, sf0001).cache()
+    // conservation: every event except each user's last contributes
+    // exactly one transition, so Σn = |events| − |users|
+    val ev = Tables.events(spark, sf0001)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(tm.agg(sum(col("n"))).head().getLong(0) == expected)
+    // row-stochastic: each from-state's probabilities sum to 1 (up to
+    // the 6-dp per-cell rounding × number of cells)
+    val badRow = tm.groupBy(col("from_type"))
+      .agg(sum(col("p")).as("sp"), count(lit(1)).as("cells"))
+      .where(abs(col("sp") - 1.0) > col("cells") * 5e-7).count()
+    assert(badRow == 0)
+    // probabilities are positive and at most 1
+    assert(tm.where(col("p") <= 0 || col("p") > 1).count() == 0)
+    tm.unpersist()
+  }
 }

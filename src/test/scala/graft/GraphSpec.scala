@@ -62,6 +62,31 @@ class GraphSpec extends SparkSpec {
     sp.unpersist()
   }
 
+  test("pagerank: total, teleport-bounded, mass-conserving, deterministic") {
+    val pr = Graph.pagerank(spark, sf0001).cache()
+    val n = pr.count()
+
+    // totality: one row per graph vertex, both kinds present
+    assert(pr.select("kind", "key").distinct().count() == n)
+    assert(pr.select("kind").distinct().count() == 2)
+
+    // every vertex keeps at least its teleport share (the damping update
+    // adds a non-negative neighbor sum on top of tele)
+    val tele = ((Graph.PrBase / n) * 15) / 100
+    assert(pr.where(col("rank_ppt") < tele).count() == 0)
+
+    // integer floor-division loses < 1 unit per edge contribution and
+    // < 2 per node per round — total mass stays within 0.1% of base
+    val mass = pr.agg(sum(col("rank_ppt"))).head().getLong(0)
+    assert(mass <= Graph.PrBase, s"mass $mass exceeds base")
+    assert(mass >= (Graph.PrBase * 999L) / 1000L, s"mass $mass leaked >0.1%")
+
+    // pure function of the edge set: a second evaluation is bit-identical
+    val again = Graph.pagerank(spark, sf0001)
+    assert(pr.exceptAll(again).count() == 0 && again.exceptAll(pr).count() == 0)
+    pr.unpersist()
+  }
+
   test("fixed point is stable: one more propagation round changes nothing") {
     // Idempotence distinguishes a true fixed point from a bounded-round
     // scheme (c10's 3-round propagation is NOT idempotent in general).

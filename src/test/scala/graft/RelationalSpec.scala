@@ -27,6 +27,29 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("b34: star flagship broadcasts every dim; only the agg shuffles") {
+    val p = plan("b34_star_join")
+    val nBroadcast = p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin")
+    assert(nBroadcast == 4, s"expected 4 broadcast dimension hops, got $nBroadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the fact table must stream through the broadcast chain unshuffled")
+    // the sole row shuffle is the aggregate's partial->final exchange;
+    // the top-10 is a TakeOrderedAndProject, not a global sort
+    val nShuffle = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(nShuffle <= 1, s"expected at most the aggregate exchange, got $nShuffle in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters"), "shipdate filter should reach the scan")
+  }
+
+  test("b34: deterministic top-10 ordered by revenue") {
+    val rows = Relational.queries("b34_star_join")(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "rows must be revenue-descending")
+  }
+
   test("b11: global sort+limit plans TakeOrderedAndProject") {
     val p = plan("b11_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
@@ -154,8 +177,8 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("every relational query except approx_distinct has an oracle") {
+  test("every relational query has an oracle (b09 via its accuracy contract)") {
     val noOracle = Relational.queries.keySet -- Relational.oracles.keySet
-    assert(noOracle === Set("b09_approx_distinct"), noOracle.toString)
+    assert(noOracle.isEmpty, noOracle.toString)
   }
 }

@@ -162,6 +162,48 @@ class TextSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("line dedup: reconstruction, live removal, and conservation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).cache()
+    val out = TextOps.lineDedup(spark, sf0001).cache()
+    assert(out.count() == docs.count())
+    // the corpus genuinely contains boilerplate at every SF tier — the
+    // operator must remove something, or the query is a no-op in disguise
+    assert(out.agg(sum(col("n_removed"))).head().getLong(0) > 0)
+    // conservation: kept segments + removed segments = all segments, and
+    // a doc with zero removals reconstructs its original text verbatim
+    val joined = out.join(docs, "doc_id")
+    val broken = joined.where(col("n_removed") === 0 &&
+      col("clean_text") =!= col("text")).count()
+    assert(broken == 0, "zero-removal docs must round-trip unchanged")
+    // clean_text token count = 10·(full kept segs) bounded by original
+    val overflow = joined.where(
+      size(split(col("clean_text"), " ")) > size(split(col("text"), " "))).count()
+    assert(overflow == 0)
+    docs.unpersist(); out.unpersist()
+  }
+
+  test("lm score: totality, probability bounds, live buckets, bigram count") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).cache()
+    val sc = TextOps.lmScore(spark, sf0001).cache()
+    // totality: every document has >= 2 tokens in this corpus, so every
+    // document is scored
+    assert(sc.count() == docs.count())
+    // a mean probability in nano-units lives in (0, 1e9]
+    assert(sc.where(col("score_nano") <= 0 ||
+      col("score_nano") > 1000000000L).count() == 0)
+    // the calibrated cutoffs keep all three curation buckets live (a
+    // bucket rule that never fires is a no-op in disguise)
+    assert(sc.select("bucket").distinct().count() == 3)
+    // conservation: a doc of t tokens has exactly t-1 scored bigrams
+    val bad = sc.join(docs, "doc_id")
+      .where(col("n_bigrams") =!= size(split(col("text"), " ")) - 1)
+      .count()
+    assert(bad == 0)
+    docs.unpersist(); sc.unpersist()
+  }
+
   test("repetition stats: bounds, known-answer, and flag consistency") {
     import spark.implicits._
     val df = TextOps.repetitionStats(spark, sf0001).cache()
