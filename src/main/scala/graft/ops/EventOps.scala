@@ -515,7 +515,45 @@ object EventOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** d20: SCD Type-2 history build — turn a change log into versioned
+    * dimension rows with validity intervals (the warehouse pattern
+    * behind every "as it was then" join; d06/d12's as-of probes are the
+    * READ side of exactly this table). The events stream is the change
+    * log (user_id = business key, event_type = the tracked attribute):
+    * consecutive duplicates collapse (a "change" to the same value is
+    * no change), each surviving row opens a version effective from its
+    * timestamp until the next change, the last version per key is open
+    * (NULL effective_to, is_current = true), and version numbers count
+    * from 1 in change order.
+    *
+    * Determinism: the change order is (ts, event_id) — the event_id
+    * tie-break pins same-second changes in BOTH engines, so the
+    * collapsed sequence, the interval bounds, and the version numbers
+    * are all engine-identical. Scale: one shuffle on user_id (the
+    * window partition), two sorted window passes (lag to collapse,
+    * lead+row_number to close intervals) over data already partitioned
+    * by the same key — Catalyst reuses one sort for all three window
+    * functions. The output is |changes|-sized, ≪ the stream. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val changes = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val wc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    changes
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("effective_from"),
+        lead(col("ts"), 1).over(wc).as("effective_to"),
+        row_number().over(wc).as("version_no"))
+      .withColumn("is_current", col("effective_to").isNull)
+      .orderBy(col("user_id"), col("version_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_scd2" -> (scd2History _),
     "d19_transitions" -> (transitionMatrix _),
     "d17_window_topk" -> (windowTopk _),
     "d18_streaks" -> (activityStreaks _),
@@ -552,6 +590,27 @@ object EventOps {
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d20_scd2" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, $duckSecTs AS ts
+         |           FROM events),
+         |ch AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |                          ORDER BY ts ASC, event_id ASC)
+         |      AS prev_type
+         |  FROM e),
+         |c2 AS (SELECT user_id, ts, event_id, event_type FROM ch
+         |       WHERE prev_type IS NULL OR prev_type <> event_type),
+         |v AS (
+         |  SELECT user_id, event_type, ts AS effective_from,
+         |    lead(ts) OVER (PARTITION BY user_id
+         |                   ORDER BY ts ASC, event_id ASC) AS effective_to,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts ASC, event_id ASC) AS version_no
+         |  FROM c2)
+         |SELECT user_id, event_type, effective_from, effective_to,
+         |  version_no, effective_to IS NULL AS is_current
+         |FROM v ORDER BY user_id, version_no""".stripMargin,
     "d19_transitions" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, $duckSecTs AS ts
          |           FROM events),

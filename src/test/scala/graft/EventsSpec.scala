@@ -161,6 +161,30 @@ class EventsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("scd2: adjacent intervals, one open version, no same-value versions") {
+    val h = ops.EventOps.scd2History(spark, sf0001).cache()
+    // exactly one open (current) version per business key
+    val multiOpen = h.where(col("is_current"))
+      .groupBy("user_id").count().where(col("count") =!= 1).count()
+    assert(multiOpen == 0)
+    // versions are contiguous from 1 and intervals are forward-ordered
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version_no"))
+    val seq = h.withColumn("rn", row_number().over(wv))
+    assert(seq.where(col("rn") =!= col("version_no")).count() == 0)
+    assert(h.where(col("effective_to") < col("effective_from")).count() == 0)
+    // interval adjacency: each version closes exactly where the next opens
+    val gaps = h.withColumn("next_from", lead(col("effective_from"), 1).over(wv))
+      .where(col("next_from").isNotNull &&
+        col("effective_to") =!= col("next_from")).count()
+    assert(gaps == 0)
+    // consecutive versions really are changes (collapse law)
+    val noops = h.withColumn("prev_type", lag(col("event_type"), 1).over(wv))
+      .where(col("prev_type").isNotNull &&
+        col("prev_type") === col("event_type")).count()
+    assert(noops == 0)
+    h.unpersist()
+  }
+
   test("transition matrix: conservation and row-stochastic probabilities") {
     val tm = ops.EventOps.transitionMatrix(spark, sf0001).cache()
     // conservation: every event except each user's last contributes
