@@ -509,9 +509,13 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
     val totals = pairs.groupBy(col("from_type"))
       .agg(sum(col("n")).as("row_total"))
+    // UNROUNDED division: n/row_total is ONE exactly-rounded IEEE op on
+    // identical BIGINT inputs, so it is engine-identical as-is — and
+    // round(...,6) would collapse a rare cell (n=1 against a >2M-row
+    // total) to exactly 0.0, violating the positivity law
     pairs.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
-        round(col("n").cast("double") / col("row_total"), 6).as("p"))
+        (col("n").cast("double") / col("row_total")).as("p"))
       .orderBy(col("from_type"), col("to_type"))
   }
 
@@ -541,13 +545,13 @@ object EventOps {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-    val wc = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
+    // the SAME window drives both passes — collapse order and interval/
+    // version order must never be edited apart
     changes
       .select(col("user_id"), col("event_type"),
         col("ts").as("effective_from"),
-        lead(col("ts"), 1).over(wc).as("effective_to"),
-        row_number().over(wc).as("version_no"))
+        lead(col("ts"), 1).over(w).as("effective_to"),
+        row_number().over(w).as("version_no"))
       .withColumn("is_current", col("effective_to").isNull)
       .orderBy(col("user_id"), col("version_no"))
   }
@@ -625,7 +629,7 @@ object EventOps {
          |tot AS (SELECT from_type, sum(n) AS row_total
          |        FROM pairs GROUP BY 1)
          |SELECT p.from_type, p.to_type, p.n,
-         |  round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS p
+         |  CAST(p.n AS DOUBLE) / t.row_total AS p
          |FROM pairs p JOIN tot t USING (from_type)
          |ORDER BY p.from_type, p.to_type""".stripMargin,
     "d17_window_topk" ->

@@ -240,7 +240,12 @@ object Graph {
         .unionAll(e0.select(col("su").as("u"), col("cu").as("v")))
         .repartition(Tables.parallelism(s), col("u"))
     }
-    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // deg is referenced by consts, the initial ranks, and every
+    // iteration's contrib join — cached, or Spark re-aggregates the
+    // edge list once per reference (5× per run)
+    val deg = compCache.getOrBuild(s, s"pr-deg:$d") {
+      edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    }
     // scalar graph constants (N, teleport, uniform start) — one tiny
     // aggregate, broadcast into every consumer
     val consts = deg.agg(count(lit(1)).as("n"))

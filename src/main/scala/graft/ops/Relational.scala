@@ -261,8 +261,8 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Sample size for the KMV rank sketch (b35). */
-  private[ops] val KmvQK = 256
+  /** Sample size for the KMV rank sketch (b35); tests reference it. */
+  private[graft] val KmvQK = 256
 
   /** B35: mergeable quantile sketch WITH an exact oracle — b09b's KMV
     * trick extended from distinct-counting to rank estimation
@@ -310,8 +310,8 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** Sample size for the heavy-hitter estimate (b36). */
-  private[ops] val HhK = 2048
+  /** Sample size for the heavy-hitter estimate (b36); tests reference it. */
+  private[graft] val HhK = 2048
 
   /** B36: heavy hitters (frequent items) from the deterministic uniform
     * sample — the third member of the KMV sketch family (b09b distinct

@@ -121,7 +121,8 @@ object TextOps {
 
   /** Drop ALL cached TextOps state (shingle index + LSH band table) —
     * the cache-honest bench clears this before every cold rep. */
-  def clearCache(): Unit = { shingleCache.clear(); lshCache.clear() }
+  def clearCache(): Unit =
+    { shingleCache.clear(); lshCache.clear(); lmCache.clear() }
 
   /** The shingle INDEX: one posting row per (doc, distinct 8-char
     * shingle), annotated with document frequency, set size and the
@@ -925,6 +926,9 @@ object TextOps {
   private val LmHeadNano = 33000000L
   private val LmTailNano = 32600000L
 
+  /** Session cache for c33's exploded bigram stream (see lmScore). */
+  private val lmCache = new graft.PersistedCache
+
   /** c33: bigram language-model quality score — the CCNet/RedPajama
     * perplexity-filter shape: score every document by how predictable
     * its token stream is under a bigram model TRAINED ON THE CORPUS
@@ -954,18 +958,32 @@ object TextOps {
     * head/tail cutoffs are fixed constants, so bucketing is map-side —
     * no global ranking pass. */
   def lmScore(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+    // the exploded bigram stream feeds BOTH the model build (bcounts)
+    // and the scoring probe, and the token table additionally feeds the
+    // unigram model — Spark cannot reuse aliased subtrees (the
+    // shingleIndex lesson: uncached, the explode ran 3×), so the bigram
+    // stream is session-cached: one tokenize+explode per (session, dir)
+    // instead of three full corpus passes
+    val bigrams = lmCache.getOrBuild(s, s"lm-bigrams:$d") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .where(size(col("tok")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("tok")) - 1),
+          i => struct(element_at(col("tok"), i).as("w1"),
+            element_at(col("tok"), i + 1).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    }
+    // unigram HISTORY counts = count of w1 occurrences plus each doc's
+    // final token; deriving them from the cached bigram stream would
+    // miss that last token, so tokenize once more (2 corpus passes
+    // total, down from 3)
+    val uni = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("tok"))
       .where(size(col("tok")) >= 2)
-    val uni = toks
       .select(explode(col("tok")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val bigrams = toks.select(col("doc_id"), explode(transform(
-      sequence(lit(1), size(col("tok")) - 1),
-      i => struct(element_at(col("tok"), i).as("w1"),
-        element_at(col("tok"), i + 1).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bcounts = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
     bigrams

@@ -182,6 +182,28 @@ class EventsSpec extends SparkSpec {
       .where(col("prev_type").isNotNull &&
         col("prev_type") === col("event_type")).count()
     assert(noops == 0)
+    // INDEPENDENT reconstruction: fold the raw stream on the driver
+    // (1000 events at sf0.001) with plain Scala — no window functions,
+    // no shared code path — and demand the history's per-user version
+    // sequence equals the collapsed event-type sequence
+    val expected = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val seq = rows.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+          .map(_.getString(3)).toList
+        u -> seq.foldLeft(List.empty[String]) {
+          case (acc, t) if acc.headOption.contains(t) => acc
+          case (acc, t) => t :: acc
+        }.reverse
+      }
+    val actual = h.orderBy(col("user_id"), col("version_no"))
+      .select(col("user_id"), col("event_type"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) => u -> rows.map(_.getString(1)).toList }
+    assert(actual == expected, "history types must equal the independent fold")
     h.unpersist()
   }
 
@@ -192,11 +214,12 @@ class EventsSpec extends SparkSpec {
     val ev = Tables.events(spark, sf0001)
     val expected = ev.count() - ev.select("user_id").distinct().count()
     assert(tm.agg(sum(col("n"))).head().getLong(0) == expected)
-    // row-stochastic: each from-state's probabilities sum to 1 (up to
-    // the 6-dp per-cell rounding × number of cells)
+    // row-stochastic: each from-state's probabilities sum to 1 (p is an
+    // unrounded exact-quotient; the slack only covers float addition of
+    // the per-cell quotients in this test's own sum)
     val badRow = tm.groupBy(col("from_type"))
       .agg(sum(col("p")).as("sp"), count(lit(1)).as("cells"))
-      .where(abs(col("sp") - 1.0) > col("cells") * 5e-7).count()
+      .where(abs(col("sp") - 1.0) > col("cells") * 1e-12).count()
     assert(badRow == 0)
     // probabilities are positive and at most 1
     assert(tm.where(col("p") <= 0 || col("p") > 1).count() == 0)

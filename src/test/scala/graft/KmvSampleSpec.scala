@@ -23,7 +23,7 @@ class KmvSampleSpec extends SparkSpec {
     val rows = (1 to n).map(i => ("g", i * 2654435761L, i.toDouble))
     val sample = rows.toDF("g", "h", "v").repartition(7)
       .groupBy(col("g"))
-      .agg(KmvSampleAgg.kmv_sample(spark, col("h"), col("v"), 256).as("s"))
+      .agg(KmvSampleAgg.kmv_sample(spark, col("h"), col("v"), Relational.KmvQK).as("s"))
       .head().getSeq[Double](1)
     assert(sample.length == n, "sample must BE the population when n <= k")
     assert(sample == (1 to n).map(_.toDouble))
@@ -43,14 +43,14 @@ class KmvSampleSpec extends SparkSpec {
     // judge the estimate in RANK space (value error depends on local
     // density; rank error is what the k-sample theory bounds): the
     // empirical CDF of the population at the estimate must sit within
-    // 4·sqrt(p(1-p)/k) of p — a 4-sigma envelope for k = 256
+    // 4·sqrt(p(1-p)/k) of p — a 4-sigma envelope for the b35 k
     val pop = Tables.orders(spark, sf001)
       .select(col("o_orderpriority"), col("o_totalprice"))
       .collect()
       .groupBy(_.getString(0)).map { case (g, rs) =>
         g -> rs.map(_.getDouble(1)).sorted
       }
-    def bound(p: Double) = 4.0 * math.sqrt(p * (1 - p) / 256)
+    def bound(p: Double) = 4.0 * math.sqrt(p * (1 - p) / Relational.KmvQK)
     pop.foreach { case (g, vs) =>
       val (e50, e90) = est(g)
       val cdf50 = vs.count(_ <= e50).toDouble / vs.length
@@ -63,7 +63,7 @@ class KmvSampleSpec extends SparkSpec {
   }
 
   test("b36: a stream smaller than k is sampled whole — estimate is exact") {
-    // sf0.001 has fewer events than k = 2048, so n_sample = N and
+    // sf0.001 has fewer events than HhK, so n_sample = N and
     // (hits·N) DIV n_sample = exact count: the degenerate-exactness law
     val rows = Relational.queries("b36_heavy_hitters")(spark, sf0001).collect()
     assert(rows.length == 10)
@@ -83,8 +83,8 @@ class KmvSampleSpec extends SparkSpec {
       val exact = r.getAs[Long]("exact_n").toDouble
       val hits = r.getAs[Long]("hits").toDouble
       val p = exact / n
-      val expHits = 2048.0 * p
-      val sigma = math.sqrt(2048.0 * p * (1 - p))
+      val expHits = Relational.HhK.toDouble * p
+      val sigma = math.sqrt(Relational.HhK.toDouble * p * (1 - p))
       assert(math.abs(hits - expHits) <= 4 * sigma + 1,
         s"user ${r.getAs[Long]("user_id")}: $hits hits vs expected " +
           s"$expHits (sigma $sigma)")

@@ -183,6 +183,38 @@ class TextSpec extends SparkSpec {
     docs.unpersist(); out.unpersist()
   }
 
+  test("c17: prefix-filter join equals the quadratic all-pairs form") {
+    // COMPLETENESS ANCHOR. The DuckDB oracle now runs the same
+    // prefix-filter candidate generation as the engine (the all-pairs
+    // SQL could not finish at sf0.1), so a shared algorithmic error in
+    // the prefix scheme would pass the hash on identical wrong answers.
+    // This test retains the independent proof where it is affordable:
+    // brute-force every pair at sf0.001 and demand set equality.
+    import spark.implicits._
+    val sh = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), expr(
+        s"""array_distinct(transform(
+           |  sequence(1, length(text) - ${TextOps.ShingleK} + 1),
+           |  i -> substring(text, i, ${TextOps.ShingleK})))""".stripMargin)
+        .as("sgs"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sgs").as("a_sgs"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sgs").as("b_sgs"))
+    val brute = a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sgs"), col("b_sgs"))).cast("double")
+          .as("inter"),
+        size(col("a_sgs")).as("na"), size(col("b_sgs")).as("nb"))
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= TextOps.ShingleTau)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    val fast = TextOps.shingleJaccard(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == brute,
+      s"prefix-filter missed ${(brute -- fast).size} pairs / " +
+        s"invented ${(fast -- brute).size}")
+  }
+
   test("lm score: totality, probability bounds, live buckets, bigram count") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001).cache()
