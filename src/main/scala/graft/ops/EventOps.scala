@@ -556,7 +556,49 @@ object EventOps {
       .orderBy(col("user_id"), col("version_no"))
   }
 
+  /** d21: first-touch attribution — the marketing-analytics companion
+    * to the funnel (d15): every purchase's value is credited to the
+    * CHANNEL that opened its session (here: the session's first event
+    * type; in production, the utm/source field of the landing event),
+    * answering "which entry point drives revenue". Sessionization is
+    * d03's rule (same user, gap > 30 min starts a new session) with the
+    * (ts, event_id) tie-break making the session's first event — hence
+    * the channel — deterministic in both engines. Revenue sums in
+    * DECIMAL(9,2) (values are exact 2-dp) and is cast to DOUBLE only at
+    * the end, so the aggregate is order-independent.
+    *
+    * Scale: one shuffle on user_id drives all three window passes
+    * (lag, running sum, first-of-session — one sort, reused), then a
+    * |channels|-sized aggregate of the purchase rows only. */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      // the channel = the session-OPENING event's type, carried forward
+      // with IGNORE-NULLS last over the SAME user window — no second
+      // (user, session)-keyed shuffle, the one sort serves every pass
+      .withColumn("opener",
+        when(col("new_s") === 1, col("event_type")))
+      .withColumn("channel", last(col("opener"), ignoreNulls = true).over(run))
+    sess.where(col("event_type") === "purchase")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id"), col("session_id")).as("n_sessions"),
+        expr("CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE)").as("revenue"))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_attribution" -> (attribution _),
     "d20_scd2" -> (scd2History _),
     "d19_transitions" -> (transitionMatrix _),
     "d17_window_topk" -> (windowTopk _),
@@ -594,6 +636,37 @@ object EventOps {
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d21_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+         |             $duckSecTs AS ts FROM events),
+         |lagged AS (
+         |  SELECT user_id, ts, event_id, event_type, value,
+         |    lag(ts) OVER (PARTITION BY user_id
+         |                  ORDER BY ts ASC, event_id ASC) AS prev_ts
+         |  FROM e),
+         |flagged AS (
+         |  SELECT user_id, ts, event_id, event_type, value,
+         |    CASE WHEN prev_ts IS NULL
+         |           OR epoch(ts) - epoch(prev_ts) > 1800
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM lagged),
+         |sess AS (
+         |  SELECT user_id, ts, event_id, event_type, value,
+         |    sum(new_s) OVER (PARTITION BY user_id
+         |      ORDER BY ts ASC, event_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS session_id,
+         |    last_value(CASE WHEN new_s = 1 THEN event_type END
+         |        IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS channel
+         |  FROM flagged)
+         |SELECT channel, count(*) AS n_purchases,
+         |  count(DISTINCT (user_id, session_id)) AS n_sessions,
+         |  CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS revenue
+         |FROM sess WHERE event_type = 'purchase'
+         |GROUP BY channel ORDER BY channel""".stripMargin,
     "d20_scd2" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, $duckSecTs AS ts
          |           FROM events),

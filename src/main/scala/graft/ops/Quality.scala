@@ -85,8 +85,47 @@ object Quality {
       .orderBy(col("rule"))
   }
 
+  /** q02: statistical outlier detection — the anomaly-audit companion
+    * to q01's hard constraints: per-language z-scores of document
+    * length, reporting the 20 most anomalous documents (the
+    * "distribution drifted / garbage slipped in" detector every
+    * training-data drop gets screened with).
+    *
+    * Cross-engine exactness: group moments are EXACT BIGINTs (Σx, Σx²
+    * of integral n_chars), and z = (x·n − s1)/sqrt(n·s2 − s1²) — both
+    * numerator and radicand are exact integers, and sqrt and divide are
+    * IEEE-754 correctly-rounded ops, so the double z is bit-identical
+    * in any engine (b24/b33's discipline, plus the fact that sqrt —
+    * unlike ln/exp — is REQUIRED to be exactly rounded). The |z| DESC
+    * ordering therefore agrees bitwise too; doc_id breaks ties.
+    *
+    * Scale: one map-side partial-agg pass for the per-group moments
+    * (|langs| rows, broadcast back), one stateless projection, one
+    * TakeOrderedAndProject for the top-20 — no window, no sort of the
+    * corpus. */
+  def lengthOutliers(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val moments = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+    docs.join(broadcast(moments), "lang")
+      .withColumn("z_raw",
+        (col("n_chars") * col("n") - col("s1")).cast("double") /
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")))
+      // flag and ordering BOTH use the raw (bit-identical) z; the
+      // 6-dp rounding is display-only
+      .withColumn("is_outlier", abs(col("z_raw")) > 3.0)
+      .orderBy(abs(col("z_raw")).desc, col("doc_id").asc)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("z_raw"), 6).as("z"), col("is_outlier"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_constraints" -> (constraintChecks _))
+    "q01_constraints" -> (constraintChecks _),
+    "q02_outliers" -> (lengthOutliers _))
 
   // passed derives from the counted value inside a subquery so the
   // (possibly expensive) violations query evaluates ONCE per rule —
@@ -100,6 +139,22 @@ object Quality {
        |    AS n_violations)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q02: identical exact-integer moments, identical single-divide-
+    // plus-sqrt sequence (both IEEE correctly-rounded), raw-z ordering
+    "q02_outliers" ->
+      """WITH m AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |  FROM documents GROUP BY lang),
+        |z AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    CAST(d.n_chars * m.n - m.s1 AS DOUBLE) /
+        |      sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)) AS z_raw
+        |  FROM documents d JOIN m USING (lang))
+        |SELECT doc_id, lang, n_chars, round(z_raw, 6) AS z,
+        |  abs(z_raw) > 3.0 AS is_outlier
+        |FROM z ORDER BY abs(z_raw) DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q01_constraints" -> Seq(
       // NOT EXISTS, not NOT IN: the Spark side is a left_anti join, and
       // NOT IN over a set containing NULL is never true (the b26 trap) —

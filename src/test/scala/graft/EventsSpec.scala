@@ -225,4 +225,36 @@ class EventsSpec extends SparkSpec {
     assert(tm.where(col("p") <= 0 || col("p") > 1).count() == 0)
     tm.unpersist()
   }
+
+  test("attribution conserves purchases and revenue across channels") {
+    val at = ops.EventOps.attribution(spark, sf0001).cache()
+    val ev = Tables.events(spark, sf0001).where(col("event_type") === "purchase")
+    // every purchase lands in exactly one channel bucket
+    assert(at.agg(sum(col("n_purchases"))).head().getLong(0) == ev.count())
+    // revenue conservation: the attributed total equals the exact
+    // decimal sum over all purchase rows
+    val attributed = at.agg(sum(col("revenue"))).head().getDouble(0)
+    val direct = ev
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE)"))
+      .head().getDouble(0)
+    assert(math.abs(attributed - direct) < 1e-6,
+      s"attributed $attributed != direct $direct")
+    // channels are event types (the session opener is an event)
+    val types = Tables.events(spark, sf0001)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(at.select("channel").collect().map(_.getString(0)).toSet.subsetOf(types))
+    at.unpersist()
+  }
+
+  test("transition matrix plan: row totals broadcast, stream shuffles once") {
+    val p = ops.EventOps.transitionMatrix(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the |types|²-sized totals table must broadcast into the pair
+    // probe — a sort-merge join here would re-shuffle the pair table
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // one Window pass (the lead successor) — the counts and totals are
+    // aggregates over its output, not extra stream passes
+    assert("(?s)Window".r.findAllIn(p).size >= 1, p)
+  }
 }

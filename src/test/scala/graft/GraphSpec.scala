@@ -84,6 +84,14 @@ class GraphSpec extends SparkSpec {
     // pure function of the edge set: a second evaluation is bit-identical
     val again = Graph.pagerank(spark, sf0001)
     assert(pr.exceptAll(again).count() == 0 && again.exceptAll(pr).count() == 0)
+
+    // plan shape: the cached edge/degree tables are reused across the
+    // unrolled iterations (InMemoryTableScan), and nothing degenerates
+    // to a cartesian product (the consts crossJoin is a 1-row broadcast)
+    val p = Graph.pagerank(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
     pr.unpersist()
   }
 

@@ -28,4 +28,20 @@ class QualitySpec extends SparkSpec {
       bow.toString)
     rows.unpersist()
   }
+
+  test("q02: top-20 outliers, monotone |z|, flag consistent with z") {
+    val rows = ops.Quality.lengthOutliers(spark, sf0001).collect()
+    assert(rows.length == 20)
+    val zs = rows.map(r => math.abs(r.getAs[Double]("z")))
+    // the report is ordered most-anomalous-first
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b }, zs.mkString(","))
+    // flag agrees with the reported z everywhere except the 6-dp
+    // rounding boundary around |z| = 3
+    rows.foreach { r =>
+      val z = math.abs(r.getAs[Double]("z"))
+      val flag = r.getAs[Boolean]("is_outlier")
+      if (math.abs(z - 3.0) > 1e-6)
+        assert(flag == (z > 3.0), s"z=$z flag=$flag")
+    }
+  }
 }

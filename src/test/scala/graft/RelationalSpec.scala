@@ -50,6 +50,20 @@ class RelationalSpec extends SparkSpec {
       "rows must be revenue-descending")
   }
 
+  test("b36: the sketch aggregates the stream directly — no join, no" +
+      " shuffle before the partial aggregate") {
+    val p = plan("b36_heavy_hitters")
+    // the kmv_sample aggregate must consume the scan via map-side
+    // partial aggregation; joining exact counts happens AFTER the
+    // k-row sample, never against the full stream twice... the exact
+    // side is its own aggregate, so exactly one join of two collapsed
+    // tables is expected and it must be broadcast (both sides tiny)
+    assert(p.contains("kmv_sample"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "joining collapsed sketch/exact tables must not shuffle-sort")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("b11: global sort+limit plans TakeOrderedAndProject") {
     val p = plan("b11_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
