@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -123,9 +124,70 @@ object Quality {
       .limit(20)
   }
 
+  /** MAD outlier fence: |x − med| > MadFence · MAD, with MadFence =
+    * 3 · 1.4826 (the normal-consistency constant σ ≈ 1.4826·MAD, so the
+    * fence is the robust analog of q02's 3σ). Written as ONE literal so
+    * both engines multiply the identical double — a 3·1.4826 product
+    * would be engine-parse-order dependent (DuckDB parses bare decimal
+    * literals as DECIMAL; the b27 lesson). */
+  val MadFence = 4.4478
+
+  /** q03: robust outlier detection via the median absolute deviation —
+    * the companion audit to q02's z-scores for the case q02 can't
+    * handle: mean and stddev are themselves dragged by the outliers
+    * they're supposed to flag (one 10⁶× corrupt value inflates σ until
+    * nothing is 3σ out), while median and MAD have a 50% breakdown
+    * point. Per event_type: median of `value`, MAD, and the count
+    * outside the [[MadFence]] fence.
+    *
+    * Cross-engine exactness: both medians are RANK-SELECTED data values
+    * (b21's integer-rank trick, lower median at rn = (n+1) div 2) — no
+    * interpolation; the deviation |x − med| is one IEEE subtraction
+    * (correctly rounded, bit-identical in any engine) of two exact
+    * inputs, so the second rank selection orders identical doubles; the
+    * fence compare multiplies the same two doubles on both sides.
+    * 6-dp rounding on the reported median/MAD is display-only.
+    *
+    * Scale shape: two ranking windows partitioned by event_type (the
+    * exact-robust-stats cost — each is one shuffle on the group key,
+    * and WindowGroupLimit-style partial sorts don't apply because the
+    * median needs full ranks) plus two broadcast joins of the tiny
+    * per-group tables. At 100 TB the same query runs with groups
+    * spread across executors; if even per-group sorts are too hot, the
+    * b35 KMV rank sketch is the mergeable one-pass approximation of
+    * exactly these medians. */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val byT = Window.partitionBy(col("event_type"))
+    val wv = byT.orderBy(col("value").asc, col("event_id").asc)
+    val med = ev
+      .withColumn("rn", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over(byT))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("value"))).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val wd = byT.orderBy(col("dev").asc, col("event_id").asc)
+    val mad = dev
+      .withColumn("rn", row_number().over(wd))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("dev"))).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        round(max(col("med")), 6).as("median_v"),
+        round(max(col("mad")), 6).as("mad_v"),
+        count(when(col("dev") > lit(MadFence) * col("mad"), lit(1)))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_constraints" -> (constraintChecks _),
-    "q02_outliers" -> (lengthOutliers _))
+    "q02_outliers" -> (lengthOutliers _),
+    "q03_mad_outliers" -> (madOutliers _))
 
   // passed derives from the counted value inside a subquery so the
   // (possibly expensive) violations query evaluates ONCE per rule —
@@ -139,6 +201,39 @@ object Quality {
        |    AS n_violations)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q03: identical rank-selected medians (lower median, (n+1)//2),
+    // identical IEEE |x−med| deviation, single-literal fence multiply
+    "q03_mad_outliers" ->
+      s"""WITH e AS (SELECT event_id, event_type, value FROM events),
+         |r1 AS (
+         |  SELECT event_type, event_id, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY value ASC, event_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM e),
+         |med AS (
+         |  SELECT event_type, max(n) AS n,
+         |    max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+         |  FROM r1 GROUP BY event_type),
+         |dev AS (
+         |  SELECT e.event_type, e.event_id, med.n, med.med,
+         |    abs(e.value - med.med) AS dev
+         |  FROM e JOIN med USING (event_type)),
+         |r2 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |                               ORDER BY dev ASC, event_id ASC) AS rn
+         |  FROM dev),
+         |mad AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+         |  FROM r2 GROUP BY event_type)
+         |SELECT d.event_type, max(d.n) AS n,
+         |  round(max(d.med), 6) AS median_v,
+         |  round(max(mad.mad), 6) AS mad_v,
+         |  count(*) FILTER (WHERE d.dev > CAST($MadFence AS DOUBLE) * mad.mad)
+         |    AS n_outliers
+         |FROM dev d JOIN mad USING (event_type)
+         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // q02: identical exact-integer moments, identical single-divide-
     // plus-sqrt sequence (both IEEE correctly-rounded), raw-z ordering
     "q02_outliers" ->

@@ -208,7 +208,45 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** πps size threshold (chars): docs ≥ θ are always kept, shorter docs
+    * kept with probability n_chars/θ. 500 sits inside the fixtures'
+    * 47–558 char range so BOTH branches (capped p=1 and proportional)
+    * are live at every SF tier. */
+  val PpsTheta = 500L
+
+  /** Membership granularity for s09 (ppm buckets). */
+  private val PpsM = 1000000L
+
+  /** s09: deterministic weighted sampling — inclusion probability
+    * proportional to size (πps Poisson sampling, the survey-sampling
+    * workhorse): p_i = min(1, n_chars/θ), membership decided by the
+    * salted doc-id hash, so the sample is a pure function of the data
+    * (same reproducibility contract as s01–s04) while LONGER documents
+    * are proportionally more likely to be kept — the "sample by token
+    * mass, not by doc count" selection a training-mixture builder wants
+    * when docs differ 10× in length.
+    *
+    * The decision is one exact integer compare: keep ⇔
+    * bucket·θ < n_chars·M (bucket uniform on [0,M)), which is exactly
+    * P[keep] = min(1, n_chars/θ) with zero float arithmetic. Each kept
+    * row carries its inclusion probability (ppm) and the
+    * Horvitz–Thompson weight 1/p (ppm) — the weight an unbiased
+    * downstream estimator multiplies by; for the proportional branch
+    * n·(1/p) = θ identically, the πps self-normalizing property.
+    *
+    * Scale shape: stateless map-side filter+projection over the scan —
+    * zero shuffle, composes with any downstream op. */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", hashBucket(s, "wt:", PpsM.toInt))
+      .where(col("bucket") * PpsTheta < col("n_chars") * PpsM)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        least(lit(PpsM), expr(s"n_chars * $PpsM div $PpsTheta")).as("incl_ppm"),
+        greatest(lit(PpsM), expr(s"$PpsM * $PpsTheta div n_chars")).as("ht_ppm"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s09_weighted_sample" -> (weightedSample _),
     "s07_temperature_mix" -> (temperatureMix _),
     "s06_decontam" -> (contamination _),
     "s05_curriculum_buckets" -> (curriculumBuckets _),
@@ -237,6 +275,14 @@ object Sampling {
     "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
 
   val oracles: Map[String, String] = Map(
+    "s09_weighted_sample" ->
+      s"""WITH ${hashedDocs("wt:", PpsM.toInt)}
+         |SELECT doc_id, source, n_chars,
+         |  least($PpsM, n_chars * $PpsM // $PpsTheta) AS incl_ppm,
+         |  greatest($PpsM, $PpsM * $PpsTheta // n_chars) AS ht_ppm
+         |FROM bucketed
+         |WHERE bucket * $PpsTheta < n_chars * $PpsM
+         |ORDER BY doc_id""".stripMargin,
     "s07_temperature_mix" ->
       """WITH per_source AS (
         |  SELECT source, count(*) AS n_docs,

@@ -29,6 +29,35 @@ class QualitySpec extends SparkSpec {
     rows.unpersist()
   }
 
+  test("q03: MAD outliers match an exact in-memory recompute") {
+    val rep = Quality.madOutliers(spark, sf0001).collect()
+    assert(rep.nonEmpty)
+    // exact reference: lower-median rank selection, same tie-breaks
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    def lowerMedian(xs: Array[(Double, Long)]): Double = {
+      val sorted = xs.sortBy(identity)
+      sorted(((sorted.length + 1) / 2) - 1)._1
+    }
+    rep.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val g = ev(t)
+      assert(r.getAs[Long]("n") == g.size, t)
+      val med = lowerMedian(g.map(x => (x._3, x._2)).toArray)
+      assert(math.abs(r.getAs[Double]("median_v") - med) < 1e-6, t)
+      val devs = g.map(x => (math.abs(x._3 - med), x._2)).toArray
+      val mad = lowerMedian(devs)
+      assert(math.abs(r.getAs[Double]("mad_v") - mad) < 1e-6, t)
+      val nOut = devs.count(_._1 > Quality.MadFence * mad)
+      assert(r.getAs[Long]("n_outliers") == nOut, t)
+      // robustness sanity: the fence keeps the overwhelming majority
+      assert(nOut < g.size / 10, s"$t flagged $nOut of ${g.size}")
+    }
+  }
+
   test("q02: top-20 outliers, monotone |z|, flag consistent with z") {
     val rows = ops.Quality.lengthOutliers(spark, sf0001).collect()
     assert(rows.length == 20)

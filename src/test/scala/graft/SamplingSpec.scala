@@ -107,6 +107,35 @@ class SamplingSpec extends SparkSpec {
     con.unpersist()
   }
 
+  test("s09 weighted sample: πps branch laws and exact weight arithmetic") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect().toMap
+    val kept = Sampling.weightedSample(spark, sf0001)
+      .select(col("doc_id"), col("n_chars"), col("incl_ppm"), col("ht_ppm"))
+      .as[(Long, Long, Long, Long)].collect()
+    // both branches live: a strict subset was kept, nothing invented
+    assert(kept.nonEmpty && kept.length < docs.size)
+    assert(kept.forall { case (id, n, _, _) => docs.get(id).contains(n) })
+    // capped branch: every doc at/above θ is ALWAYS kept, at weight 1
+    val theta = Sampling.PpsTheta
+    val bigDocs = docs.filter(_._2 >= theta).keySet
+    assert(bigDocs.nonEmpty, "fixtures must exercise the p=1 branch")
+    assert(bigDocs.subsetOf(kept.map(_._1).toSet))
+    kept.foreach { case (id, n, incl, ht) =>
+      if (n >= theta) assert(incl == 1000000L && ht == 1000000L, id)
+      else {
+        // proportional branch: exact integer formulas, HT ≈ 1/p
+        assert(incl == n * 1000000L / theta, id)
+        assert(ht == 1000000L * theta / n, id)
+        assert(incl < 1000000L && ht > 1000000L, id)
+      }
+    }
+    // determinism: membership is a pure function of the data
+    val again = Sampling.weightedSample(spark, sf0001)
+      .select(col("doc_id")).as[Long].collect()
+    assert(again.toSeq == kept.map(_._1).toSeq)
+  }
+
   test("temperature mix: integer-exact allocation within budget, flattened") {
     val mix = Sampling.temperatureMix(spark, sf0001).cache()
     val rows = mix.as[(String, Long, Long, Long, Long, Double)].collect()
