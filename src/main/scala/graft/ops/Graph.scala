@@ -337,18 +337,107 @@ object Graph {
       view("nation", Tables.nation(s, d))))
   }
 
+  /** The near-dup edge list persisted once per (session, dataset) — g03's
+    * three self-join references plus the degree aggregate would otherwise
+    * re-run the shingle candidate join four times. */
+  private def cachedEdges(s: SparkSession, d: String): DataFrame =
+    compCache.getOrBuild(s, s"nd-edges:$d")(nearDupEdges(s, d))
+
+  /** g03: triangle census + local clustering coefficient of the τ=0.6
+    * near-dup graph — the structure audit a dedup pipeline runs on its
+    * candidate graph: a high-lcc vertex sits in a clique (a true dup
+    * GROUP, safe to collapse to one representative), a high-degree
+    * low-lcc vertex is a hub stitching UNRELATED documents together
+    * (a boilerplate/template artifact that would glue whole topics into
+    * one component — exactly the failure c26's transitive closure would
+    * amplify). Output: (doc_id, deg, n_tri, lcc) per graph vertex, with
+    * lcc = 2·n_tri / (deg·(deg−1)).
+    *
+    * Enumeration is the degree-ordered node-iterator: orient every edge
+    * from its (deg, id)-smaller endpoint, build wedges only at oriented
+    * SOURCES, and close each wedge against the canonical (a<b) edge
+    * list. Every triangle is found exactly once (its unique
+    * (deg,id)-minimal apex), and — the scale property — the wedge
+    * count is bounded by Σ out-deg², where orientation caps out-degree
+    * at O(√m) (arboricity), NOT by Σ deg² like a naive wedge join: the
+    * hub vertex that dominates naive triangle counting generates no
+    * wedges at all because all its edges point INTO it. Both the wedge
+    * build and the closing check are equi-joins (shuffles keyed on
+    * vertex/edge ids) over the cached edge list; nothing is quadratic
+    * in the corpus.
+    *
+    * Cross-engine: counts are integers; lcc is one CAST-then-divide of
+    * two exact integers (correctly-rounded IEEE), rounded at 6 dp for
+    * display — the oracle runs the naive a<b<c 3-way join, which is
+    * fine at fixture scale and provably the same triangle set. */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val e = cachedEdges(s, d)
+    val bi = e.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(e.select(col("b_id").as("u"), col("a_id").as("v")))
+    val deg = bi.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // orient a→b iff (deg(a), a) < (deg(b), b); a<b already, so the id
+    // tie-break reduces to deg(a) <= deg(b)
+    val eo = e
+      .join(deg.select(col("u").as("a_id"), col("deg").as("da")), "a_id")
+      .join(deg.select(col("u").as("b_id"), col("deg").as("db")), "b_id")
+      .select(
+        when(col("da") <= col("db"), col("a_id")).otherwise(col("b_id")).as("src"),
+        when(col("da") <= col("db"), col("b_id")).otherwise(col("a_id")).as("dst"))
+    val tri = eo.as("x")
+      .join(eo.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .join(e,
+        col("a_id") === col("x.dst") && col("b_id") === col("y.dst"))
+      .select(col("x.src").as("t1"), col("x.dst").as("t2"), col("y.dst").as("t3"))
+    val perVertex = tri
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perVertex, Seq("u"), "left")
+      .select(col("u").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") > 1,
+          round((coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("lcc"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** g03b: one-row global census — vertex/edge/triangle counts and the
+    * transitivity ratio 3·T / #wedges (= 6·T / Σ deg(deg−1) in exact
+    * integers; one final IEEE divide). The scalar a dedup planner
+    * thresholds on: transitivity near 1 means the near-dup graph is
+    * clique-like (clean dup groups), a falling value means template
+    * hubs are bridging unrelated content. */
+  def triangleStats(s: SparkSession, d: String): DataFrame = {
+    val e = cachedEdges(s, d)
+    val bi = e.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(e.select(col("b_id").as("u"), col("a_id").as("v")))
+    val deg = bi.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val nTri = triangles(s, d).agg(
+      (sum(col("n_tri")) / 3).cast("long").as("n_triangles"))
+    val degStats = deg.agg(count(lit(1)).as("n_vertices"),
+      sum(col("deg") * (col("deg") - 1)).as("w2"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    degStats.crossJoin(nEdges).crossJoin(nTri)
+      .select(col("n_vertices"), col("n_edges"), col("n_triangles"),
+        when(col("w2") > 0,
+          round((col("n_triangles") * 6).cast("double") /
+            col("w2").cast("double"), 6))
+          .otherwise(lit(0.0)).as("transitivity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c26_components" -> (components _),
     "c26_component_stats" -> (componentStats _),
     "g02_pagerank" -> (pagerank _),
+    "g03_triangles" -> (triangles _),
+    "g03_triangle_stats" -> (triangleStats _),
     "e06_trade_reach" -> (tradeReach _),
     "s08_leakage_safe_split" -> (leakageSafeSplit _))
 
-  // Recursive-CTE oracle: reach(u,v) = transitive closure of the
-  // bidirectional edge set (UNION gives set-semantics termination);
-  // component(v) = min(v, min reachable id). Same edge SQL as c02's
-  // oracle with τ=0.6.
-  private val edgeSql =
+  // The τ=0.6 doc near-dup edge list (a_id < b_id) — same edge SQL as
+  // c02's oracle; shared by the c26/s08 closure oracles and g03.
+  private val docEdgeSql =
     s"""t AS (SELECT doc_id, source,
        |    list_distinct(string_split(text, ' ')) AS tok FROM documents),
        |e AS (
@@ -358,7 +447,13 @@ object Graph {
        |    AND len(b.tok) >= len(a.tok) * $CcTau
        |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
        |    (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
-       |      >= $CcTau),
+       |      >= $CcTau)""".stripMargin
+
+  // Recursive-CTE oracle: reach(u,v) = transitive closure of the
+  // bidirectional edge set (UNION gives set-semantics termination);
+  // component(v) = min(v, min reachable id).
+  private val edgeSql =
+    s"""$docEdgeSql,
        |bi AS (SELECT a_id AS u, b_id AS v FROM e
        |       UNION ALL SELECT b_id, a_id FROM e),
        |reach(u, v) AS (
@@ -405,7 +500,47 @@ object Graph {
        |ORDER BY rank_ppt DESC, kind, key""".stripMargin
   }
 
+  // g03 oracle scaffold: naive a<b<c three-way join over the same edge
+  // set (provably the same triangle multiset as the engine's
+  // degree-ordered enumeration — each triangle {a<b<c} appears exactly
+  // once as (e(a,b), e(b,c), e(a,c)) in both formulations).
+  private val triSql =
+    s"""$docEdgeSql,
+       |bi AS (SELECT a_id AS u, b_id AS v FROM e
+       |       UNION ALL SELECT b_id, a_id FROM e),
+       |deg AS (SELECT u, count(*) AS deg FROM bi GROUP BY u),
+       |tri AS (
+       |  SELECT e1.a_id AS t1, e1.b_id AS t2, e2.b_id AS t3
+       |  FROM e e1 JOIN e e2 ON e2.a_id = e1.b_id
+       |  JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "g03_triangles" ->
+      s"""WITH $triSql,
+         |tv AS (
+         |  SELECT u, count(*) AS n_tri FROM (
+         |    SELECT t1 AS u FROM tri
+         |    UNION ALL SELECT t2 FROM tri
+         |    UNION ALL SELECT t3 FROM tri) x
+         |  GROUP BY u)
+         |SELECT deg.u AS doc_id, deg.deg,
+         |  coalesce(tv.n_tri, 0) AS n_tri,
+         |  CASE WHEN deg.deg > 1 THEN
+         |    round(CAST(coalesce(tv.n_tri, 0) * 2 AS DOUBLE) /
+         |          CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6)
+         |  ELSE CAST(0 AS DOUBLE) END AS lcc
+         |FROM deg LEFT JOIN tv USING (u) ORDER BY doc_id""".stripMargin,
+    "g03_triangle_stats" ->
+      s"""WITH $triSql
+         |SELECT
+         |  (SELECT count(*) FROM deg) AS n_vertices,
+         |  (SELECT count(*) FROM e) AS n_edges,
+         |  (SELECT count(*) FROM tri) AS n_triangles,
+         |  CASE WHEN (SELECT sum(deg * (deg - 1)) FROM deg) > 0 THEN
+         |    round(CAST((SELECT count(*) FROM tri) * 6 AS DOUBLE) /
+         |          CAST((SELECT CAST(sum(deg * (deg - 1)) AS BIGINT)
+         |                FROM deg) AS DOUBLE), 6)
+         |  ELSE CAST(0 AS DOUBLE) END AS transitivity""".stripMargin,
     // the oracle IS the engine query — same text, bare table names
     "e06_trade_reach" ->
       tradeReachSql("lineitem", "orders", "customer", "supplier", "nation"),

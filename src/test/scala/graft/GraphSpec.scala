@@ -95,6 +95,33 @@ class GraphSpec extends SparkSpec {
     pr.unpersist()
   }
 
+  test("g03: degree-ordered enumeration equals the naive triple join") {
+    val e = Graph.nearDupEdges(spark, sf0001).cache()
+    // naive a<b<c closure — the oracle's formulation, rebuilt in Spark
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e2.a_id") === col("e1.b_id"))
+      .join(e.as("e3"),
+        col("e3.a_id") === col("e1.a_id") && col("e3.b_id") === col("e2.b_id"))
+      .count()
+    val rep = Graph.triangleStats(spark, sf0001).head()
+    assert(rep.getAs[Long]("n_triangles") == naive,
+      s"degree-ordered=${rep.getAs[Long]("n_triangles")} naive=$naive")
+    assert(rep.getAs[Long]("n_edges") == e.count())
+    e.unpersist()
+
+    val tv = Graph.triangles(spark, sf0001).cache()
+    // handshake: per-vertex incidences sum to 3 triangles each
+    val s3 = tv.agg(sum(col("n_tri"))).head().getLong(0)
+    assert(s3 == 3 * rep.getAs[Long]("n_triangles"), s"sum n_tri = $s3")
+    // lcc is a probability; deg-1 vertices have no wedges, lcc = 0
+    val bad = tv.where(col("lcc") < 0 || col("lcc") > 1 ||
+      (col("deg") === 1 && col("lcc") =!= 0.0)).count()
+    assert(bad == 0)
+    val trans = rep.getAs[Double]("transitivity")
+    assert(trans >= 0 && trans <= 1, trans.toString)
+    tv.unpersist()
+  }
+
   test("fixed point is stable: one more propagation round changes nothing") {
     // Idempotence distinguishes a true fixed point from a bounded-round
     // scheme (c10's 3-round propagation is NOT idempotent in general).
