@@ -426,12 +426,56 @@ object Graph {
           .otherwise(lit(0.0)).as("transitivity"))
   }
 
+  /** g04: degree assortativity of the near-dup graph — the Pearson
+    * correlation of endpoint degrees over every directed edge instance.
+    * The scalar that separates the two near-dup-graph pathologies g03
+    * distinguishes locally: strongly positive r means dup GROUPS link to
+    * dup groups (cliquey, safe to collapse), strongly negative r means
+    * high-degree template hubs attach to low-degree singletons — the
+    * boilerplate topology that makes transitive dedup over-merge.
+    *
+    * Determinism (b24 discipline): degrees are exact BIGINTs, all five
+    * power sums are exact integer aggregates; the final value is ONE
+    * double multiply, ONE correctly-rounded sqrt, ONE divide, spelled
+    * expression-identically in the oracle. The symmetrized edge list
+    * makes sx = sy by construction (law-tested), so no x/y asymmetry
+    * can fork the engines. Scale: two equi-join shuffles (degree
+    * attach) + a one-row aggregate — same frame as g03. */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val e = cachedEdges(s, d)
+    val bi = e.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(e.select(col("b_id").as("u"), col("a_id").as("v")))
+    val deg = bi.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val ends = bi
+      .join(deg.select(col("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), "v")
+    val m = ends.agg(
+      count(lit(1)).as("n"),
+      sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+      sum(col("du") * col("du")).as("sxx"),
+      sum(col("dv") * col("dv")).as("syy"),
+      sum(col("du") * col("dv")).as("sxy"))
+    val nV = deg.agg(count(lit(1)).as("n_vertices"))
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    m.crossJoin(nV).crossJoin(nE)
+      .select(col("n_vertices"), col("n_edges"),
+        round((col("n_edges") * 2).cast("double") / col("n_vertices"), 6)
+          .as("mean_deg"),
+        when((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6))
+          .otherwise(lit(0.0)).as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c26_components" -> (components _),
     "c26_component_stats" -> (componentStats _),
     "g02_pagerank" -> (pagerank _),
     "g03_triangles" -> (triangles _),
     "g03_triangle_stats" -> (triangleStats _),
+    "g04_assortativity" -> (assortativity _),
     "e06_trade_reach" -> (tradeReach _),
     "s08_leakage_safe_split" -> (leakageSafeSplit _))
 
@@ -515,6 +559,33 @@ object Graph {
        |  JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same exact-integer power sums, same single multiply/sqrt/divide
+    // expression order as the engine side
+    "g04_assortativity" ->
+      s"""WITH $docEdgeSql,
+         |bi AS (SELECT a_id AS u, b_id AS v FROM e
+         |       UNION ALL SELECT b_id, a_id FROM e),
+         |deg AS (SELECT u, count(*) AS deg FROM bi GROUP BY u),
+         |ends AS (
+         |  SELECT da.deg AS du, db.deg AS dv
+         |  FROM bi JOIN deg da ON da.u = bi.u
+         |          JOIN deg db ON db.u = bi.v),
+         |m AS (SELECT count(*) AS n,
+         |  CAST(sum(du) AS BIGINT) AS sx, CAST(sum(dv) AS BIGINT) AS sy,
+         |  CAST(sum(du * du) AS BIGINT) AS sxx,
+         |  CAST(sum(dv * dv) AS BIGINT) AS syy,
+         |  CAST(sum(du * dv) AS BIGINT) AS sxy FROM ends)
+         |SELECT
+         |  (SELECT count(*) FROM deg) AS n_vertices,
+         |  (SELECT count(*) FROM e) AS n_edges,
+         |  round(CAST((SELECT count(*) FROM e) * 2 AS DOUBLE) /
+         |        (SELECT count(*) FROM deg), 6) AS mean_deg,
+         |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+         |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |          sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+         |               CAST(n * syy - sy * sy AS DOUBLE)), 6)
+         |  ELSE CAST(0 AS DOUBLE) END AS assortativity
+         |FROM m""".stripMargin,
     "g03_triangles" ->
       s"""WITH $triSql,
          |tv AS (

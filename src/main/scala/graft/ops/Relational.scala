@@ -994,6 +994,36 @@ object Relational {
          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
   }
 
+  /** B37: correlated LATERAL subquery — per-nation top-3 customers by
+    * account balance, expressed as SQL:1999 LATERAL (the comma form both
+    * engines parse) with ORDER BY + LIMIT INSIDE the correlated subquery.
+    * The semantically identical DSL form is b13's window-rank per-group
+    * top-k; declaring the LATERAL spelling pins the decorrelation path:
+    * Catalyst rewrites the per-row subquery into one window-ranked join
+    * (DecorrelateInnerQuery handles the correlated LIMIT), so execution
+    * is a single partitioned rank — no per-outer-row re-execution, which
+    * is the only shape that survives a 100-TB outer side. The oracle runs
+    * the IDENTICAL query text (e06 discipline — the tightest possible
+    * cross-engine contract for this corner of the SQL surface).
+    * Determinism: balance ties broken by c_custkey inside the LIMIT. */
+  private def lateralSql(nation: String, customer: String): String =
+    s"""SELECT n.n_name, t.c_custkey, t.c_acctbal
+       |FROM $nation n, LATERAL (
+       |  SELECT c_custkey, c_acctbal
+       |  FROM $customer c
+       |  WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 0
+       |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3
+       |) t
+       |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
+
+  def lateralTopK(s: SparkSession, d: String): DataFrame = {
+    val nv = s"nation_lat_${java.lang.Integer.toHexString(d.hashCode)}"
+    val cv = s"cust_lat_${java.lang.Integer.toHexString(d.hashCode)}"
+    Tables.nation(s, d).createOrReplaceTempView(nv)
+    Tables.customer(s, d).createOrReplaceTempView(cv)
+    s.sql(lateralSql(nv, cv))
+  }
+
   /** B16b: value-based RANGE frame — rolling 30-day order count/revenue
     * per customer, ordered by an integer day offset so the frame bounds
     * are exact on both engines. Rows sharing a day share a frame, so the
@@ -1040,6 +1070,7 @@ object Relational {
     "b32_filter_clause" -> (filterClauseAgg _),
     "b33_higher_moments" -> (higherMoments _),
     "b22_exists_correlated" -> (existsCorrelated _),
+    "b37_lateral" -> (lateralTopK _),
     "b24_regression" -> (regression _),
     "b25_merge_upsert" -> (mergeUpsert _),
     "b17b_setops_all" -> (setOpsAll _),
@@ -1082,6 +1113,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle IS the engine query — identical LATERAL text, bare names
+    "b37_lateral" -> lateralSql("nation", "customer"),
     // the double arithmetic after the exact moments is spelled
     // EXPRESSION-IDENTICALLY to the Spark side (same ops, same order)
     "b24_regression" ->

@@ -287,6 +287,43 @@ object TextOps {
         sum(col("alnum_runs")).as("sum_alnum_runs"))
       .orderBy(col("lang"))
 
+  /** C-text: subword (BPE-ish) token-COST estimation — the vocab-free
+    * answer to "how many tokens is my corpus", the number every training
+    * budget and every inference bill is denominated in. Pieces come from
+    * a GPT-2-shape pre-tokenizer alternation
+    * (`'(?:s|t|…)|[a-z]+|[0-9]+|[^a-z0-9\s']+`) whose branches start
+    * with DISJOINT character classes, so RE2 (DuckDB) and
+    * java.util.regex (Spark) produce the identical piece list without
+    * relying on alternation-order semantics; each alphabetic piece is
+    * then charged ceil(len/7) subword tokens — the BPE property that
+    * frequent short words stay whole while long words split — in pure
+    * integer arithmetic (`(len+6) div 7` on both engines). Per
+    * (lang, source): docs, pieces, estimated tokens, max piece length,
+    * and chars-per-token (exact BIGINT sums, ONE double divide, the
+    * b24 discipline). All map-side until the tiny grouped aggregate;
+    * at 100 TB this is a single scan with partial aggregation — the
+    * cheapest possible shape for corpus-wide token accounting. */
+  def tokenEstimate(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("pieces",
+        regexp_extract_all(col("text"),
+          lit("""'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s']+"""),
+          lit(0)))
+      .withColumn("n_pieces", size(col("pieces")))
+      .withColumn("est_tokens",
+        expr("aggregate(pieces, 0L, (acc, x) -> acc + (length(x) + 6) div 7)"))
+      .withColumn("max_piece",
+        expr("aggregate(pieces, 0, (acc, x) -> greatest(acc, length(x)))"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_pieces")).as("sum_pieces"),
+        sum(col("est_tokens")).as("sum_est_tokens"),
+        max(col("max_piece")).as("max_piece_len"),
+        round(sum(col("n_chars")).cast("double") / sum(col("est_tokens")), 6)
+          .as("chars_per_token"))
+      .orderBy(col("lang"), col("source"))
+
   /** C-text (no oracle): document fingerprinting — a deterministic 64-bit
     * winnowing fingerprint per document (min rolling hash over 16-char
     * shingles). Pure map-side projection. */
@@ -1025,6 +1062,7 @@ object TextOps {
     "c05_langid" -> (langIdHeuristic _),
     "c06_quality" -> (qualityScore _),
     "c07_token_count" -> (tokenCount _),
+    "c34_token_estimate" -> (tokenEstimate _),
     "c08_fingerprint" -> (fingerprint _),
     "c10_minhash_lsh" -> (minhashLsh _),
     "c30_lsh_components" -> (lshComponents _),
@@ -1585,6 +1623,30 @@ object TextOps {
         |  min(ws_tokens) AS min_ws_tokens, max(ws_tokens) AS max_ws_tokens,
         |  CAST(sum(alnum_runs) AS BIGINT) AS sum_alnum_runs
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    // identical pre-tokenizer alternation (disjoint-first-char branches:
+    // RE2 and java.util.regex agree without alternation-order semantics),
+    // identical integer subword charge (len+6)//7, exact BIGINT sums,
+    // one double divide at the end
+    "c34_token_estimate" ->
+      """WITH p AS (
+        |  SELECT lang, source, n_chars,
+        |    regexp_extract_all(text,
+        |      '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s'']+') AS pieces
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang, source, n_chars,
+        |    len(pieces) AS n_pieces,
+        |    list_sum(list_transform(pieces, x -> (length(x) + 6) // 7))
+        |      AS est_tokens,
+        |    list_max(list_transform(pieces, x -> length(x))) AS max_piece
+        |  FROM p)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_pieces) AS BIGINT) AS sum_pieces,
+        |  CAST(sum(est_tokens) AS BIGINT) AS sum_est_tokens,
+        |  CAST(max(max_piece) AS BIGINT) AS max_piece_len,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(est_tokens) AS BIGINT), 6)
+        |    AS chars_per_token
+        |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "c12_embedding_neardup" ->
       s"""WITH de AS (
          |  SELECT doc_id, source, embedding

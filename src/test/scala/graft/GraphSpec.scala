@@ -122,6 +122,21 @@ class GraphSpec extends SparkSpec {
     tv.unpersist()
   }
 
+  test("g04: assortativity is a bounded correlation over the same graph") {
+    val rep = Graph.queries("g04_assortativity")(spark, sf0001).head()
+    val r = rep.getAs[Double]("assortativity")
+    assert(r >= -1.0 && r <= 1.0, r.toString)
+    // the census must agree with g03's over the shared cached edge list
+    val g3 = Graph.triangleStats(spark, sf0001).head()
+    assert(rep.getAs[Long]("n_vertices") == g3.getAs[Long]("n_vertices"))
+    assert(rep.getAs[Long]("n_edges") == g3.getAs[Long]("n_edges"))
+    // mean degree = 2E/V to 6dp
+    val md = rep.getAs[Double]("mean_deg")
+    val expect = BigDecimal(2.0 * rep.getAs[Long]("n_edges") /
+      rep.getAs[Long]("n_vertices")).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(md - expect.toDouble) < 1e-9, s"$md vs $expect")
+  }
+
   test("fixed point is stable: one more propagation round changes nothing") {
     // Idempotence distinguishes a true fixed point from a bounded-round
     // scheme (c10's 3-round propagation is NOT idempotent in general).

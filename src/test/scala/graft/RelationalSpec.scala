@@ -50,6 +50,25 @@ class RelationalSpec extends SparkSpec {
       "rows must be revenue-descending")
   }
 
+  test("b37: correlated LATERAL LIMIT decorrelates to one windowed rank") {
+    val p = plan("b37_lateral")
+    // Catalyst must rewrite the per-outer-row subquery into a single
+    // window rank + join — the only per-row-subquery-free shape. A plan
+    // that re-ran the inner query per nation would show nested loops of
+    // the customer scan; decorrelation shows exactly one Window.
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val df = Relational.queries("b37_lateral")(spark, sf0001)
+    val rows = df.collect()
+    // per-nation cap of 3, balances descending within each nation
+    val byNation = rows.groupBy(_.getAs[String]("n_name"))
+    assert(byNation.values.forall(_.length <= 3))
+    byNation.values.foreach { g =>
+      val b = g.map(_.getAs[Double]("c_acctbal"))
+      assert(b.zip(b.tail).forall { case (x, y) => x >= y }, g.mkString(","))
+    }
+  }
+
   test("b36: the sketch aggregates the stream directly — no join, no" +
       " shuffle before the partial aggregate") {
     val p = plan("b36_heavy_hitters")

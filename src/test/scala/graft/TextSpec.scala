@@ -72,6 +72,27 @@ class TextSpec extends SparkSpec {
     assert(q.where(col("jaccard") < graft.ops.TextOps.ShingleTau).count() === 0)
   }
 
+  test("c34: subword estimate is bounded by pieces below and chars above") {
+    import org.apache.spark.sql.functions._
+    val q = graft.ops.TextOps.tokenEstimate(spark, sf0001)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pieces = r.getAs[Long]("sum_pieces")
+      val est = r.getAs[Long]("sum_est_tokens")
+      // every piece is >=1 token; a piece of length L is <= L tokens
+      assert(est >= pieces, r.toString)
+      val cpt = r.getAs[Double]("chars_per_token")
+      assert(cpt >= 1.0, s"chars per token below 1: $r")
+      assert(r.getAs[Int]("max_piece_len") >= 1)
+    }
+    // the long-word branch must be LIVE: some piece longer than 7 chars
+    // means est_tokens > pieces somewhere on this corpus
+    assert(rows.exists(r =>
+      r.getAs[Long]("sum_est_tokens") > r.getAs[Long]("sum_pieces")),
+      "ceil(len/7) branch never fired — corpus has no words longer than 7?")
+  }
+
   test("fuzzy near-dup length-band join equals the all-pairs form") {
     import org.apache.spark.sql.functions._
     val q = graft.ops.TextOps.fuzzyNearDup(spark, sf0001)
