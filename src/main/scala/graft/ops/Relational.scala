@@ -109,6 +109,38 @@ object Relational {
       .limit(10)
   }
 
+  /** B38: bloom-prefiltered semi join — Spark's runtime row-level
+    * filtering (and every warehouse's "join pushdown") made explicit as
+    * a declared, oracle-checked operator. The selective side (orders
+    * above a price floor) is summarized into a Bloom filter; the fact
+    * scan probes the sketch MAP-SIDE and discards ~the full
+    * non-matching volume before the shuffle; the exact semi join then
+    * removes the false positives, so the RESULT is exactly the plain
+    * semi join (law-tested in RelationalSpec) — the sketch can only
+    * change cost, never the answer. At 100 TB this is the difference
+    * between shuffling 100 TB of fact rows into the join and shuffling
+    * the ~selectivity fraction that can possibly match: the sketch
+    * build moves ~KBs to the driver (the same movement as a broadcast
+    * build, just lossy-compressed), and the probe is a stateless
+    * per-row predicate. The udf probe sits OUTSIDE whole-stage codegen
+    * — the documented cost of the explicit form; Spark's own
+    * InjectRuntimeFilter does the same rewrite natively once the
+    * creation-side thresholds are met. */
+  def bloomSemi(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.orders(s, d).where(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"))
+    val expected = math.max(1000L, keys.count())
+    val bf = keys.stat.bloomFilter("o_orderkey", expected, 0.01)
+    val might = udf((k: java.lang.Long) => k != null && bf.mightContain(k.longValue))
+    Tables.lineitem(s, d)
+      .where(might(col("l_orderkey")))
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr(s"CAST(sum($decPrice * $decDisc) AS DOUBLE)").as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** B5: left outer join — every customer, including the order-less,
     * counted per nation. */
   def joinLeft(s: SparkSession, d: String): DataFrame = {
@@ -1081,6 +1113,7 @@ object Relational {
     "b03_join_broadcast" -> (joinBroadcast _),
     "b04_join_shuffle" -> (joinShuffle _),
     "b34_star_join" -> (starJoin _),
+    "b38_bloom_semi" -> (bloomSemi _),
     "b05_join_left" -> (joinLeft _),
     "b05_join_full" -> (joinFull _),
     "b06_join_anti" -> (joinAnti _),
@@ -1115,6 +1148,16 @@ object Relational {
   val oracles: Map[String, String] = Map(
     // the oracle IS the engine query — identical LATERAL text, bare names
     "b37_lateral" -> lateralSql("nation", "customer"),
+    // the bloom prefilter is cost-only: the oracle is the plain semi join
+    "b38_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the double arithmetic after the exact moments is spelled
     // EXPRESSION-IDENTICALLY to the Spark side (same ops, same order)
     "b24_regression" ->

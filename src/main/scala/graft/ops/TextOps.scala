@@ -324,6 +324,64 @@ object TextOps {
           .as("chars_per_token"))
       .orderBy(col("lang"), col("source"))
 
+  /** Weighted near-dup threshold (c35). */
+  val CosTau = 0.9
+
+  private val tfidfCache = new graft.PersistedCache
+
+  /** C-near-dup tier 6: TF-IDF-weighted cosine similarity — the weighted
+    * companion to c02's set-Jaccard: two docs that share RARE terms are
+    * more alike than two sharing stopwords, which is exactly what an
+    * unweighted Jaccard cannot express. Weights are pure integers
+    * (w = tf · ((100·n_docs) div df), c20's scaled-idf trick), so dot
+    * products and norms are EXACT BIGINT sums; cosine is then one
+    * double divide over two correctly-rounded sqrts — bit-identical
+    * cross-engine (the q02/g04 discipline), so even the τ cut cannot
+    * fork. Candidates are the source-blocked posting-list equi-join on
+    * (source, term) — the c02 blocking contract: per-block pair space,
+    * never global O(n²); non-shared terms contribute 0 to the dot
+    * product so the join IS complete over pairs that can pass τ. At
+    * 100 TB the same plan holds: postings shuffle on (source, term),
+    * norms shuffle on doc_id, and the only densifier is a hub term
+    * within one source block — the mitigation (df-cap the posting join,
+    * exact-recheck survivors) composes without changing the contract.
+    * The scaled-idf constant 100 keeps every intermediate under 2⁶³ up
+    * to ~50k docs per corpus-count; a larger corpus raises the div
+    * denominator floor, not the product ceiling. */
+  def tfidfCosine(s: SparkSession, d: String): DataFrame = {
+    val w = tfidfCache.getOrBuild(s, s"tfidf_w:$d") {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      docs
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("source"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        // df via a term-window on the tf table: no second corpus scan
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("source"), col("term"),
+          expr("tf * ((100 * n_docs) div df)").as("w"))
+    }
+    val norm = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nn"))
+    val dot = w.select(col("doc_id").as("a_id"), col("source"), col("term"),
+        col("w").as("wa"))
+      .join(w.select(col("doc_id").as("b_id"), col("source").as("sb"),
+          col("term").as("tb"), col("w").as("wb")),
+        col("source") === col("sb") && col("term") === col("tb") &&
+          col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dot.join(norm.select(col("doc_id").as("a_id"), col("nn").as("na")), "a_id")
+      .join(norm.select(col("doc_id").as("b_id"), col("nn").as("nb")), "b_id")
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .where(col("cosine") >= CosTau)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** C-text (no oracle): document fingerprinting — a deterministic 64-bit
     * winnowing fingerprint per document (min rolling hash over 16-char
     * shingles). Pure map-side projection. */
@@ -1063,6 +1121,7 @@ object TextOps {
     "c06_quality" -> (qualityScore _),
     "c07_token_count" -> (tokenCount _),
     "c34_token_estimate" -> (tokenEstimate _),
+    "c35_tfidf_cosine" -> (tfidfCosine _),
     "c08_fingerprint" -> (fingerprint _),
     "c10_minhash_lsh" -> (minhashLsh _),
     "c30_lsh_components" -> (lshComponents _),
@@ -1647,6 +1706,37 @@ object TextOps {
         |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(est_tokens) AS BIGINT), 6)
         |    AS chars_per_token
         |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // identical integer weights (c20's scaled idf), exact BIGINT
+    // dot/norms, and the SAME divide-over-sqrt-product expression —
+    // the unrounded cosine decides the τ cut on both engines
+    "c35_tfidf_cosine" ->
+      """WITH terms AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, source, term, count(*) AS tf
+        |       FROM terms GROUP BY doc_id, source, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT tf.doc_id, tf.source, tf.term,
+        |        CAST(tf.tf * ((100 * n.n_docs) // df.df) AS BIGINT) AS w
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |norm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nn
+        |         FROM w GROUP BY doc_id),
+        |dot AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        |  FROM w a JOIN w b ON a.source = b.source AND a.term = b.term
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id,
+        |  round(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6)
+        |    AS cosine
+        |FROM dot JOIN norm na ON na.doc_id = a_id
+        |         JOIN norm nb ON nb.doc_id = b_id
+        |WHERE CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
     "c12_embedding_neardup" ->
       s"""WITH de AS (
          |  SELECT doc_id, source, embedding

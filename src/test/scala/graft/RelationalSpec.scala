@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, count, max, min, month}
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, month}
 
 import graft.ops.Relational
 
@@ -67,6 +67,28 @@ class RelationalSpec extends SparkSpec {
       val b = g.map(_.getAs[Double]("c_acctbal"))
       assert(b.zip(b.tail).forall { case (x, y) => x >= y }, g.mkString(","))
     }
+  }
+
+  test("b38: bloom prefilter is cost-only — result equals the plain semi join") {
+    import graft.Tables
+    val withBloom = Relational.queries("b38_bloom_semi")(spark, sf0001)
+    val keys = Tables.orders(spark, sf0001)
+      .where(col("o_totalprice") > 400000).select(col("o_orderkey"))
+    val plain = Tables.lineitem(spark, sf0001)
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)").as("revenue"))
+    assert(withBloom.except(plain).count() == 0 &&
+           plain.except(withBloom).count() == 0,
+      "bloom-prefiltered result must be identical to the exact semi join")
+    // and the sketch must actually prune: the prefiltered scan is a
+    // strict subset of the fact table (selectivity < 1)
+    val bf = keys.stat.bloomFilter("o_orderkey", 1000L, 0.01)
+    val total = Tables.lineitem(spark, sf0001).count()
+    val kept = Tables.lineitem(spark, sf0001)
+      .filter(r => bf.mightContain(r.getAs[Long]("l_orderkey"))).count()
+    assert(kept < total, s"prefilter kept $kept of $total — no pruning")
   }
 
   test("b36: the sketch aggregates the stream directly — no join, no" +

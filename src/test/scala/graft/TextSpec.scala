@@ -93,6 +93,30 @@ class TextSpec extends SparkSpec {
       "ceil(len/7) branch never fired — corpus has no words longer than 7?")
   }
 
+  test("c35: weighted cosine candidates come from the posting equi-join") {
+    import org.apache.spark.sql.functions._
+    val q = graft.ops.TextOps.tfidfCosine(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the one-row n_docs scalar broadcasts as a conditionless BNLJ —
+    // that's the bounded scalar join, fine; what must NOT happen is the
+    // doc-PAIR space going through a nested loop (a BNLJ carrying the
+    // a_id<b_id pair condition would mean the posting equi-join
+    // degenerated to all-pairs)
+    assert(!"""BroadcastNestedLoopJoin[^\n]*a_id""".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      "posting candidates must come from an equi-join")
+    val rows = q.collect()
+    assert(rows.nonEmpty, "τ=0.9 must be live on this corpus")
+    // soundness: every reported pair meets the threshold, a<b canonical
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cosine") >= graft.ops.TextOps.CosTau)
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+    }
+    // weighted-vs-unweighted: cosine(doc,doc) would be 1; bounded above
+    assert(rows.forall(_.getAs[Double]("cosine") <= 1.0))
+  }
+
   test("fuzzy near-dup length-band join equals the all-pairs form") {
     import org.apache.spark.sql.functions._
     val q = graft.ops.TextOps.fuzzyNearDup(spark, sf0001)
