@@ -359,6 +359,31 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** d22: rolling MEDIAN — the robust companion to d13's EWMA: a mean-
+    * based smoother follows every spike; the trailing-25 median ignores
+    * up to 12 outliers per frame, which is what you want under bursty
+    * noise (q03's MAD argument, applied to smoothing). The median is
+    * rank-SELECTED from the sorted frame (element (m+1) div 2, the b21
+    * lower-median discipline) — an actual data value, no interpolation
+    * arithmetic, so the DOUBLE passes through both engines untouched
+    * and hashing is exact. Frame contents are deterministic: ordering
+    * ties on the whole-second ts are broken by event_id on both sides.
+    * Scale: same frame as d14 — one shuffle on the partition key, then
+    * a sorted pass with O(frame)=25 state per row; collect_list over a
+    * bounded ROWS frame is constant memory, never a per-key corpus
+    * collection. */
+  def rollingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-24, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("frame", sort_array(collect_list(col("value")).over(w)))
+      .select(col("event_id"), col("event_type"),
+        element_at(col("frame"),
+          expr("CAST((size(frame) + 1) div 2 AS INT)")).as("med_25"))
+      .orderBy(col("event_id"))
+  }
+
   /** d15: sequential funnel — per user, the earliest
     * view → click → purchase chain with strictly increasing timestamps
     * and a 24 h step deadline; the product-analytics conversion query.
@@ -607,6 +632,7 @@ object EventOps {
     "d15_funnel" -> (funnel _),
     "d16_retention" -> (cohortRetention _),
     "d14_rolling_distinct" -> (rollingDistinct _),
+    "d22_rolling_median" -> (rollingMedian _),
     "d13_ewma" -> (ewmaSmooth _),
     "d12_asof_native" -> (asofNative _),
     "d11_interval_join" -> (intervalJoin _),
@@ -800,6 +826,19 @@ object EventOps {
          |    ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS INTEGER)
          |    AS d_users_100
          |FROM e ORDER BY event_id""".stripMargin,
+    // same frame, same rank-selected element — the median is a data
+    // value, never interpolated, so the DOUBLE hash-matches exactly
+    "d22_rolling_median" ->
+      s"""WITH e AS (SELECT event_id, event_type, value,
+         |            $duckSecTs AS sts FROM events),
+         |f AS (SELECT event_id, event_type,
+         |  list_sort(list(value) OVER (
+         |    PARTITION BY event_type ORDER BY sts ASC, event_id ASC
+         |    ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS frame
+         |  FROM e)
+         |SELECT event_id, event_type,
+         |  frame[(len(frame) + 1) // 2] AS med_25
+         |FROM f ORDER BY event_id""".stripMargin,
     // identical semantics to d06/d06b — the physical operator changed,
     // the answer must not
     "d12_asof_native" -> asofOracle,

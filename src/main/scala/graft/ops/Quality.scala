@@ -184,10 +184,46 @@ object Quality {
       .orderBy(col("event_type"))
   }
 
+  /** q04: corpus-composition drift — the chi-square independence
+    * statistic of the lang × source contingency table, the monitoring
+    * scalar a data pipeline alarms on when a crawl source suddenly
+    * changes language mix (or vice versa). Everything before the final
+    * display divide is EXACT BIGINT arithmetic: using
+    * chi2 = N·(Σ o²/(rt·ct) − 1), each cell contributes
+    * (o²·10⁶) div (rt·ct) in micro-units — o ≤ min(rt, ct) bounds every
+    * per-cell value at 10⁶, the summation is an order-independent
+    * integer sum (the d13/g02 quantization trick — a double Σ over 100
+    * cells would be summation-order-dependent and fork the engines),
+    * and the grand total N·(Σ − 10⁶) stays far under 2⁶³. Scale: the
+    * contingency table is |langs|·|sources| rows — group-by shuffles of
+    * count pairs with map-side partial aggregation, then broadcast-size
+    * marginals; the statistic never touches base rows twice. At
+    * extreme corpus sizes the o²·10⁶ product is the first to overflow
+    * (N ≳ 3·10⁶ per cell) — there the same statistic runs on a
+    * uniform row sample (s01/s09) without changing the contract. */
+  def chiSquareDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val o = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rt = o.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val ct = o.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val sumContrib = o.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+      .select(expr("(o * o * 1000000) div (rt * ct)").as("contrib"))
+      .agg(sum(col("contrib")).as("sum_contrib"))
+    sumContrib.crossJoin(broadcast(n))
+      .crossJoin(broadcast(rt.agg(count(lit(1)).as("n_langs"))))
+      .crossJoin(broadcast(ct.agg(count(lit(1)).as("n_sources"))))
+      .select(col("n").as("n_docs"), col("n_langs"), col("n_sources"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+        round((col("n") * (col("sum_contrib") - 1000000L)).cast("double") /
+          lit(1000000.0), 6).as("chi2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_constraints" -> (constraintChecks _),
     "q02_outliers" -> (lengthOutliers _),
-    "q03_mad_outliers" -> (madOutliers _))
+    "q03_mad_outliers" -> (madOutliers _),
+    "q04_drift" -> (chiSquareDrift _))
 
   // passed derives from the counted value inside a subquery so the
   // (possibly expensive) violations query evaluates ONCE per rule —
@@ -201,6 +237,25 @@ object Quality {
        |    AS n_violations)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q04: same micro-unit per-cell integer division, same
+    // order-independent BIGINT sum, one display divide at the end
+    "q04_drift" ->
+      """WITH o AS (SELECT lang, source, count(*) AS o
+        |           FROM documents GROUP BY lang, source),
+        |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY lang),
+        |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY source),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |c AS (SELECT CAST(sum((o.o * o.o * 1000000) // (rt.rt * ct.ct)) AS BIGINT)
+        |        AS sum_contrib
+        |      FROM o JOIN rt USING (lang) JOIN ct USING (source))
+        |SELECT n.n AS n_docs,
+        |  (SELECT count(*) FROM rt) AS n_langs,
+        |  (SELECT count(*) FROM ct) AS n_sources,
+        |  ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1)
+        |    AS dof,
+        |  round(CAST(n.n * (c.sum_contrib - 1000000) AS DOUBLE) /
+        |        CAST(1000000 AS DOUBLE), 6) AS chi2
+        |FROM n CROSS JOIN c""".stripMargin,
     // q03: identical rank-selected medians (lower median, (n+1)//2),
     // identical IEEE |x−med| deviation, single-literal fence multiply
     "q03_mad_outliers" ->

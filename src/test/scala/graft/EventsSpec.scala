@@ -257,4 +257,19 @@ class EventsSpec extends SparkSpec {
     // aggregates over its output, not extra stream passes
     assert("(?s)Window".r.findAllIn(p).size >= 1, p)
   }
+
+  test("d22: rolling median is a frame value and robust to a spike") {
+    import org.apache.spark.sql.functions._
+    val med = ops.EventOps.rollingMedian(spark, sf0001)
+    val vals = Tables.events(spark, sf0001)
+      .select(col("value")).distinct().collect().map(_.getDouble(0)).toSet
+    val rows = med.collect()
+    // rank-selected: every median IS an actual data value
+    assert(rows.forall(r => vals.contains(r.getAs[Double]("med_25"))))
+    // robustness: medians ignore isolated spikes, so the rolling median
+    // never exceeds the global max and never goes below the global min
+    val (lo, hi) = (vals.min, vals.max)
+    assert(rows.forall { r =>
+      val m = r.getAs[Double]("med_25"); m >= lo && m <= hi })
+  }
 }

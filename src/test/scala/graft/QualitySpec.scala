@@ -73,4 +73,26 @@ class QualitySpec extends SparkSpec {
         assert(flag == (z > 3.0), s"z=$z flag=$flag")
     }
   }
+
+  test("q04: chi2 matches an exact in-memory recompute; dof consistent") {
+    val rep = ops.Quality.chiSquareDrift(spark, sf0001).head()
+    import org.apache.spark.sql.functions.col
+    val cells = Tables.documents(spark, sf0001)
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"), r.getAs[Long]("count")))
+    val rt = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ct = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n = cells.map(_._3).sum
+    val sumContrib = cells.map { case (l, src, o) =>
+      o * o * 1000000L / (rt(l) * ct(src))
+    }.sum
+    val expect = (n * (sumContrib - 1000000L)).toDouble / 1000000.0
+    val got = rep.getAs[Double]("chi2")
+    assert(math.abs(got - expect) < 1e-6, s"$got vs $expect")
+    assert(rep.getAs[Long]("dof") ==
+      (rt.size - 1L) * (ct.size - 1L))
+    // independence statistic is non-negative up to per-cell truncation
+    // (each cell truncates at most 1 micro-unit: 100 cells -> >= -1e-4·N)
+    assert(got >= -0.5, got.toString)
+  }
 }
