@@ -169,25 +169,21 @@ object TextOps {
     val prefix = ranked
       .where(col("rn") <= col("n") - ceil(lit(ShingleTau) * col("n")) + PrefixK)
       .select(col("doc_id"), col("sg"), col("n"))
-    // Candidate pairs: group the (tiny, rarest-first) prefix postings by
-    // shingle and expand each bucket's combinations map-side with array
-    // HOFs. A prefix⋈prefix self-join computes the same pairs but Spark
-    // cannot reuse the aliased subtree, so the whole explode+window chain
-    // executed once per side (measured: 4 Generates / 6 Windows in the
-    // final plan, ~2× the runtime). Buckets stay small BECAUSE the order
-    // is rarest-first; the τ-size filter prunes inside the expansion.
-    val cand = prefix.groupBy(col("sg"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-      .where(size(col("ds")) > 1)
-      .select(explode(expr(
-        s"""flatten(transform(ds, (x, i) ->
-           |  filter(transform(slice(ds, i + 2, size(ds)), y ->
-           |    struct(x.doc_id AS a_id, x.n AS a_n,
-           |           y.doc_id AS b_id, y.n AS b_n)),
-           |    p -> p.a_n >= p.b_n * $ShingleTau
-           |     AND p.b_n >= p.a_n * $ShingleTau)))""".stripMargin
-        )).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    // Candidate pairs: a prefix⋈prefix self-equi-join on the shingle.
+    // (An earlier form expanded each bucket's combinations with array
+    // HOFs because the UNCACHED self-join re-executed the whole
+    // explode+window chain once per side; the index is persisted now, so
+    // both sides read the cache and the join's codegen'd inner loop
+    // beats interpreted per-element HOF closures ~2× on the same Σm²
+    // enumeration.) The τ-size-ratio prune sits in the join condition so
+    // pairs die inside the loop, before the partial aggregate sees them.
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.sg") === col("b.sg") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") >= col("b.n") * ShingleTau &&
+          col("b.n") >= col("a.n") * ShingleTau)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       // the k-prefix theorem (PrefixK scaladoc): a true pair appears in
       // ≥ PrefixK buckets, so the count filter is sound — and it is THE
       // filter that makes the recheck small
