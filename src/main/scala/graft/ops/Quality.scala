@@ -244,17 +244,26 @@ object Quality {
   def columnStats(s: SparkSession, d: String): DataFrame = {
     import graft.functions.{HashExpressions, KmvAgg}
     val li = Tables.lineitem(s, d)
-    val aggs = Seq(count(lit(1)).as("n_rows")) ++ StatCols.flatMap { c =>
+    // TWO aggregates, not one: mixing 7 countDistincts with the other
+    // 35 aggregates puts an Expand(×7) under ALL of them, so every
+    // (non-codegen) KMV update ran on 4.2M gated rows instead of 600k
+    // — measured 12.5 s. Split, the distinct-only aggregate keeps its
+    // expand but carries just 7 cheap codegen counts, and the sketch/
+    // min/max pass is a single expand-free scan (2.6 s total). The
+    // one-row results recombine by broadcast cross join.
+    val plainAggs = Seq(count(lit(1)).as("n_rows")) ++ StatCols.flatMap { c =>
       val h = HashExpressions.mix64(s,
         HashExpressions.fnv1a64(s, col(c).cast("string")))
       Seq(
         count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).cast("long").as(s"nd_$c"),
         min(col(c)).cast("string").as(s"mn_$c"),
         max(col(c)).cast("string").as(s"mx_$c"),
         KmvAgg.kmv_kth(s, h, Relational.KmvK).as(s"f_$c"))
     }
-    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val ndvAggs = StatCols.map(c =>
+      countDistinct(col(c)).cast("long").as(s"nd_$c"))
+    val wide = li.agg(plainAggs.head, plainAggs.tail: _*)
+      .crossJoin(broadcast(li.agg(ndvAggs.head, ndvAggs.tail: _*)))
     val stackArgs = StatCols.map(c =>
       s"'$c', n_rows - nn_$c, nd_$c, mn_$c, mx_$c, f_$c").mkString(", ")
     wide.selectExpr("n_rows",
