@@ -622,7 +622,114 @@ object EventOps {
       .orderBy(col("channel"))
   }
 
+  /** d23: day-of-week × hour-of-day activity profile — the seasonality
+    * grid behind capacity planning and anomaly baselines ("is Tuesday
+    * 14:00 unusually quiet?"): per (dow, hour) cell, event count,
+    * distinct users, and exact-DECIMAL value sum. dow is Spark's
+    * dayofweek() (1 = Sunday … 7 = Saturday); DuckDB's dayofweek() is
+    * 0-based Sunday, so the oracle adds 1 — a documented calendar-API
+    * fork, pinned rather than papered over with strings.
+    *
+    * Scale: the classic roll-up-to-tiny-grid shape — one shuffle of
+    * map-side partial aggregates down to ≤ 168 cells; the distinct-user
+    * count is the only expensive part (two-level agg), exactly what a
+    * production profile would approximate with HLL/KMV (b09/b09b) when
+    * the grid is hot. */
+  def hourlyProfile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr(s"CAST(sum($decValue) AS DOUBLE)").as("sum_value"))
+      .orderBy(col("dow"), col("hod"))
+
+  /** d24: OHLC bars — per (day, event_type): open (first value), high,
+    * low, close (last value), volume — the canonical downsampling of a
+    * tick stream to candlesticks. First/last are selected by min/max
+    * over `struct(ts, event_id, value)`: (ts, event_id) is a unique
+    * total order, so struct ordering — lexicographic, exactly DuckDB's
+    * row() comparison — makes open/close deterministic VALUES, not
+    * float arithmetic; high/low are plain min/max.
+    *
+    * Scale: one shuffle keyed on (day, event_type) with full map-side
+    * partial aggregation (min/max of 16-byte structs), output is
+    * |days × types| — the textbook pre-aggregation that turns a tick
+    * firehose into a chartable table. No window, no sort of the raw
+    * stream. */
+  def ohlcBars(s: SparkSession, d: String): DataFrame = {
+    val key = struct(col("ts"), col("event_id"), col("value"))
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(key).getField("value").as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max(key).getField("value").as("close_v"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("open_v"), col("high_v"),
+        col("low_v"), col("close_v"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** d25: peak concurrency — the maximum number of simultaneously open
+    * sessions (d03's 30-min-gap sessions) and the instant it is first
+    * reached, by the sweep-line: +1 at each session start, −1 at each
+    * end (end-exclusive, so at an exact boundary the −1 sorts FIRST:
+    * order by (ts, delta) with delta ∈ {−1, +1}), running sum, global
+    * argmax.
+    *
+    * Scale shape — this is the one operator family whose textbook form
+    * is a GLOBAL ordered scan, so it is implemented as the two-pass
+    * partitioned prefix sum, not a single-partition window: (1) bucket
+    * deltas by hour and compute per-bucket sums + within-bucket running
+    * sums in parallel (shuffle keyed on the hour bucket); (2) prefix-sum
+    * the |buckets|-sized per-bucket totals (tiny single-partition window
+    * over ~700 rows — never the events) and broadcast the bucket offsets
+    * back. concurrency(row) = bucket_offset + within-bucket running sum.
+    * At 100 TB the heavy pass stays fully parallel; only the bucket
+    * directory is sequential. The argmax tie-break (earliest ts, then
+    * smallest delta) is total, so both engines pick the same instant. */
+  def peakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val deltas = sess.select(col("s_start").as("ts"), lit(1).as("delta"))
+      .unionAll(sess.select(col("s_end").as("ts"), lit(-1).as("delta")))
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+    val inBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("ts").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = deltas.withColumn("run", sum(col("delta")).over(inBucket))
+    val bucketTotals = deltas.groupBy(col("bucket"))
+      .agg(sum(col("delta")).as("btotal"))
+    val offsets = bucketTotals.withColumn("offset",
+      coalesce(sum(col("btotal")).over(Window.orderBy(col("bucket").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    withRun.join(broadcast(offsets.select(col("bucket"), col("offset"))),
+        "bucket")
+      .select(col("ts"), col("delta"),
+        (col("offset") + col("run")).as("concurrency"))
+      .orderBy(col("concurrency").desc, col("ts").asc, col("delta").asc)
+      .limit(1)
+      .select(col("concurrency").as("peak_concurrency"),
+        date_format(col("ts"), fmt).as("peak_at"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_hourly_profile" -> (hourlyProfile _),
+    "d24_ohlc" -> (ohlcBars _),
+    "d25_concurrency" -> (peakConcurrency _),
     "d21_attribution" -> (attribution _),
     "d20_scd2" -> (scd2History _),
     "d19_transitions" -> (transitionMatrix _),
@@ -662,6 +769,71 @@ object EventOps {
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d23: Spark dayofweek() is 1-based Sunday, DuckDB's 0-based —
+    // the +1 pins the calendar-API fork explicitly
+    "d23_hourly_profile" ->
+      s"""WITH e AS (SELECT user_id, value, $duckSecTs AS sts FROM events)
+         |SELECT dayofweek(sts) + 1 AS dow, hour(sts) AS hod,
+         |  count(*) AS n, count(DISTINCT user_id) AS n_users,
+         |  CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // d24: open/close re-derived by rank selection over the identical
+    // (ts, event_id) total order — same values Spark's struct min/max picks
+    "d24_ohlc" ->
+      s"""WITH e AS (SELECT event_id, event_type, value, $duckSecTs AS sts
+         |           FROM events),
+         |r AS (
+         |  SELECT CAST(sts AS DATE) AS day, event_type, value,
+         |    row_number() OVER (PARTITION BY CAST(sts AS DATE), event_type
+         |                       ORDER BY sts ASC, event_id ASC) AS rna,
+         |    row_number() OVER (PARTITION BY CAST(sts AS DATE), event_type
+         |                       ORDER BY sts DESC, event_id DESC) AS rnd
+         |  FROM e)
+         |SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+         |  count(*) AS n,
+         |  max(CASE WHEN rna = 1 THEN value END) AS open_v,
+         |  max(value) AS high_v, min(value) AS low_v,
+         |  max(CASE WHEN rnd = 1 THEN value END) AS close_v
+         |FROM r GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    // d25: the oracle runs the textbook single-ordered sweep; the engine's
+    // two-pass bucketed prefix sum must reproduce it exactly. Ties at one
+    // (ts, delta) permute identical rows, so the multiset — and the
+    // (max, earliest-ts, smallest-delta) pick — is deterministic.
+    "d25_concurrency" ->
+      s"""WITH e AS (SELECT event_id, user_id, $duckSecTs AS sts FROM events),
+         |lagged AS (
+         |  SELECT user_id, sts, event_id,
+         |    lag(sts) OVER (PARTITION BY user_id
+         |                   ORDER BY sts ASC, event_id ASC) AS prev_ts
+         |  FROM e),
+         |flagged AS (
+         |  SELECT user_id, sts, event_id,
+         |    CASE WHEN prev_ts IS NULL OR epoch(sts) - epoch(prev_ts) > 1800
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM lagged),
+         |sess0 AS (
+         |  SELECT user_id, sts,
+         |    sum(new_s) OVER (PARTITION BY user_id
+         |      ORDER BY sts ASC, event_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged),
+         |sess AS (
+         |  SELECT user_id, session_id,
+         |    min(sts) AS s_start, max(sts) AS s_end
+         |  FROM sess0 GROUP BY user_id, session_id),
+         |deltas AS (
+         |  SELECT s_start AS ts, 1 AS delta FROM sess
+         |  UNION ALL
+         |  SELECT s_end AS ts, -1 AS delta FROM sess),
+         |runs AS (
+         |  SELECT ts, delta,
+         |    sum(delta) OVER (ORDER BY ts ASC, delta ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrency
+         |  FROM deltas)
+         |SELECT CAST(concurrency AS BIGINT) AS peak_concurrency,
+         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS peak_at
+         |FROM runs ORDER BY concurrency DESC, ts ASC, delta ASC
+         |LIMIT 1""".stripMargin,
     "d21_attribution" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, value,
          |             $duckSecTs AS ts FROM events),
