@@ -25,19 +25,47 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/documents.parquet")
   def embeddings(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/embeddings.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark 4 rejects it unless
-    * the legacy conf maps it to long. We read nanos-as-long and surface
-    * `ts` floored to WHOLE SECONDS (every events oracle rebuilds exactly
-    * this second-precision value — see EventOps). The raw nanos stay
-    * available as `ts_ns` for tie-breaking.
+  /** `events.ts` has shipped in two parquet encodings across fixture
+    * regenerations: TIMESTAMP(NANOS) (Spark 4 reads it as LONG under the
+    * legacy conf) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark
+    * reads TIMESTAMP_NTZ). We branch on the read schema so either works,
+    * and surface the same two columns in both cases: `ts` floored to
+    * WHOLE SECONDS (every events oracle rebuilds exactly this
+    * second-precision value — see EventOps) plus raw nanos `ts_ns` for
+    * tie-breaking. All graft sessions pin spark.sql.session.timeZone=UTC,
+    * so the NTZ→TIMESTAMP cast below is the identity on the epoch value —
+    * the same interpretation DuckDB's `epoch_ns(ts)` oracle twin uses.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      // exact integer floor to seconds (double division would round and
-      // could disagree with the oracle's truncation near boundaries)
-      .withColumn("ts", timestamp_seconds(expr("ts_ns div 1000000000")))
+    normalizeEventTs(s.read.parquet(s"$d/events.parquet"))
+  }
+
+  /** Normalize a raw events frame (batch or streaming) to the canonical
+    * `ts` (second-floored TIMESTAMP) + `ts_ns` (epoch nanos, tie-break)
+    * pair, whichever encoding `ts` arrived in. Shared by [[events]] and
+    * `streaming.Streams.eventStream` so a future fixture change breaks
+    * in exactly one place.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) read as raw nanos
+      raw.withColumnRenamed("ts", "ts_ns")
+        // exact integer floor to seconds (double division would round and
+        // could disagree with the oracle's truncation near boundaries)
+        .withColumn("ts", timestamp_seconds(expr("ts_ns div 1000000000")))
+    case _ => // TimestampType or TimestampNTZType, micros precision
+      raw
+        .withColumn("ts_ns", unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+        .withColumn("ts", timestamp_seconds(expr("ts_ns div 1000000000")))
+  }
+
+  /** The parquet-declared type of `events.ts` — a streaming file source
+    * must declare its schema up front, so it probes this via a cheap
+    * batch footer read.
+    */
+  def eventsTsType(s: SparkSession, d: String): org.apache.spark.sql.types.DataType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet").schema("ts").dataType
   }
 
   /** Default parallelism for explicit repartitions. Single-file parquet

@@ -18,10 +18,13 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Schema of events.parquet once nanos-as-long is enabled. */
-  val eventSchema: StructType = StructType(Seq(
+  /** Schema of events.parquet modulo the `ts` encoding, which has varied
+    * across fixture regenerations (nanos-as-long vs timestamp micros) —
+    * a file stream source must declare its schema up front, so `ts` is
+    * filled in per-directory by probing the parquet footer. */
+  private def eventSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -32,11 +35,10 @@ object Streams {
     * second-floored event-time column as Tables.events. */
   def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventSchema)
+    val raw = s.readStream.schema(eventSchema(graft.Tables.eventsTsType(s, d)))
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(d)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_seconds(expr("ts_ns div 1000000000")))
+    graft.Tables.normalizeEventTs(raw)
   }
 
   /** D1-stream: tumbling 1-hour window with a 10-minute watermark. */
