@@ -54,14 +54,21 @@ object EventOps {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("wstart"), col("event_type"))
 
-  /** D3: sessionization — gap > 30 minutes starts a new session. Declared
-    * in the portable lag+cumulative-sum form (identical SQL in DuckDB);
-    * the streaming twin uses session_window/state. */
-  def sessionize(s: SparkSession, d: String): DataFrame = {
+  /** The one session definition shared by d03 and d25 (VERDICT r7 advice:
+    * the two had drifted into separate inline copies): 30-minute-gap
+    * sessions per user, events canonically ordered by (ts_ns, event_id)
+    * — the sub-second tie-break cannot move a session boundary (gaps are
+    * computed on second-floored `ts`, and two events inside one second
+    * are always ≤ 1800 s apart) but makes the scan order total. Returns
+    * one row per (user_id, session_id) with n_events and the
+    * [s_start, s_end] timestamp interval; callers format/derive from
+    * there. Input must carry user_id, ts, ts_ns, event_id.
+    */
+  private def sessionIntervals(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ns").asc, col("event_id").asc)
     val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    ev
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -69,14 +76,21 @@ object EventOps {
       .withColumn("session_id", sum(col("new_session")).over(runSum))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        date_format(min(col("ts")), fmt).as("session_start"),
-        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_sec"))
+        min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+  }
+
+  /** D3: sessionization — gap > 30 minutes starts a new session. Declared
+    * in the portable lag+cumulative-sum form (identical SQL in DuckDB);
+    * the streaming twin uses session_window/state. */
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    sessionIntervals(Tables.events(s, d))
+      .select(col("user_id"), col("n_events"),
+        (col("s_end").cast("long") - col("s_start").cast("long")).as("duration_sec"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
         max(col("n_events")).as("max_session_events"),
         max(col("duration_sec")).as("max_session_sec"))
       .orderBy(col("user_id"))
-  }
 
   /** D4: keep-first dedup per (user, event_type) — the batch equivalent
     * of streaming dropDuplicatesWithinWatermark. */
@@ -690,20 +704,8 @@ object EventOps {
     * directory is sequential. The argmax tie-break (earliest ts, then
     * smallest delta) is total, so both engines pick the same instant. */
   def peakConcurrency(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val sess = Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"))
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_s",
-        when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
-          .otherwise(0))
-      .withColumn("session_id",
-        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val sess = sessionIntervals(
+      Tables.events(s, d).select(col("user_id"), col("ts"), col("ts_ns"), col("event_id")))
     val deltas = sess.select(col("s_start").as("ts"), lit(1).as("delta"))
       .unionAll(sess.select(col("s_end").as("ts"), lit(-1).as("delta")))
       .withColumn("bucket", date_trunc("hour", col("ts")))
