@@ -728,7 +728,43 @@ object EventOps {
         date_format(col("ts"), fmt).as("peak_at"))
   }
 
+  /** d26: the STREAMING session closer as a declared, oracled query —
+    * `streaming.Streams.closedSessionsTimeout` (flatMapGroupsWithState +
+    * GroupStateTimeout.EventTimeTimeout) executed synchronously over the
+    * events parquet through a real file-source → memory-sink streaming
+    * query. Until now the streaming surface had test-only coverage; this
+    * row puts it through the CORRECTNESS gate.
+    *
+    * Why the output is deterministic (hence oracle-able): the fixture is
+    * one file → one data micro-batch (and the NoTimeout closing rule is
+    * batch-split-invariant anyway), processed at initial watermark 0, so
+    * no row is late-dropped; sessions closed by a following event are
+    * exactly "every session but each user's last". The post-batch
+    * no-data micro-batch then advances the event-time watermark to
+    * max(ts) − 0s and fires EventTimeTimeout for each remaining open
+    * session whose gap horizon has passed: end_sec + 1800 < max_sec
+    * (STRICT — FlatMapGroupsWithStateExec times out state with
+    * timeoutTimestamp strictly below the eviction watermark). Both rules
+    * are plain batch SQL — the DuckDB twin rebuilds d03's sessions and
+    * applies them verbatim. StreamingSpec pins the boundary semantics
+    * with a MemoryStream probe at exactly ±1 s around the horizon.
+    *
+    * Scale: state is one OpenSession per user active within one gap of
+    * the watermark — the bounded-state production shape; the memory sink
+    * is only the harness adapter. */
+  def streamClosedSessions(s: SparkSession, d: String): DataFrame = {
+    val name = "d26_closed_" + java.lang.Integer.toHexString(d.hashCode)
+    graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.closedSessionsTimeout(s, d).toDF(),
+      name, org.apache.spark.sql.streaming.OutputMode.Append())
+    s.table(name)
+      .select(col("user_id"), col("start_sec"), col("end_sec"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy(col("user_id"), col("start_sec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d26_stream_sessions" -> (streamClosedSessions _),
     "d23_hourly_profile" -> (hourlyProfile _),
     "d24_ohlc" -> (ohlcBars _),
     "d25_concurrency" -> (peakConcurrency _),
@@ -771,6 +807,40 @@ object EventOps {
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d26: rebuild d03's sessions, then apply the two streaming closing
+    // rules in batch SQL — closed-by-next-event (every session except the
+    // user's last) OR closed-by-event-time-timeout (gap horizon STRICTLY
+    // below the final watermark = global max second)
+    "d26_stream_sessions" ->
+      s"""WITH e AS (SELECT event_id, user_id, $duckSecTs AS sts FROM events),
+         |lagged AS (
+         |  SELECT user_id, sts, event_id,
+         |    lag(sts) OVER (PARTITION BY user_id ORDER BY sts ASC, event_id ASC) AS prev_ts
+         |  FROM e),
+         |flagged AS (
+         |  SELECT user_id, sts, event_id,
+         |    CASE WHEN prev_ts IS NULL
+         |           OR epoch(sts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+         |  FROM lagged),
+         |sess AS (
+         |  SELECT user_id, sts,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sts ASC, event_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged),
+         |per_sess AS (
+         |  SELECT user_id, session_id,
+         |    CAST(epoch(min(sts)) AS BIGINT) AS start_sec,
+         |    CAST(epoch(max(sts)) AS BIGINT) AS end_sec,
+         |    count(*) AS n_events
+         |  FROM sess GROUP BY user_id, session_id),
+         |ranked AS (
+         |  SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_sid
+         |  FROM per_sess),
+         |mx AS (SELECT CAST(max(epoch(sts)) AS BIGINT) AS max_sec FROM e)
+         |SELECT user_id, start_sec, end_sec, n_events
+         |FROM ranked, mx
+         |WHERE session_id < last_sid OR end_sec + 1800 < max_sec
+         |ORDER BY user_id, start_sec""".stripMargin,
     // d23: Spark dayofweek() is 1-based Sunday, DuckDB's 0-based —
     // the +1 pins the calendar-API fork explicitly
     "d23_hourly_profile" ->

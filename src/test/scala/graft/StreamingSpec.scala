@@ -150,6 +150,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timeout boundary is STRICT: gap horizon == watermark stays open, +1s closes") {
+    // pins the rule the d26 oracle encodes (end_sec + 1800 < max_sec):
+    // FlatMapGroupsWithStateExec evicts state with timeoutTimestamp
+    // strictly below the event-time watermark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val sessions = streaming.Streams.closedSessionsTimeoutFrom(
+      input.toDF().toDF("user_id", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)])
+    val q = sessions.toDF().writeStream.format("memory").queryName("to_strict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, 100L))
+      q.processAllAvailable()
+      // watermark lands EXACTLY on the horizon 100 + 1800: must stay open
+      input.addData((2L, 1900L))
+      q.processAllAvailable()
+      assert(spark.table("to_strict").count() === 0,
+        "horizon == watermark must NOT time out (strict <)")
+      // one second past the horizon: user 1 closes
+      input.addData((3L, 1901L))
+      q.processAllAvailable()
+      val closed = spark.table("to_strict")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(closed === Set((1L, 100L, 100L, 1)), closed.toString)
+    } finally q.stop()
+  }
+
+  test("d26 declared streaming query agrees with its two batch closing rules") {
+    val streamed = ops.EventOps.streamClosedSessions(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // batch twin: every session but each user's last, plus last sessions
+    // whose gap horizon is strictly below the global max second
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts".cast("long").as("sec"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+    val maxSec = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val secs = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var start = secs.head; var last = secs.head; var n = 1L
+      secs.tail.foreach { t =>
+        if (t - last > 1800) { sessions += ((start, last, n)); start = t; n = 0L }
+        last = t; n += 1
+      }
+      sessions += ((start, last, n))
+      sessions.zipWithIndex.collect {
+        case ((st, en, ne), i)
+            if i < sessions.size - 1 || en + 1800 < maxSec =>
+          (u, st, en, ne)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(streamed === expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup emits one row per (user, event_type)") {
     Streams.runToMemory(Streams.dedup(spark, sf0001), "stream_dedup",
       OutputMode.Append())
