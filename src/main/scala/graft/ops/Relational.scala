@@ -390,6 +390,61 @@ object Relational {
       .limit(10)
   }
 
+  /** Count-min sketch geometry (b39); tests reference these. Width MUST
+    * be a power of two: 2^64 mod W = 0 is what makes Spark's
+    * pmod-on-signed-long equal DuckDB's unsigned HUGEINT modulo. */
+  private[graft] val CmDepth = 4
+  private[graft] val CmWidth = 1024
+
+  /** B39: count-min sketch — the fourth sketch in the declared family
+    * (b09b distinct count, b35 quantiles, b36 frequencies-by-sampling,
+    * now frequencies-by-counting). [[CmDepth]] salted hash rows ×
+    * [[CmWidth]] integer cells; every lineitem increments one cell per
+    * hash row keyed on its order key,
+    * an item's estimate is the MIN of its cells, and the structural
+    * guarantee est ≥ exact holds with NO probability qualifier (each
+    * cell sums a superset of the item's occurrences) — law-tested, and
+    * the overestimate column makes the collision noise auditable against
+    * b36's sampling estimator on the same stream.
+    *
+    * Unlike Space-Saving (arrival-order-dependent) and like the rest of
+    * the family, the sketch is a pure function of the data MULTISET:
+    * cells are integer sums, so partitioning/order cannot change them
+    * and DuckDB rebuilds the identical 4096 cells. Mergeability is the
+    * 100-TB story: shard sketches add cell-wise (one fixed-size partial
+    * aggregate per shard, [[CmDepth]]·[[CmWidth]] longs ≈ 32 KB of
+    * state), so the stream is counted in one map-side pass with no
+    * keyed shuffle at all; only probes touch the tiny sketch table. */
+  def countMinSketch(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+    def cellOf(j: Column, key: Column): Column =
+      pmod(graft.functions.HashExpressions.fnv1a64(s,
+        concat(lit("cm"), j.cast("string"), lit(":"), key.cast("string"))),
+        lit(CmWidth.toLong))
+    val rows = explode(array((0 until CmDepth).map(lit(_)): _*))
+    val sketch = li
+      .select(col("l_orderkey"), rows.as("j"))
+      .select(col("j"), cellOf(col("j"), col("l_orderkey")).as("cell"))
+      .groupBy(col("j"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("exact_n"))
+    val probes = exact
+      .select(col("l_orderkey"), col("exact_n"), rows.as("j"))
+      .select(col("l_orderkey"), col("exact_n"), col("j"),
+        cellOf(col("j"), col("l_orderkey")).as("cell"))
+    probes.join(broadcast(sketch), Seq("j", "cell"))
+      .groupBy(col("l_orderkey"), col("exact_n"))
+      .agg(min(col("cnt")).as("cms_n"))
+  }
+
+  /** The declared b39 view: top-20 keys with the estimate audit. */
+  def countMinTop(s: SparkSession, d: String): DataFrame =
+    countMinSketch(s, d)
+      .select(col("l_orderkey"), col("exact_n"), col("cms_n"),
+        (col("cms_n") - col("exact_n")).as("overestimate"))
+      .orderBy(col("exact_n").desc, col("l_orderkey").asc)
+      .limit(20)
+
   /** B10: rollup with grouping-null coalescing (region → nation → total). */
   def rollupAgg(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -1125,6 +1180,7 @@ object Relational {
     "b09b_kmv_distinct" -> (kmvDistinct _),
     "b35_kmv_quantiles" -> (kmvQuantiles _),
     "b36_heavy_hitters" -> (sampledHeavyHitters _),
+    "b39_countmin" -> (countMinTop _),
     "b10_rollup" -> (rollupAgg _),
     "b10_cube" -> (cubeAgg _),
     "b10_grouping_sets" -> (groupingSets _),
@@ -1493,6 +1549,31 @@ object Relational {
     // rn <= k (ties break by value, mirroring the buffer's (hash, value)
     // order), count sample hits per user, scale by N/k in BIGINT
     // arithmetic — both engines compute the identical estimate.
+    // b39: hash each DISTINCT (user, row) pair once — a cell's count is
+    // the sum of exact_n over the users that map there, which is the
+    // same multiset sum the engine accumulates event-by-event. 1024
+    // divides 2^64, so unsigned % equals Spark's pmod on the signed long.
+    "b39_countmin" ->
+      s"""WITH exact AS (
+         |  SELECT l_orderkey, count(*) AS exact_n FROM lineitem
+         |  GROUP BY l_orderkey),
+         |salted AS (
+         |  SELECT l_orderkey, j, 'cm' || j || ':' || l_orderkey AS t
+         |  FROM exact CROSS JOIN (SELECT unnest(range(0, $CmDepth)) AS j) js),
+         |uh AS (
+         |  SELECT l_orderkey, j,
+         |    CAST((${TextOps.fnvFold(TextOps.FnvOffU)}) % $CmWidth AS BIGINT)
+         |      AS cell
+         |  FROM salted),
+         |sketch AS (
+         |  SELECT j, cell, CAST(sum(exact_n) AS BIGINT) AS cnt
+         |  FROM uh JOIN exact USING (l_orderkey) GROUP BY j, cell),
+         |est AS (
+         |  SELECT l_orderkey, min(cnt) AS cms_n
+         |  FROM uh JOIN sketch USING (j, cell) GROUP BY l_orderkey)
+         |SELECT l_orderkey, exact_n, cms_n, cms_n - exact_n AS overestimate
+         |FROM est JOIN exact USING (l_orderkey)
+         |ORDER BY exact_n DESC, l_orderkey ASC LIMIT 20""".stripMargin,
     "b36_heavy_hitters" ->
       s"""WITH dv AS (
          |  SELECT CAST(event_id AS VARCHAR) AS t,

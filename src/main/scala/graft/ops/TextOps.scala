@@ -1065,6 +1065,71 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunking parameters (c36): a token ends a chunk
+    * when fnv1a64("cdc:" + token) ≡ 0 (mod [[CdcDivisor]]) — average
+    * chunk = divisor tokens — and only chunks of at least [[CdcMinTok]]
+    * tokens participate in duplicate counting (this corpus's ~50-word
+    * vocabulary makes shorter chunks collide by chance; ≥6-token chunks
+    * flag 45/500 docs at sf0.001, matching the 52 docs with true ≥30-char
+    * cross-doc repeats, while 4-token chunks flag nearly everything). */
+  private[ops] val CdcDivisor = 4
+  private[ops] val CdcMinTok = 6
+
+  /** c36: content-defined chunk dedup — the ALIGNMENT-ROBUST sub-document
+    * tier (Lee et al.'s "Deduplicating Training Data" finds repeated
+    * spans; rsync/LBFS-style content-defined chunking is the distributed-
+    * friendly way to catch them). c32's fixed 10-token segments only
+    * match when repeats start at the same segment offset in both
+    * documents; here chunk boundaries are a pure function of local token
+    * content, so a span copied into a different position of another
+    * document still produces IDENTICAL interior chunks (shift invariance
+    * is law-tested in TextSpec). Per document: how many big chunks, how
+    * many of them appear verbatim in another document, and the duplicated
+    * token fraction — the signal a curation pipeline thresholds to route
+    * docs into span-level rewriting vs dropping.
+    *
+    * Scale shape: boundary flags are a stateless map-side hash of each
+    * token; the chunk id is a per-doc running sum (one doc_id-keyed
+    * window sort, same as d03); chunk assembly is one grouped aggregate;
+    * the duplicate count is one shuffle keyed on chunk text (bucketable,
+    * bloomable exactly like c32's segment index) + a join-back. Nothing
+    * is quadratic, no candidate generation — this is c32's plan with
+    * variable, content-defined segment boundaries. */
+  def cdcDedup(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i").asc)
+    val chunks = toks
+      .withColumn("bnd",
+        when(pmod(graft.functions.HashExpressions.fnv1a64(s,
+          concat(lit("cdc:"), col("t"))), lit(CdcDivisor.toLong)) === 0, 1)
+          .otherwise(0))
+      // a boundary token ENDS its chunk: id = boundaries strictly before
+      .withColumn("chunk_id", coalesce(
+        sum(col("bnd")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        array_join(expr("transform(sort_array(collect_list(struct(i, t))), x -> x.t)"),
+          " ").as("chunk"))
+    val dfreq = chunks
+      .where(col("n_tok") >= CdcMinTok)
+      .groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("dfq"))
+      .where(col("dfq") > 1)
+    chunks.join(dfreq, Seq("chunk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_tok") >= CdcMinTok, 1).otherwise(0)).as("n_big_chunks"),
+        sum(when(col("dfq").isNotNull, 1).otherwise(0)).as("n_dup_chunks"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("dfq").isNotNull, col("n_tok")).otherwise(0)).as("n_dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Calibrated once on this corpus (DuckDB probe over all three SF
     * tiers: scores span ~28.4–38.2 million nano, tertile boundaries
     * ~32.6–34.3 million depending on tier). CCNet-style FIXED cutoffs —
@@ -1152,6 +1217,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c33_lm_score" -> (lmScore _),
+    "c36_cdc_dedup" -> (cdcDedup _),
     "c32_line_dedup" -> (lineDedup _),
     "c29_containment" -> (containmentNearDup _),
     "c28_scrub" -> (dictionaryScrub _),
@@ -1429,6 +1495,45 @@ object TextOps {
     // identical segment construction (token index div width), identical
     // doc-frequency threshold, identical order-stable reassembly; an
     // all-boilerplate doc is NULL on both sides (string_agg of no rows)
+    // c36: fnv over the distinct vocabulary only (each token hashed once,
+    // then joined back — same trick as the simhash twin); 4 divides 2^64,
+    // so unsigned HUGEINT % 4 equals Spark's pmod on the signed long
+    "c36_cdc_dedup" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |    generate_subscripts(string_split(text, ' '), 1) AS i
+         |  FROM documents WHERE length(text) > 0),
+         |vocab AS (SELECT DISTINCT tok FROM tk),
+         |salted AS (SELECT tok, 'cdc:' || tok AS t FROM vocab),
+         |vh AS (SELECT tok,
+         |    CASE WHEN (${fnvFold(FnvOffU)}) % $CdcDivisor = 0
+         |      THEN 1 ELSE 0 END AS bnd
+         |  FROM salted),
+         |flg AS (
+         |  SELECT tk.doc_id, tk.i, tk.tok,
+         |    coalesce(sum(vh.bnd) OVER (PARTITION BY tk.doc_id ORDER BY tk.i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+         |  FROM tk JOIN vh ON tk.tok = vh.tok),
+         |chunks AS (
+         |  SELECT doc_id, chunk_id, count(*) AS n_tok,
+         |    string_agg(tok, ' ' ORDER BY i) AS chunk
+         |  FROM flg GROUP BY doc_id, chunk_id),
+         |dfq AS (
+         |  SELECT chunk FROM chunks WHERE n_tok >= $CdcMinTok
+         |  GROUP BY chunk HAVING count(DISTINCT doc_id) > 1)
+         |SELECT c.doc_id,
+         |  count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN c.n_tok >= $CdcMinTok THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_big_chunks,
+         |  CAST(sum(CASE WHEN d.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  CAST(sum(c.n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN d.chunk IS NOT NULL THEN c.n_tok ELSE 0 END)
+         |    AS BIGINT) AS n_dup_tokens,
+         |  round(CAST(sum(CASE WHEN d.chunk IS NOT NULL THEN c.n_tok ELSE 0 END)
+         |    AS DOUBLE) / sum(c.n_tok), 6) AS dup_frac
+         |FROM chunks c LEFT JOIN dfq d USING (chunk)
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "c32_line_dedup" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS ts

@@ -225,6 +225,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch never underestimates, for every actor") {
+    // the CMS structural guarantee: each of an item's cells sums a
+    // superset of its occurrences, so min-of-cells ≥ exact with no
+    // probability qualifier — checked over the FULL estimate frame,
+    // not the declared top-20 view
+    val under = Relational.countMinSketch(spark, sf0001)
+      .where(col("cms_n") < col("exact_n")).count()
+    assert(under == 0)
+    // and it is an estimate, not a re-count: at this width some cells
+    // must collide, so the total overestimate is strictly positive
+    val over = Relational.countMinSketch(spark, sf0001)
+      .where(col("cms_n") > col("exact_n")).count()
+    assert(over > 0, "expected live collisions at width " + Relational.CmWidth)
+  }
+
   test("all declared relational queries run on sf0.001 and are non-empty") {
     Relational.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()

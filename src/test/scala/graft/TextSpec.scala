@@ -240,6 +240,42 @@ class TextSpec extends SparkSpec {
     docs.unpersist(); out.unpersist()
   }
 
+  test("cdc dedup: shift invariance, live detection, and conservation") {
+    import spark.implicits._
+    // SHIFT INVARIANCE — the property c36 exists for and c32 lacks: the
+    // same span pasted at DIFFERENT token offsets in two documents must
+    // still be caught, because chunk boundaries depend only on token
+    // content. Doc 20 shares a 24-token span with doc 10 but shifted by
+    // a 3-token prefix; doc 30 is all-unique (negative control).
+    val span = (1 to 24).map(i => s"spanword$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("cdc_docs").toFile
+    dir.deleteOnExit()
+    Seq(
+      (10L, span + " tail1 tail2 tail3 tail4"),
+      (20L, "pre1 pre2 pre3 " + span + " other1 other2"),
+      (30L, (1 to 30).map(i => s"unique$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dup = TextOps.cdcDedup(spark, dir.toString)
+      .select("doc_id", "n_dup_tokens").as[(Long, Long)].collect().toMap
+    assert(dup(10L) > 0, "shared span must be detected in doc 10")
+    assert(dup(20L) > 0, "the SHIFTED copy must be detected in doc 20")
+    assert(dup(30L) == 0, "all-unique doc must report zero dup tokens")
+    // the live corpus: duplicated spans exist and are a minority signal
+    val corpus = TextOps.cdcDedup(spark, sf0001).cache()
+    val docs = corpus.count()
+    val flagged = corpus.where(col("n_dup_chunks") > 0).count()
+    assert(flagged > 0, "corpus must contain cross-doc spans")
+    assert(flagged < docs / 2, "dup flag must be a discriminating signal")
+    // conservation: every token is in exactly one chunk
+    val totTok = corpus.agg(sum(col("n_tokens"))).head().getLong(0)
+    val expected = Tables.documents(spark, sf0001)
+      .where(length(col("text")) > 0)
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(totTok == expected, "chunks must partition the token stream")
+    corpus.unpersist()
+  }
+
   test("c17: prefix-filter join equals the quadratic all-pairs form") {
     // COMPLETENESS ANCHOR. The DuckDB oracle now runs the same
     // prefix-filter candidate generation as the engine (the all-pairs
