@@ -763,8 +763,47 @@ object EventOps {
       .orderBy(col("user_id"), col("start_sec"))
   }
 
+  /** d27: the watermarked streaming tumbling window DECLARED — d01's
+    * aggregate executed by Structured Streaming (event-time window +
+    * watermark, Complete mode) over the replayed events parquet. The
+    * sum state is DECIMAL (order-independent), so the streamed result is
+    * hash-identical to the batch aggregate and shares d01's oracle SQL
+    * verbatim. With d26 (arbitrary state) and d28 (stream-stream join)
+    * this puts all three production streaming shapes through the
+    * correctness gate. */
+  def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    val name = "d27_tumbling_" + java.lang.Integer.toHexString(d.hashCode)
+    graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.tumbling(s, d), name,
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    s.table(name)
+      .select(date_format(col("wstart"), fmt).as("wstart"), col("event_type"),
+        col("n"), col("sum_value"), col("min_value"), col("max_value"))
+      .orderBy(col("wstart"), col("event_type"))
+  }
+
+  /** d28: the stream-stream interval join DECLARED — each click joined
+    * to the same user's purchases within the following hour, both sides
+    * watermarked so Spark expires buffered join state (the only way a
+    * stream-stream join survives unbounded input). Inner-join append
+    * output is batching-invariant, hence deterministic and oracle-able
+    * against the identical batch SQL. */
+  def streamClickToPurchase(s: SparkSession, d: String): DataFrame = {
+    val name = "d28_ssj_" + java.lang.Integer.toHexString(d.hashCode)
+    graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.clickToPurchase(s, d), name,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    s.table(name)
+      .select(col("click_id"), col("purchase_id"),
+        (col("purchase_ts").cast("long") - col("click_ts").cast("long"))
+          .as("lag_sec"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d26_stream_sessions" -> (streamClosedSessions _),
+    "d27_stream_tumbling" -> (streamTumbling _),
+    "d28_stream_join" -> (streamClickToPurchase _),
     "d23_hourly_profile" -> (hourlyProfile _),
     "d24_ohlc" -> (ohlcBars _),
     "d25_concurrency" -> (peakConcurrency _),
@@ -807,6 +846,27 @@ object EventOps {
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d27: the streaming window's oracle IS d01's aggregate — identical
+    // SQL text, because the decimal sum state makes the streamed result
+    // bit-equal to the batch one
+    "d27_stream_tumbling" ->
+      s"""SELECT strftime(date_trunc('hour', $duckSecTs), '%Y-%m-%d %H:%M:%S') AS wstart,
+         |  event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    // d28: the stream-stream join's batch twin — inner interval join on
+    // second-floored event times
+    "d28_stream_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, $duckSecTs AS sts
+         |           FROM events)
+         |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+         |  CAST(epoch(p.sts) - epoch(c.sts) AS BIGINT) AS lag_sec
+         |FROM e c JOIN e p ON c.user_id = p.user_id
+         | AND c.event_type = 'click' AND p.event_type = 'purchase'
+         | AND p.sts >= c.sts AND p.sts <= c.sts + INTERVAL 1 HOUR
+         |ORDER BY click_id, purchase_id""".stripMargin,
     // d26: rebuild d03's sessions, then apply the two streaming closing
     // rules in batch SQL — closed-by-next-event (every session except the
     // user's last) OR closed-by-event-time-timeout (gap horizon STRICTLY

@@ -46,9 +46,14 @@ object Streams {
     eventStream(s, d)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // DECIMAL sum state: order-independent (unlike a double running
+      // sum), so the streamed aggregate is hash-comparable to the batch
+      // twin and its DuckDB oracle (d27 declares this)
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE)").as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
       .select(col("window.start").as("wstart"), col("event_type"),
-        col("n"), col("sum_value"))
+        col("n"), col("sum_value"), col("min_value"), col("max_value"))
 
   /** D4-stream: stateful dedup bounded by the watermark. */
   def dedup(s: SparkSession, d: String): DataFrame =
