@@ -411,10 +411,11 @@ object Relational {
     * the family, the sketch is a pure function of the data MULTISET:
     * cells are integer sums, so partitioning/order cannot change them
     * and DuckDB rebuilds the identical 4096 cells. Mergeability is the
-    * 100-TB story: shard sketches add cell-wise (one fixed-size partial
-    * aggregate per shard, [[CmDepth]]·[[CmWidth]] longs ≈ 32 KB of
-    * state), so the stream is counted in one map-side pass with no
-    * keyed shuffle at all; only probes touch the tiny sketch table. */
+    * 100-TB story: each task's partial aggregate is a bounded
+    * [[CmDepth]]·[[CmWidth]] cell table (≈ 32 KB), so the map-side
+    * combine collapses the stream before the exchange — the shuffle
+    * moves at most cells·tasks rows regardless of N, and probes touch
+    * only the tiny broadcast sketch table. */
   def countMinSketch(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"))
     def cellOf(j: Column, key: Column): Column =

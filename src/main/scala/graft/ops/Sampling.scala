@@ -245,7 +245,43 @@ object Sampling {
         greatest(lit(PpsM), expr(s"$PpsM * $PpsTheta div n_chars")).as("ht_ppm"))
       .orderBy(col("doc_id"))
 
+  /** s10: importance resampling to a TARGET MIXTURE — the step after s07
+    * computes what the mixture should be: actually re-carve the corpus so
+    * per-language character mass matches the target (here: balance every
+    * language down to the smallest one, the multilingual-rebalancing
+    * default). Unlike s03's constant rates, the acceptance rates are
+    * DERIVED FROM CORPUS STATS — rate_ppm(lang) = min(1 M, target·1M DIV
+    * mass(lang)) with target = min lang mass — then each doc is accepted
+    * by the same exact integer hash compare as s09 (bucket < rate_ppm
+    * over a salted fnv bucket). Zero float arithmetic anywhere, so the
+    * resample is a pure function of the corpus.
+    *
+    * Output is the audit view: per language, the before/after doc counts
+    * and masses plus the rate applied; the spec asserts every achieved
+    * mass lands within a 4σ binomial envelope of the target. Scale: one
+    * stats aggregate (L rows), one broadcast join-back, one map-side
+    * filter — the corpus is touched twice, shuffled never. */
+  def distributionMatch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mass = docs.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("mass_before"),
+        count(lit(1)).as("n_before"))
+    val target = mass.agg(min(col("mass_before")).as("target"))
+    val rates = mass.crossJoin(broadcast(target))
+      .select(col("lang"), col("mass_before"), col("n_before"), col("target"),
+        least(lit(PpsM), expr(s"($PpsM * target) DIV mass_before"))
+          .as("rate_ppm"))
+    docs.join(broadcast(rates), "lang")
+      .where(hashBucket(s, "s10:", PpsM.toInt) < col("rate_ppm"))
+      .groupBy(col("lang"), col("mass_before"), col("n_before"),
+        col("target"), col("rate_ppm"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(col("n_chars")).as("mass_after"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_distribution_match" -> (distributionMatch _),
     "s09_weighted_sample" -> (weightedSample _),
     "s07_temperature_mix" -> (temperatureMix _),
     "s06_decontam" -> (contamination _),
@@ -275,6 +311,25 @@ object Sampling {
     "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
 
   val oracles: Map[String, String] = Map(
+    "s10_distribution_match" ->
+      s"""WITH mass AS (
+         |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass_before,
+         |    count(*) AS n_before
+         |  FROM documents GROUP BY lang),
+         |tgt AS (SELECT min(mass_before) AS target FROM mass),
+         |rates AS (
+         |  SELECT lang, mass_before, n_before, target,
+         |    least($PpsM, ($PpsM * target) // mass_before) AS rate_ppm
+         |  FROM mass CROSS JOIN tgt),
+         |${hashedDocs("s10:", PpsM.toInt)}
+         |SELECT r.lang, r.mass_before, CAST(r.n_before AS BIGINT) AS n_before,
+         |  r.target, r.rate_ppm,
+         |  count(*) AS n_after,
+         |  CAST(sum(b.n_chars) AS BIGINT) AS mass_after
+         |FROM bucketed b JOIN rates r USING (lang)
+         |WHERE b.bucket < r.rate_ppm
+         |GROUP BY r.lang, r.mass_before, r.n_before, r.target, r.rate_ppm
+         |ORDER BY r.lang""".stripMargin,
     "s09_weighted_sample" ->
       s"""WITH ${hashedDocs("wt:", PpsM.toInt)}
          |SELECT doc_id, source, n_chars,

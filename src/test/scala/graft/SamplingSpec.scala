@@ -136,6 +136,37 @@ class SamplingSpec extends SparkSpec {
     assert(again.toSeq == kept.map(_._1).toSeq)
   }
 
+  test("s10 distribution match: rates derived exactly, masses land on target") {
+    val rows = Sampling.distributionMatch(spark, sf0001)
+      // lang, mass_before, n_before, target, rate_ppm, n_after, mass_after
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val target = rows.head._4
+    assert(rows.forall(_._4 == target), "one global target")
+    assert(target == rows.map(_._2).min, "target = smallest language mass")
+    rows.foreach { case (lang, before, nb, _, rate, na, after) =>
+      assert(rate == math.min(1000000L, 1000000L * target / before), lang)
+      // the minority language is kept whole (rate 1M ⇒ bucket < 1M always)
+      if (rate == 1000000L) { assert(after == before && na == nb, lang) }
+      else {
+        assert(after < before && na < nb, lang)
+        // 4σ binomial envelope around the target mass: docs are accepted
+        // i.i.d.-by-hash with p = rate/1M, so mass_after concentrates at
+        // p·mass_before = ~target with σ ≤ avg_doc_chars·√(p·n_before)
+        val p = rate.toDouble / 1e6
+        val sigma = (before.toDouble / nb) * math.sqrt(p * nb)
+        assert(math.abs(after.toDouble - p * before) <= 4 * sigma,
+          s"$lang: after=$after expected=${p * before} sigma=$sigma")
+      }
+    }
+    // the point of the operator: the achieved masses are far more
+    // balanced than the input — max/min ratio shrinks toward 1
+    val ratioBefore = rows.map(_._2).max.toDouble / rows.map(_._2).min
+    val ratioAfter = rows.map(_._7).max.toDouble / rows.map(_._7).min
+    assert(ratioAfter < ratioBefore && ratioAfter < 1.5,
+      s"before $ratioBefore after $ratioAfter")
+  }
+
   test("temperature mix: integer-exact allocation within budget, flattened") {
     val mix = Sampling.temperatureMix(spark, sf0001).cache()
     val rows = mix.as[(String, Long, Long, Long, Long, Double)].collect()
