@@ -794,6 +794,41 @@ object Relational {
         sum(when(dayofweek(col("l_shipdate")) === 2, 1).otherwise(0)).as("n_monday_ships"))
       .orderBy(col("l_returnflag"))
 
+  /** E07: generator/UDTF kitchen sink — §2.F's "mapper line parser" slot
+    * exercised as a DECLARED query: four lateral-view generator forms
+    * (`posexplode` over a computed `sequence`, `posexplode` over an
+    * array slice, `posexplode_outer` over a possibly-empty extraction —
+    * the outer row with NULL pos/val is the semantics under test — and
+    * `inline` over an array of structs) unioned into one (doc_id, gen,
+    * ord, val) stream. Generators run inside `Generate` map-side — row
+    * explosion with no shuffle; the only exchange is the final orderBy,
+    * which exists for the deterministic declared output. NULLS FIRST is
+    * pinned explicitly: Spark's ASC default is nulls-first, DuckDB's is
+    * nulls-last — exactly the cross-engine trap the kitchen sinks exist
+    * to document. */
+  def generatorKitchen(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).where(col("doc_id") < 20)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val seqG = base.select(col("doc_id"), lit("seq").as("gen"),
+      posexplode(sequence(lit(1), lit(3))))
+      .select(col("doc_id"), col("gen"), col("pos").cast("long").as("ord"),
+        col("col").cast("string").as("val"))
+    val tokG = base.select(col("doc_id"), lit("tok").as("gen"),
+      posexplode(slice(split(col("text"), " "), 1, 3)))
+      .select(col("doc_id"), col("gen"), col("pos").cast("long").as("ord"),
+        col("col").as("val"))
+    val digG = base.select(col("doc_id"), lit("digit").as("gen"),
+      posexplode_outer(expr("regexp_extract_all(text, '[0-9]+')")))
+      .select(col("doc_id"), col("gen"), col("pos").cast("long").as("ord"),
+        col("col").as("val"))
+    val inlG = base.select(col("doc_id"), lit("meta").as("gen"),
+      expr("inline(array(struct(0L AS ord, lang AS val)," +
+        " struct(1L AS ord, CAST(n_chars AS STRING) AS val)))"))
+    seqG.union(tokG).union(digG).union(inlG)
+      .orderBy(col("doc_id").asc, col("gen").asc,
+        col("ord").asc_nulls_first, col("val").asc_nulls_first)
+  }
+
   /** B20: unpivot/melt — the relational transpose inverse of d09's
     * pivot: three wide measure columns to (measure, value) long form via
     * the native `Dataset.unpivot` (Generate under the hood — map-side
@@ -1200,6 +1235,7 @@ object Relational {
     "b19_case_null" -> (caseNull _),
     "b19_null_safe_eq" -> (nullSafeEq _),
     "e01_scalar_kitchen" -> (scalarKitchen _),
+    "e07_generator_kitchen" -> (generatorKitchen _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1867,6 +1903,39 @@ object Relational {
         |  count(*) AS n
         |FROM t GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "e07_generator_kitchen" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id < 20),
+        |seq AS (
+        |  SELECT doc_id, 'seq' AS gen, CAST(i - 1 AS BIGINT) AS ord,
+        |    CAST(i AS VARCHAR) AS val
+        |  FROM base CROSS JOIN (SELECT unnest(range(1, 4)) AS i) r),
+        |tok AS (
+        |  SELECT doc_id, 'tok' AS gen,
+        |    CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS ord,
+        |    unnest(l) AS val
+        |  FROM (SELECT doc_id, list_slice(string_split(text, ' '), 1, 3) AS l
+        |        FROM base) z),
+        |dig AS (
+        |  SELECT doc_id, 'digit' AS gen, CAST(NULL AS BIGINT) AS ord,
+        |    CAST(NULL AS VARCHAR) AS val
+        |  FROM base WHERE len(regexp_extract_all(text, '[0-9]+')) = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'digit' AS gen,
+        |    CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS ord, unnest(l) AS val
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '[0-9]+') AS l
+        |        FROM base) z WHERE len(l) > 0),
+        |meta AS (
+        |  SELECT doc_id, 'meta' AS gen, CAST(0 AS BIGINT) AS ord, lang AS val
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 'meta' AS gen, CAST(1 AS BIGINT) AS ord,
+        |    CAST(n_chars AS VARCHAR) AS val
+        |  FROM base)
+        |SELECT * FROM (
+        |  SELECT * FROM seq UNION ALL SELECT * FROM tok
+        |  UNION ALL SELECT * FROM dig UNION ALL SELECT * FROM meta)
+        |ORDER BY doc_id, gen, ord ASC NULLS FIRST, val ASC NULLS FIRST""".stripMargin,
     "e01_scalar_kitchen" ->
       """SELECT l_returnflag,
         |  min(round(sqrt(l_quantity), 6)) AS min_sqrt_qty,

@@ -130,7 +130,7 @@ object TextOps {
   /** Drop ALL cached TextOps state (shingle index + LSH band table) —
     * the cache-honest bench clears this before every cold rep. */
   def clearCache(): Unit =
-    { shingleCache.clear(); lshCache.clear(); lmCache.clear() }
+    { shingleCache.clear(); lshCache.clear(); lmCache.clear(); cdcCache.clear() }
 
   /** The shingle INDEX: one posting row per (doc, distinct 8-char
     * shingle), annotated with document frequency, set size and the
@@ -1095,24 +1095,32 @@ object TextOps {
     * bloomable exactly like c32's segment index) + a join-back. Nothing
     * is quadratic, no candidate generation — this is c32's plan with
     * variable, content-defined segment boundaries. */
+  /** Session cache for c36's chunk table: the frame feeds BOTH the
+    * doc-frequency build and the per-doc join-back, and Spark does not
+    * reuse aliased subtrees (the shingleIndex lesson) — uncached, the
+    * explode+window+aggregate ran twice per query. */
+  private val cdcCache = new graft.PersistedCache
+
   def cdcDedup(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .where(length(col("text")) > 0)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "t")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("i").asc)
-    val chunks = toks
-      .withColumn("bnd",
-        when(pmod(graft.functions.HashExpressions.fnv1a64(s,
-          concat(lit("cdc:"), col("t"))), lit(CdcDivisor.toLong)) === 0, 1)
-          .otherwise(0))
-      // a boundary token ENDS its chunk: id = boundaries strictly before
-      .withColumn("chunk_id", coalesce(
-        sum(col("bnd")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0)))
-      .groupBy(col("doc_id"), col("chunk_id"))
-      .agg(count(lit(1)).as("n_tok"),
-        array_join(expr("transform(sort_array(collect_list(struct(i, t))), x -> x.t)"),
-          " ").as("chunk"))
+    val chunks = cdcCache.getOrBuild(s, s"cdc:$d") {
+      val toks = Tables.documents(s, d)
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "t")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i").asc)
+      toks
+        .withColumn("bnd",
+          when(pmod(graft.functions.HashExpressions.fnv1a64(s,
+            concat(lit("cdc:"), col("t"))), lit(CdcDivisor.toLong)) === 0, 1)
+            .otherwise(0))
+        // a boundary token ENDS its chunk: id = boundaries strictly before
+        .withColumn("chunk_id", coalesce(
+          sum(col("bnd")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0)))
+        .groupBy(col("doc_id"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          array_join(expr("transform(sort_array(collect_list(struct(i, t))), x -> x.t)"),
+            " ").as("chunk"))
+    }
     val dfreq = chunks
       .where(col("n_tok") >= CdcMinTok)
       .groupBy(col("chunk"))
