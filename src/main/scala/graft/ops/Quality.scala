@@ -325,13 +325,54 @@ object Quality {
       .orderBy(col("event_type"))
   }
 
+  /** q07: SEASONALITY-ADJUSTED anomaly detection — the monitor that
+    * answers "was 3 pm on Tuesday unusually busy *for a Tuesday 3 pm*".
+    * A raw hourly threshold (d17's shape) fires every daily peak; the
+    * right baseline is d23's seasonality profile. Composition: hourly
+    * event counts → per-(day-of-week, hour-of-day) EXACT integer moments
+    * (m, Σn, Σn²) across the weeks of the corpus → each concrete hour
+    * scored z = (n·m − s1)/√(m·s2 − s1²) against its own seasonal
+    * bucket — q02's bit-exact z discipline (integer numerator,
+    * correctly-rounded sqrt/divide) on d23's grouping. Buckets with
+    * fewer than 2 observed hours or zero variance cannot be scored and
+    * are excluded IDENTICALLY in both engines (an explicit integer
+    * predicate, not a NaN side-effect). Top-20 by |z| with the hour as
+    * tie-break.
+    *
+    * Scale: one keyed aggregate to hours (the only pass over events),
+    * one 168-row profile aggregate, one broadcast join-back — the
+    * z-scoring never re-touches the event stream. */
+  def seasonalOutliers(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("hour_start"), col("n"),
+        dayofweek(col("hour_start")).as("dow"),
+        hour(col("hour_start")).as("hod"))
+    val profile = hourly.groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    hourly.join(broadcast(profile), Seq("dow", "hod"))
+      .where(col("m") >= 2 && col("m") * col("s2") - col("s1") * col("s1") > 0)
+      .withColumn("z_raw",
+        (col("n") * col("m") - col("s1")).cast("double") /
+          sqrt((col("m") * col("s2") - col("s1") * col("s1")).cast("double")))
+      .orderBy(abs(col("z_raw")).desc, col("hour_start").asc)
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("dow"), col("hod"), col("n"), col("m"),
+        round(col("z_raw"), 6).as("z"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_constraints" -> (constraintChecks _),
     "q02_outliers" -> (lengthOutliers _),
     "q03_mad_outliers" -> (madOutliers _),
     "q04_drift" -> (chiSquareDrift _),
     "q05_column_stats" -> (columnStats _),
-    "q06_winsorize" -> (winsorize _))
+    "q06_winsorize" -> (winsorize _),
+    "q07_seasonal_outliers" -> (seasonalOutliers _))
 
   // passed derives from the counted value inside a subquery so the
   // (possibly expensive) violations query evaluates ONCE per rule —
@@ -397,6 +438,32 @@ object Quality {
 
   val oracles: Map[String, String] = Map(
     "q05_column_stats" -> q05Sql,
+    // q07: DuckDB's 0-based dow shifted +1 to Spark's 1=Sunday (the d23
+    // convention); the scoreability predicate is the same integer
+    // comparison in both engines
+    "q07_seasonal_outliers" ->
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ${EventOps.duckSecTs}) AS hour_start,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1),
+         |hk AS (
+         |  SELECT hour_start, n, dayofweek(hour_start) + 1 AS dow,
+         |    hour(hour_start) AS hod
+         |  FROM hourly),
+         |profile AS (
+         |  SELECT dow, hod, count(*) AS m,
+         |    CAST(sum(n) AS BIGINT) AS s1,
+         |    CAST(sum(n * n) AS BIGINT) AS s2
+         |  FROM hk GROUP BY dow, hod)
+         |SELECT strftime(h.hour_start, '%Y-%m-%d %H:%M:%S') AS hour_start,
+         |  h.dow, h.hod, h.n, p.m,
+         |  round(CAST(h.n * p.m - p.s1 AS DOUBLE) /
+         |    sqrt(CAST(p.m * p.s2 - p.s1 * p.s1 AS DOUBLE)), 6) AS z
+         |FROM hk h JOIN profile p USING (dow, hod)
+         |WHERE p.m >= 2 AND p.m * p.s2 - p.s1 * p.s1 > 0
+         |ORDER BY abs(CAST(h.n * p.m - p.s1 AS DOUBLE) /
+         |  sqrt(CAST(p.m * p.s2 - p.s1 * p.s1 AS DOUBLE))) DESC,
+         |  h.hour_start ASC LIMIT 20""".stripMargin,
     // q06: identical integer percentile ranks, identical least/greatest
     // clamp on raw doubles, exact DECIMAL sums, one divide per mean
     "q06_winsorize" ->

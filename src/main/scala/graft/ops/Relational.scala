@@ -794,6 +794,47 @@ object Relational {
         sum(when(dayofweek(col("l_shipdate")) === 2, 1).otherwise(0)).as("n_monday_ships"))
       .orderBy(col("l_returnflag"))
 
+  /** B40: incremental aggregate maintenance — the 100-TB rollup pattern:
+    * yesterday's aggregate STATE is stored; today only the DELTA is
+    * scanned and merged into it, never the full history. Works because
+    * every kept statistic is a mergeable monoid under insert-only data:
+    * counts and DECIMAL sums add, min/least and max/greatest combine,
+    * and avg is derived from (sum, n) at read time — the same algebra
+    * Spark runs internally as partial/final aggregation, surfaced here
+    * at the query level as a maintenance strategy. The declared output
+    * is built the incremental way (base state ⟗ delta state, full-outer
+    * so groups appearing only in the delta — or only in the base — are
+    * kept); RelationalSpec asserts it equals the from-scratch aggregate
+    * column-for-column, and the oracle runs the identical two-phase SQL.
+    * The split key (orderkey mod 10 = 7 → delta) is a stand-in for
+    * "today's partition" of a date-partitioned fact table. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    def stateOf(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(15,2))")).as("sum_dec"),
+        min(col("o_totalprice")).as("min_p"),
+        max(col("o_totalprice")).as("max_p"))
+    val o = Tables.orders(s, d)
+    val base = stateOf(o.where(pmod(col("o_orderkey"), lit(10)) =!= 7))
+    val delta = stateOf(o.where(pmod(col("o_orderkey"), lit(10)) === 7))
+      .select(col("o_orderpriority"), col("n").as("dn"),
+        col("sum_dec").as("dsum"), col("min_p").as("dmin"),
+        col("max_p").as("dmax"))
+    base.join(delta, Seq("o_orderpriority"), "full")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        expr("CAST(coalesce(sum_dec, 0) + coalesce(dsum, 0) AS DOUBLE)")
+          .as("sum_price"),
+        least(coalesce(col("min_p"), col("dmin")),
+          coalesce(col("dmin"), col("min_p"))).as("min_price"),
+        greatest(coalesce(col("max_p"), col("dmax")),
+          coalesce(col("dmax"), col("max_p"))).as("max_price"))
+      .withColumn("avg_price",
+        round(col("sum_price") / col("n"), 6))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** E07: generator/UDTF kitchen sink — §2.F's "mapper line parser" slot
     * exercised as a DECLARED query: four lateral-view generator forms
     * (`posexplode` over a computed `sequence`, `posexplode` over an
@@ -1236,6 +1277,7 @@ object Relational {
     "b19_null_safe_eq" -> (nullSafeEq _),
     "e01_scalar_kitchen" -> (scalarKitchen _),
     "e07_generator_kitchen" -> (generatorKitchen _),
+    "b40_incremental_agg" -> (incrementalAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1903,6 +1945,28 @@ object Relational {
         |  count(*) AS n
         |FROM t GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b40_incremental_agg" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(15,2))) AS sum_dec,
+        |    min(o_totalprice) AS min_p, max(o_totalprice) AS max_p
+        |  FROM orders WHERE o_orderkey % 10 != 7 GROUP BY o_orderpriority),
+        |delta AS (
+        |  SELECT o_orderpriority, count(*) AS dn,
+        |    sum(CAST(o_totalprice AS DECIMAL(15,2))) AS dsum,
+        |    min(o_totalprice) AS dmin, max(o_totalprice) AS dmax
+        |  FROM orders WHERE o_orderkey % 10 = 7 GROUP BY o_orderpriority),
+        |m AS (
+        |  SELECT o_orderpriority,
+        |    coalesce(n, 0) + coalesce(dn, 0) AS n,
+        |    CAST(coalesce(sum_dec, 0) + coalesce(dsum, 0) AS DOUBLE)
+        |      AS sum_price,
+        |    least(coalesce(min_p, dmin), coalesce(dmin, min_p)) AS min_price,
+        |    greatest(coalesce(max_p, dmax), coalesce(dmax, max_p)) AS max_price
+        |  FROM base FULL OUTER JOIN delta USING (o_orderpriority))
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n, sum_price,
+        |  min_price, max_price, round(sum_price / n, 6) AS avg_price
+        |FROM m ORDER BY o_orderpriority""".stripMargin,
     "e07_generator_kitchen" ->
       """WITH base AS (
         |  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id < 20),

@@ -74,6 +74,41 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("q07: seasonal z-scores match an exact in-memory recompute") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = ops.Quality.seasonalOutliers(spark, sf0001)
+      .select("hour_start", "n", "m", "z")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.length == 20)
+    // |z| is monotone non-increasing down the ranking
+    got.map(r => math.abs(r._4)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b - 1e-9)
+      case _ =>
+    }
+    // recompute the profile independently and check each reported row
+    val hours = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("h")).agg(count(lit(1)).as("n"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        dayofweek(col("h")).as("dow"), hour(col("h")).as("hod"), col("n"))
+      .as[(String, Int, Int, Long)].collect()
+    val prof = hours.groupBy(r => (r._2, r._3)).view.mapValues { rs =>
+      val m = rs.length.toLong
+      val s1 = rs.map(_._4).sum
+      val s2 = rs.map(r => r._4 * r._4).sum
+      (m, s1, s2)
+    }.toMap
+    val byHour = hours.map(r => r._1 -> r).toMap
+    got.foreach { case (hs, n, m, z) =>
+      val r = byHour(hs)
+      val (pm, s1, s2) = prof((r._2, r._3))
+      assert(pm == m && r._4 == n, hs)
+      val expect = (n * pm - s1).toDouble / math.sqrt((pm * s2 - s1 * s1).toDouble)
+      assert(math.abs(z - BigDecimal(expect).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, hs)
+    }
+  }
+
   test("q04: chi2 matches an exact in-memory recompute; dof consistent") {
     val rep = ops.Quality.chiSquareDrift(spark, sf0001).head()
     import org.apache.spark.sql.functions.col

@@ -240,6 +240,25 @@ class RelationalSpec extends SparkSpec {
     assert(over > 0, "expected live collisions at width " + Relational.CmWidth)
   }
 
+  test("incremental aggregate maintenance equals the from-scratch aggregate") {
+    import org.apache.spark.sql.functions.{sum, min, max, count, lit, round, expr, pmod}
+    val incremental = Relational.incrementalAgg(spark, sf0001)
+    val direct = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)")
+          .as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .withColumn("avg_price", round(col("sum_price") / col("n"), 6))
+    assert(incremental.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(incremental).count() == 0)
+    // the delta is genuinely non-empty — the merge path is exercised
+    val deltaN = Tables.orders(spark, sf0001)
+      .where(pmod(col("o_orderkey"), lit(10)) === 7).count()
+    assert(deltaN > 0)
+  }
+
   test("all declared relational queries run on sf0.001 and are non-empty") {
     Relational.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
