@@ -68,16 +68,24 @@ object Ann {
       cents: DataFrame): DataFrame = {
     val e = Tables.repartitioned(Tables.embeddings(s, d), s)
       .select(col("vec_id"), col("embedding"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdist").asc, col("cent_id").asc)
+    // argmin as min_by over the unique (cdist, cent_id) order — an
+    // AGGREGATE, so the n·C candidate rows collapse map-side (partial
+    // HashAggregate, one surviving row per vec_id through the exchange)
+    // instead of all being shuffled and sorted for a window rank. Same
+    // winner, same tie-break, hash-identical output (golden-verified);
+    // neutral at local fixture scale where the C distance evaluations
+    // dominate, but the exchange shrinks from n·C rows to n at 100 TB.
+    // cdist stays: consumers (e.g. the exact cell-blocked similarity
+    // join) derive per-cell radii from the assignment angle.
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         VectorExpressions.cosine_distance(s, col("embedding"), col("cent_vec"))
           .as("cdist"))
-      .withColumn("crn", row_number().over(w)).where(col("crn") === 1)
-      // cdist stays: consumers (e.g. the exact cell-blocked similarity
-      // join) derive per-cell radii from the assignment angle.
-      .select(col("vec_id"), col("cent_id"), col("embedding"), col("cdist"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cent_id"), col("embedding"), col("cdist")),
+        struct(col("cdist"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("cent_id"),
+        col("m.embedding").as("embedding"), col("m.cdist").as("cdist"))
   }
 
   /** One Lloyd's round: argmin-assign to `cents`, then the quantized
@@ -87,14 +95,16 @@ object Ann {
     * distributed k-means. */
   private def refineOnce(s: SparkSession, e: DataFrame,
       cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdist").asc, col("cent_id").asc)
+    // same min_by argmin as buildAssignments (one definition of the
+    // assignment rule would be circular here: this one drops cdist)
     val assign = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         VectorExpressions.cosine_distance(s, col("embedding"), col("cent_vec"))
           .as("cdist"))
-      .withColumn("crn", row_number().over(w)).where(col("crn") === 1)
-      .select(col("cent_id"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cent_id"), col("embedding")),
+        struct(col("cdist"), col("cent_id"))).as("m"))
+      .select(col("m.cent_id").as("cent_id"), col("m.embedding").as("embedding"))
     val means = quantizedMeans(assign, "cent_id").withColumnRenamed("mean_vec", "new_vec")
     cents.join(means, Seq("cent_id"), "left")
       .select(col("cent_id"),
