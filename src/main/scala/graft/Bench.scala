@@ -39,6 +39,7 @@ object Bench {
     ops.Ann.clearCache()
     ops.Graph.clearCache()
     ops.TextOps.clearCache()
+    ops.Quality.clearCache()
   }
 
   def main(args: Array[String]): Unit = {

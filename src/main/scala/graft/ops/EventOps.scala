@@ -834,6 +834,29 @@ object EventOps {
     "d07_timeseries_diff" -> (timeseriesDiff _),
   )
 
+  /** Oracle-side twin of [[sessionIntervals]]: the shared CTE chain
+    * deriving one row per event with its session_id (e → lagged →
+    * flagged → sess). d03, d25 and d26 all build on this one string, so
+    * the 30-minute-gap definition lives in exactly one place per engine
+    * (d21 carries extra columns through the chain and stays inline). */
+  private val sessionCtes =
+    s"""WITH e AS (SELECT event_id, user_id, $duckSecTs AS sts FROM events),
+       |lagged AS (
+       |  SELECT user_id, sts, event_id,
+       |    lag(sts) OVER (PARTITION BY user_id ORDER BY sts ASC, event_id ASC) AS prev_ts
+       |  FROM e),
+       |flagged AS (
+       |  SELECT user_id, sts, event_id,
+       |    CASE WHEN prev_ts IS NULL
+       |           OR epoch(sts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+       |  FROM lagged),
+       |sess AS (
+       |  SELECT user_id, sts,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sts ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged)"""
+      .stripMargin
+
   private val asofOracle =
     s"""WITH e AS (SELECT event_id, user_id, event_type, $duckSecTs AS sts FROM events),
        |j AS (
@@ -872,21 +895,7 @@ object EventOps {
     // user's last) OR closed-by-event-time-timeout (gap horizon STRICTLY
     // below the final watermark = global max second)
     "d26_stream_sessions" ->
-      s"""WITH e AS (SELECT event_id, user_id, $duckSecTs AS sts FROM events),
-         |lagged AS (
-         |  SELECT user_id, sts, event_id,
-         |    lag(sts) OVER (PARTITION BY user_id ORDER BY sts ASC, event_id ASC) AS prev_ts
-         |  FROM e),
-         |flagged AS (
-         |  SELECT user_id, sts, event_id,
-         |    CASE WHEN prev_ts IS NULL
-         |           OR epoch(sts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
-         |  FROM lagged),
-         |sess AS (
-         |  SELECT user_id, sts,
-         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sts ASC, event_id ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-         |  FROM flagged),
+      s"""$sessionCtes,
          |per_sess AS (
          |  SELECT user_id, session_id,
          |    CAST(epoch(min(sts)) AS BIGINT) AS start_sec,
@@ -932,31 +941,15 @@ object EventOps {
     // (ts, delta) permute identical rows, so the multiset — and the
     // (max, earliest-ts, smallest-delta) pick — is deterministic.
     "d25_concurrency" ->
-      s"""WITH e AS (SELECT event_id, user_id, $duckSecTs AS sts FROM events),
-         |lagged AS (
-         |  SELECT user_id, sts, event_id,
-         |    lag(sts) OVER (PARTITION BY user_id
-         |                   ORDER BY sts ASC, event_id ASC) AS prev_ts
-         |  FROM e),
-         |flagged AS (
-         |  SELECT user_id, sts, event_id,
-         |    CASE WHEN prev_ts IS NULL OR epoch(sts) - epoch(prev_ts) > 1800
-         |         THEN 1 ELSE 0 END AS new_s
-         |  FROM lagged),
-         |sess0 AS (
-         |  SELECT user_id, sts,
-         |    sum(new_s) OVER (PARTITION BY user_id
-         |      ORDER BY sts ASC, event_id ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-         |  FROM flagged),
-         |sess AS (
+      s"""$sessionCtes,
+         |iv AS (
          |  SELECT user_id, session_id,
          |    min(sts) AS s_start, max(sts) AS s_end
-         |  FROM sess0 GROUP BY user_id, session_id),
+         |  FROM sess GROUP BY user_id, session_id),
          |deltas AS (
-         |  SELECT s_start AS ts, 1 AS delta FROM sess
+         |  SELECT s_start AS ts, 1 AS delta FROM iv
          |  UNION ALL
-         |  SELECT s_end AS ts, -1 AS delta FROM sess),
+         |  SELECT s_end AS ts, -1 AS delta FROM iv),
          |runs AS (
          |  SELECT ts, delta,
          |    sum(delta) OVER (ORDER BY ts ASC, delta ASC
@@ -1255,21 +1248,7 @@ object EventOps {
          |  CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
          |FROM slid GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
     "d03_sessionize" ->
-      s"""WITH e AS (SELECT event_id, user_id, $duckSecTs AS sts FROM events),
-         |lagged AS (
-         |  SELECT user_id, sts, event_id,
-         |    lag(sts) OVER (PARTITION BY user_id ORDER BY sts ASC, event_id ASC) AS prev_ts
-         |  FROM e),
-         |flagged AS (
-         |  SELECT user_id, sts, event_id,
-         |    CASE WHEN prev_ts IS NULL
-         |           OR epoch(sts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
-         |  FROM lagged),
-         |sess AS (
-         |  SELECT user_id, sts,
-         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sts ASC, event_id ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-         |  FROM flagged),
+      s"""$sessionCtes,
          |per_sess AS (
          |  SELECT user_id, session_id, count(*) AS n_events,
          |    -- epoch() is DOUBLE in DuckDB; sts is second-floored so the

@@ -848,7 +848,12 @@ object Relational {
     * nulls-last — exactly the cross-engine trap the kitchen sinks exist
     * to document. */
   def generatorKitchen(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d).where(col("doc_id") < 20)
+    // text IS NOT NULL on BOTH sides: posexplode_outer over a NULL array
+    // would emit a row here while the oracle's two-branch dig CTE drops
+    // NULL text entirely (len(NULL) matches neither branch) — a latent
+    // cross-engine fork if a fixture regeneration ever ships NULL text
+    val base = Tables.documents(s, d)
+      .where(col("doc_id") < 20 && col("text").isNotNull)
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
     val seqG = base.select(col("doc_id"), lit("seq").as("gen"),
       posexplode(sequence(lit(1), lit(3))))
@@ -1969,7 +1974,8 @@ object Relational {
         |FROM m ORDER BY o_orderpriority""".stripMargin,
     "e07_generator_kitchen" ->
       """WITH base AS (
-        |  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id < 20),
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  WHERE doc_id < 20 AND text IS NOT NULL),
         |seq AS (
         |  SELECT doc_id, 'seq' AS gen, CAST(i - 1 AS BIGINT) AS ord,
         |    CAST(i AS VARCHAR) AS val

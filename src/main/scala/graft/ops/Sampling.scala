@@ -271,12 +271,20 @@ object Sampling {
       .select(col("lang"), col("mass_before"), col("n_before"), col("target"),
         least(lit(PpsM), expr(s"($PpsM * target) DIV mass_before"))
           .as("rate_ppm"))
-    docs.join(broadcast(rates), "lang")
+    // accepted docs aggregated per lang, then LEFT-joined back to the
+    // rates so a language whose rate rounds to zero (or whose docs all
+    // fail the hash) still shows an n_after = 0 audit row instead of
+    // silently vanishing — the audit must cover exactly the languages
+    // it downsamples hardest
+    val accepted = docs.join(broadcast(rates.select(col("lang"), col("rate_ppm"))), "lang")
       .where(hashBucket(s, "s10:", PpsM.toInt) < col("rate_ppm"))
-      .groupBy(col("lang"), col("mass_before"), col("n_before"),
-        col("target"), col("rate_ppm"))
-      .agg(count(lit(1)).as("n_after"),
-        sum(col("n_chars")).as("mass_after"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_after"), sum(col("n_chars")).as("mass_after"))
+    rates.join(accepted, Seq("lang"), "left")
+      .select(col("lang"), col("mass_before"), col("n_before"), col("target"),
+        col("rate_ppm"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("mass_after"), lit(0L)).as("mass_after"))
       .orderBy(col("lang"))
   }
 
@@ -321,14 +329,17 @@ object Sampling {
          |  SELECT lang, mass_before, n_before, target,
          |    least($PpsM, ($PpsM * target) // mass_before) AS rate_ppm
          |  FROM mass CROSS JOIN tgt),
-         |${hashedDocs("s10:", PpsM.toInt)}
+         |${hashedDocs("s10:", PpsM.toInt)},
+         |accepted AS (
+         |  SELECT b.lang, count(*) AS n_after,
+         |    CAST(sum(b.n_chars) AS BIGINT) AS mass_after
+         |  FROM bucketed b JOIN rates r USING (lang)
+         |  WHERE b.bucket < r.rate_ppm GROUP BY b.lang)
          |SELECT r.lang, r.mass_before, CAST(r.n_before AS BIGINT) AS n_before,
          |  r.target, r.rate_ppm,
-         |  count(*) AS n_after,
-         |  CAST(sum(b.n_chars) AS BIGINT) AS mass_after
-         |FROM bucketed b JOIN rates r USING (lang)
-         |WHERE b.bucket < r.rate_ppm
-         |GROUP BY r.lang, r.mass_before, r.n_before, r.target, r.rate_ppm
+         |  coalesce(a.n_after, 0) AS n_after,
+         |  coalesce(a.mass_after, 0) AS mass_after
+         |FROM rates r LEFT JOIN accepted a USING (lang)
          |ORDER BY r.lang""".stripMargin,
     "s09_weighted_sample" ->
       s"""WITH ${hashedDocs("wt:", PpsM.toInt)}

@@ -1075,6 +1075,12 @@ object TextOps {
   private[ops] val CdcDivisor = 4
   private[ops] val CdcMinTok = 6
 
+  /** Session cache for c36's chunk table: the frame feeds BOTH the
+    * doc-frequency build and the per-doc join-back, and Spark does not
+    * reuse aliased subtrees (the shingleIndex lesson) — uncached, the
+    * explode+window+aggregate ran twice per query. */
+  private val cdcCache = new graft.PersistedCache
+
   /** c36: content-defined chunk dedup — the ALIGNMENT-ROBUST sub-document
     * tier (Lee et al.'s "Deduplicating Training Data" finds repeated
     * spans; rsync/LBFS-style content-defined chunking is the distributed-
@@ -1095,12 +1101,6 @@ object TextOps {
     * bloomable exactly like c32's segment index) + a join-back. Nothing
     * is quadratic, no candidate generation — this is c32's plan with
     * variable, content-defined segment boundaries. */
-  /** Session cache for c36's chunk table: the frame feeds BOTH the
-    * doc-frequency build and the per-doc join-back, and Spark does not
-    * reuse aliased subtrees (the shingleIndex lesson) — uncached, the
-    * explode+window+aggregate ran twice per query. */
-  private val cdcCache = new graft.PersistedCache
-
   def cdcDedup(s: SparkSession, d: String): DataFrame = {
     val chunks = cdcCache.getOrBuild(s, s"cdc:$d") {
       val toks = Tables.documents(s, d)

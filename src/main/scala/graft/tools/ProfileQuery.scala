@@ -28,6 +28,7 @@ object ProfileQuery {
       if (cold) {
         graft.ops.Knn.clearCache(); graft.ops.Ann.clearCache()
         graft.ops.Graph.clearCache(); graft.ops.TextOps.clearCache()
+        graft.ops.Quality.clearCache()
       }
       val t0 = System.nanoTime()
       val n = fn(s, d).count()

@@ -230,13 +230,14 @@ class RelationalSpec extends SparkSpec {
     // superset of its occurrences, so min-of-cells ≥ exact with no
     // probability qualifier — checked over the FULL estimate frame,
     // not the declared top-20 view
-    val under = Relational.countMinSketch(spark, sf0001)
-      .where(col("cms_n") < col("exact_n")).count()
+    val row = Relational.countMinSketch(spark, sf0001)
+      .agg(count(org.apache.spark.sql.functions.when(col("cms_n") < col("exact_n"), 1)),
+        count(org.apache.spark.sql.functions.when(col("cms_n") > col("exact_n"), 1)))
+      .head()
+    val (under, over) = (row.getLong(0), row.getLong(1))
     assert(under == 0)
     // and it is an estimate, not a re-count: at this width some cells
     // must collide, so the total overestimate is strictly positive
-    val over = Relational.countMinSketch(spark, sf0001)
-      .where(col("cms_n") > col("exact_n")).count()
     assert(over > 0, "expected live collisions at width " + Relational.CmWidth)
   }
 
