@@ -82,13 +82,27 @@ object Bench {
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case _: Throwable => }
       }
-      val cold = (1 to 5).flatMap { _ => clearAllCaches(); timeOnce(name) }
-      // the last cold rep left the caches populated — these reps measure
-      // the shared-state steady state a live session sees
-      val warm = (1 to 5).flatMap(_ => timeOnce(name))
+      // Cold and warm reps are INTERLEAVED, not phased. Round 8's driver
+      // run recorded knn_topk_agg warm=3.88 s vs cold=0.42 s, which is
+      // impossible steady-state (the query touches no session cache, so
+      // warm and cold do identical work) and not reproducible locally
+      // (warm ≈ cold ≈ 0.5 s in isolation and in full-bench reruns).
+      // Cause: the 5 warm reps ran back-to-back in a ~3 s window AFTER
+      // all cold reps, so one external contention burst covering that
+      // window inflated every warm rep and min() had nothing clean left
+      // to pick. Pairing each warm rep with the cold rep that precedes
+      // it spreads both estimators across the same noise timeline — a
+      // burst now hits neighbors of both kinds alike. The warm rep still
+      // sees caches standing: its preceding cold rep just built them.
+      val reps = (1 to 5).map { _ =>
+        clearAllCaches()
+        val c = timeOnce(name)
+        val w = timeOnce(name)
+        (c, w)
+      }
       // a query failing all reps must surface as ONE failure, not ten
       failed = failed.distinct
-      (cold.minOption, warm.minOption)
+      (reps.flatMap(_._1).minOption, reps.flatMap(_._2).minOption)
     }
     var warmResults = List.empty[(String, Double)]
     val results = names.flatMap { name =>

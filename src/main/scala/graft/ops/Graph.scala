@@ -16,31 +16,42 @@ import graft.Tables
   * transitive closure of ~) is the standard grouping rule (the union-
   * find step of every MinHash-dedup pipeline).
   *
-  * Algorithm: iterative min-label propagation to a FIXED POINT —
-  * label(v) starts as v, each round becomes min(label(v), min over
-  * neighbors label(u)), and iteration stops when the global label sum is
-  * unchanged (the sum is monotonically non-increasing and integer, so
-  * equality ⇔ no label moved). The fixed point assigns every vertex the
-  * minimum doc_id reachable from it, a pure function of the edge set —
-  * engine-independent, hence DuckDB-oracle-able via a recursive CTE
-  * (`WITH RECURSIVE reach`), the first recursive-query oracle in the
-  * suite. This is strictly stronger than c10's bounded 3-round
-  * propagation: on this corpus ~20% of vertices need >1 hop (verified
-  * while choosing τ), so a fixed-round scheme would mislabel them.
+  * Algorithm: alternating LARGE-STAR/SMALL-STAR contraction (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14) to a
+  * FIXED POINT. Large-star hangs every strictly-larger neighbor of a
+  * center off the minimum of its closed neighborhood; small-star does
+  * the same for the not-larger neighbors. Both preserve connectivity
+  * exactly, and the alternation converges to a star forest whose hubs
+  * are the component minima in O(log n) rounds — vs O(graph diameter)
+  * for plain min-label propagation (rounds-measured in GraphSpec; on an
+  * adversarial path graph the difference is 5 vs 250 shuffles, and a
+  * 100 TB near-dup graph with chained boilerplate has exactly those long
+  * paths). The fixed point assigns every vertex the minimum doc_id in
+  * its component, a pure function of the edge set — engine-independent,
+  * hence DuckDB-oracle-able via a recursive CTE (`WITH RECURSIVE
+  * reach`), the first recursive-query oracle in the suite. This is
+  * strictly stronger than c10's bounded 3-round propagation: on this
+  * corpus ~20% of vertices need >1 hop (verified while choosing τ), so a
+  * fixed-round scheme would mislabel them.
   *
-  * Scale shape (100 TB): each round is ONE shuffle — an equi-join of the
-  * label table with the (cached, pre-partitioned) edge list on vertex id
-  * followed by a min-aggregate on the same key, so AQE coalesces the two
-  * exchanges. Rounds needed = graph diameter in the worst case — near-dup
-  * graphs are dense clusters with tiny diameter, so single-digit rounds
-  * in practice (3 on this corpus). The driver-side loop only ever moves
-  * ONE scalar (the label checksum) per round — labels themselves never
-  * collect. For adversarial long-chain graphs the alternating
-  * large-star/small-star variant (Kiveris et al., "Connected Components
-  * in MapReduce and Beyond", SoCC'14) drops rounds to O(log² n) with the
-  * same per-round plan; min-label is chosen here because its fixed point
-  * is what the oracle can express and its per-round cost is half of
-  * star-contraction's.
+  * Termination is certified EXACTLY, not probabilistically: after each
+  * round the candidate labeling L(v) = min(v, min current-neighbor) is
+  * checked against the ORIGINAL edge list — L is the answer iff no
+  * original edge has differently-labeled endpoints (labels are always
+  * ids of same-component vertices, so edge-constancy ⇔ L ≡ component
+  * min; see `starContractLabels`). That check is one equi-join reduced
+  * to ONE scalar per round — the driver never collects labels — and it
+  * lets the loop stop as soon as labels are right, usually before the
+  * edge set itself degenerates to perfect stars.
+  *
+  * Scale shape (100 TB): each round is a handful of shuffles of the
+  * CURRENT edge set, all keyed equi-joins/aggregates — and the edge set
+  * only shrinks toward one edge per non-minimum vertex. Per-round
+  * results are localCheckpoint'd: each star operation references its
+  * input plan up to 4×, so without truncation the logical plan grows
+  * 4^rounds and Catalyst re-analysis dominates (the same blowup round 5
+  * measured on the min-label loop, 3.5 s → 18 s). On a real cluster the
+  * same barrier would be a reliable checkpoint.
   *
   * Edges: c02's source-blocked exact-Jaccard pairs (same tokenizer, same
   * length-filter pruning) at a looser τ=0.6 — loose enough that the
@@ -72,13 +83,16 @@ object Graph {
     * entry does not pin the per-round intermediates. */
   private def fixedPoint(s: SparkSession, d: String): DataFrame =
     compCache.getOrBuild(s, s"cc:$d") {
-      val labels = propagate(s, d)
-      // localCheckpoint materializes the result and CUTS lineage: the
-      // returned plan no longer references the iteration's cached
-      // DataFrames, so they can be unpersisted here, not leaked.
-      val out = labels.localCheckpoint(true)
-      labels.unpersist(blocking = false)
-      out
+      val lab = starContractLabels(s,
+        nearDupEdges(s, d)
+          .select(col("a_id").as("u"), col("b_id").as("v")))
+      // Universe join: documents with no near-dup edge are their own
+      // singleton component. `lab` is already checkpointed (flat plan);
+      // the cache's persist materializes this cheap left join.
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(lab, col("doc_id") === col("vertex"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("comp"))
     }
 
   /** Visible for tests: drop the cached fixed points. */
@@ -95,62 +109,110 @@ object Graph {
       .orderBy(col("doc_id"))
   }
 
-  /** Min-label propagation to convergence (see object Scaladoc). */
-  private def propagate(s: SparkSession, d: String): DataFrame = {
-    // Bidirectional edge list, hash-partitioned on the probe key and
-    // cached once: every propagation round re-joins this exact table, so
-    // at scale it is partitioned+persisted and each round's join needs no
-    // re-shuffle of the (big) edge side.
-    // Bidirectional edges PLUS a self-loop per document. The self-loops
-    // make the round update a single aggregate over one join — every
-    // vertex receives its own label through its self-loop, so no
-    // least/coalesce against the previous labels table is needed. That
-    // keeps each round's plan referencing `labels` exactly ONCE: a
-    // least(own, nbrMin) form references it twice, doubling the
-    // logical-plan size every round (measured 3.5 s -> 18 s on the c30
-    // sibling loop: Catalyst re-analysis, not execution, dominated).
-    val bi0 = nearDupEdges(s, d)
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-    val bi = bi0.select(col("a_id").as("u"), col("b_id").as("v"))
-      .unionAll(bi0.select(col("b_id").as("u"), col("a_id").as("v")))
-      .unionAll(docs.select(col("doc_id").as("u"), col("doc_id").as("v")))
-      .repartition(Tables.parallelism(s), col("v"))
+  /** Number of star-contraction rounds the last `starContractLabels`
+    * call took — observability for tests and the convergence log. */
+  @volatile private[graft] var lastStarRounds: Int = 0
+
+  /** Component-minimum labels for the vertices of `edges0` (cols `u`,
+    * `v`, any orientation) via alternating large-star/small-star
+    * contraction — the shared fixed-point engine behind c26/c30/c31/s08
+    * (see object Scaladoc for the algorithm and scale story). Returns
+    * (vertex, label), localCheckpoint'd. Component-minimum vertices and
+    * vertices not in any edge are ABSENT from the output — every caller
+    * re-attaches its own universe with coalesce(label, id), which maps
+    * both cases to themselves, correctly.
+    *
+    * Correctness of the termination test: the candidate labeling is
+    * L(v) = min(v, min of v's current smaller neighbors). Labels are
+    * always ids of vertices inside the same component (both star ops
+    * only ever link vertices of one component, so every current edge
+    * stays intra-component), hence L(v) ≥ comp-min, L(comp-min) =
+    * comp-min, and L ≤ id pointwise. If additionally no ORIGINAL edge
+    * has differently-labeled endpoints, L is constant per component and
+    * that constant can only be the component minimum — so the single
+    * scalar `violations == 0` certifies the exact answer, no
+    * probabilistic edge-set fingerprint involved — and it certifies it
+    * as soon as labels are right, usually before the edge set itself
+    * finishes degenerating to stars. */
+  private[graft] def starContractLabels(s: SparkSession,
+      edges0: DataFrame): DataFrame = {
+    val par = Tables.parallelism(s)
+    // canonical (hi, lo) pairs, deduped — the shape both star ops emit
+    val e0 = edges0
+      .select(greatest(col("u"), col("v")).as("hi"),
+        least(col("u"), col("v")).as("lo"))
+      .where(col("hi") =!= col("lo"))
+      .distinct()
+      .repartition(par, col("hi"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = docs.withColumn("comp", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Monotone non-increasing integer invariant: changed ⇔ sum drops.
-    // Null-safe: sum over an empty table (empty corpus) is NULL.
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("comp"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // large-star: center u hangs every LARGER neighbor off
+    // m = min(closed neighborhood); emitted (nbr, m) is canonical since
+    // m <= ctr < nbr. One window shuffle + one dedup shuffle.
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.select(col("hi").as("ctr"), col("lo").as("nbr"))
+        .unionAll(e.select(col("lo").as("ctr"), col("hi").as("nbr")))
+      val w = Window.partitionBy(col("ctr"))
+      bi.withColumn("m", least(col("ctr"), min(col("nbr")).over(w)))
+        .where(col("nbr") > col("ctr"))
+        .select(col("nbr").as("hi"), col("m").as("lo"))
+        .distinct()
     }
-    var checksum = labelSum(labels)
-    var converged = false
-    // Hard cap = diameter can't exceed |V|; in practice single digits.
+    // small-star: center u hangs its smaller neighbors AND itself off
+    // m = min(smaller neighbors); canonical since m = their minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("hi"))
+      val withM = e.withColumn("m", min(col("lo")).over(w))
+      withM.select(col("lo").as("x"), col("m"))
+        .unionAll(withM.select(col("hi").as("x"), col("m")))
+        .where(col("x") =!= col("m"))
+        .select(col("x").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+    // (vertex, label) for every vertex that currently has a smaller
+    // neighbor; missing vertices label to themselves via the callers'
+    // (and the certificate's) coalesce
+    def labelsOf(e: DataFrame): DataFrame =
+      e.groupBy(col("hi").as("vertex")).agg(min(col("lo")).as("label"))
+    // exact one-scalar convergence certificate: no original edge may
+    // straddle two labels (one aggregate + two left joins, ONE action)
+    def violations(e: DataFrame): Long = {
+      val lab = labelsOf(e)
+      e0
+        .join(lab.select(col("vertex").as("hi"), col("label").as("lh")),
+          Seq("hi"), "left")
+        .join(lab.select(col("vertex").as("lo"), col("label").as("ll")),
+          Seq("lo"), "left")
+        .where(coalesce(col("lh"), col("hi")) =!=
+          coalesce(col("ll"), col("lo")))
+        .agg(count(lit(1))).head().getLong(0)
+    }
+
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var e = e0
     var rounds = 0
-    while (!converged && rounds < 64) {
+    // already-star inputs (and empty edge sets) terminate at round 0
+    var done = violations(e0) == 0L
+    // O(log n) proven round bound; 48 is unreachable for any real input
+    while (!done && rounds < 48) {
       rounds += 1
-      // min label among neighbors incl. self (edge (u,v) contributes
-      // label(v) to u; the self-loop contributes u's own label)
-      val next = bi.join(labels, bi("v") === labels("doc_id"))
-        .groupBy(col("u")).agg(min(col("comp")).as("comp"))
-        .withColumnRenamed("u", "doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = labelSum(next)
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = nextSum == checksum
-      checksum = nextSum
+      // localCheckpoint = the per-round barrier: materializes AND cuts
+      // lineage (see object Scaladoc); superseded round RDDs are
+      // reclaimed by the ContextCleaner once unreferenced.
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val viol = violations(e)
+      if (debug) println(s"[cc] star round $rounds: violations=$viol")
+      done = viol == 0L
     }
-    bi.unpersist(blocking = false)
+    lastStarRounds = rounds
     // The docstring promises a TRUE fixed point (s08's no-leak law and
     // the oracle both depend on it) — returning unconverged labels
     // silently would be the worst failure mode, so fail loudly instead.
-    if (!converged)
+    if (!done)
       throw new IllegalStateException(
-        s"components: no fixed point after $rounds rounds (graph diameter " +
-          "exceeds the cap — raise it or switch to large-star/small-star)")
+        s"starContractLabels: no fixed point after $rounds rounds")
+    val labels = labelsOf(e).localCheckpoint(true)
+    e0.unpersist(blocking = false)
     labels
   }
 
@@ -246,6 +308,18 @@ object Graph {
     val deg = compCache.getOrBuild(s, s"pr-deg:$d") {
       edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     }
+    pagerankRanks(edges, deg).select(
+        when(col("u") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+        expr("u DIV 2").as("key"),
+        col("r").as("rank_ppt"))
+      .orderBy(col("rank_ppt").desc, col("kind"), col("key"))
+  }
+
+  /** The `PrIters` damped power iterations over a directed edge list
+    * (cols u→v) and its out-degree table (cols u, deg; also the vertex
+    * universe). Factored out of [[pagerank]] so the directed-input
+    * contract is law-testable on toy graphs. Returns (u, r). */
+  private[graft] def pagerankRanks(edges: DataFrame, deg: DataFrame): DataFrame = {
     // scalar graph constants (N, teleport, uniform start) — one tiny
     // aggregate, broadcast into every consumer
     val consts = deg.agg(count(lit(1)).as("n"))
@@ -257,18 +331,26 @@ object Graph {
     for (_ <- 1 to PrIters) {
       val contrib = ranks.join(deg, "u")
         .select(col("u"), expr("r DIV deg").as("c"))
-      ranks = edges.join(contrib, "u")
+      val inSums = edges.join(contrib, "u")
         .groupBy(col("v"))
         .agg(sum(col("c")).as("in_sum"))
+      // LEFT join from the vertex universe: a vertex with NO in-edges
+      // keeps its teleport share instead of silently dropping out of
+      // the ranking after round 1. Unreachable on the symmetric trade
+      // graph (every vertex has in-edges, so this is identical to the
+      // oracle's inner-join CTEs — hash-verified), but `pagerank` must
+      // not lose vertices on a general directed input. Sinks (vertices
+      // with no OUT-edges) are outside `deg`'s universe by construction
+      // and remain a documented precondition — their mass would need a
+      // dangling-mass redistribution term this integer formulation
+      // deliberately omits.
+      ranks = deg.select(col("u"))
+        .join(inSums.withColumnRenamed("v", "u"), Seq("u"), "left")
         .crossJoin(broadcast(consts))
-        .select(col("v").as("u"),
-          (col("tele") + expr("(85L * in_sum) DIV 100")).as("r"))
+        .select(col("u"),
+          (col("tele") + expr("(85L * coalesce(in_sum, 0L)) DIV 100")).as("r"))
     }
-    ranks.select(
-        when(col("u") % 2 === 0, "customer").otherwise("supplier").as("kind"),
-        expr("u DIV 2").as("key"),
-        col("r").as("rank_ppt"))
-      .orderBy(col("rank_ppt").desc, col("kind"), col("key"))
+    ranks
   }
 
   /** e06's SQL, parameterized ONLY by table names: the Spark engine and

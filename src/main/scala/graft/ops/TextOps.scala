@@ -468,78 +468,46 @@ object TextOps {
     * the TRUE fixed point instead of 3 bounded rounds. c10 is the
     * per-batch production shape (bounded latency, possibly split
     * clusters on long chains); c30 is the weekly full-corpus
-    * consolidation that must be exact at any diameter. Same alternating
-    * doc→bucket→doc min-label rounds — each round two keyed shuffles of
-    * (id, label) pairs only, the band table built once and reused —
-    * with c26's scalar checksum convergence test (the label sum is a
-    * monotone non-increasing integer). Oracled against a recursive-CTE
-    * closure over the star-reduced hypergraph. */
+    * consolidation that must be exact at any diameter.
+    *
+    * The doc↔bucket hypergraph is first star-reduced to a plain doc–doc
+    * edge list — every banded doc linked to its bucket's minimum doc
+    * (connectivity-equivalent to "share any bucket", and |band rows|
+    * bounded instead of quadratic in bucket size) — then handed to the
+    * SHARED large-star/small-star fixed point ([[Graph.starContractLabels]]):
+    * O(log n) rounds with an exact one-scalar convergence certificate,
+    * one engine for c26/c30/c31/s08. Oracled against a recursive-CTE
+    * closure over the same star-reduced hypergraph. */
   def lshComponents(s: SparkSession, d: String): DataFrame =
     lshCache.getOrBuild(s, s"lsh_fixed_point:$d") {
       lshComponentsUncached(s, d)
     }
 
   private def lshComponentsUncached(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val bands = lshBandTable(s, d)
-    // Iterate over BANDED docs only, with the single-reference update
-    // next = min over buckets of (min label in bucket): every doc is in
-    // its own buckets, so next <= own label automatically. The update
-    // must reference `cluster` exactly ONCE — a least(own, nbrMin) form
-    // references it twice and doubles the logical-plan size every round
-    // (measured 3.5 s -> 18 s at sf0.01: Catalyst re-analysis, not
-    // execution, dominates). Docs with no band rows can't have edges,
-    // so they join the universe as singletons AFTER convergence.
-    // sum over an EMPTY label table is NULL (an all-null-text corpus
-    // yields zero band rows) — read it null-safely so that case
-    // converges to "all singletons" instead of NPE-ing
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("cluster_id"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    var cluster = bands.select(col("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var checksum = labelSum(cluster)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 64) {
-      rounds += 1
-      val bucketMin = bands.join(cluster, "doc_id")
-        .groupBy(col("band"), col("bucket"))
-        .agg(min(col("cluster_id")).as("rep"))
-      val next = bands.join(bucketMin, Seq("band", "bucket"))
-        .groupBy(col("doc_id")).agg(min(col("rep")).as("cluster_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val rt = System.nanoTime()
-      val nextSum = labelSum(next)
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"[cc] round $rounds: sum=$nextSum (${(System.nanoTime() - rt) / 1e9}%.2f s)")
-      cluster.unpersist(blocking = false)
-      cluster = next
-      converged = nextSum == checksum
-      checksum = nextSum
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"lshComponents: no fixed point after $rounds rounds")
+    // bucket star-reduction: (doc, bucketMin) for every non-min member
+    val edges = bands
+      .join(bands.groupBy(col("band"), col("bucket"))
+          .agg(min(col("doc_id")).as("rep")),
+        Seq("band", "bucket"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("u"), col("rep").as("v"))
+    val lab = Graph.starContractLabels(s, edges)
     // Label universe = ALL documents (matching the oracle's LEFT JOIN):
-    // a doc producing no band rows (e.g. null text) appears as its own
-    // singleton cluster instead of vanishing from the output.
+    // docs with no band rows (e.g. null text) and bucket-singletons are
+    // their own clusters instead of vanishing from the output.
     val universe = Tables.documents(s, d).select(col("doc_id"))
-      .join(cluster, Seq("doc_id"), "left")
+      .join(lab, col("doc_id") === col("vertex"), "left")
       .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    val out = universe
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    universe
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
-    // materialize before releasing the iteration caches (the band table
-    // is cache-owned and stays persisted for the sibling queries)
-    val checkpointed = out.localCheckpoint(true)
-    cluster.unpersist(blocking = false)
-    checkpointed
+      // materialize: the band table is cache-owned and stays persisted
+      // for the sibling queries; `lab` is already checkpointed
+      .localCheckpoint(true)
   }
 
   /** c31: the deduplicated corpus — the operator a user actually runs:

@@ -137,6 +137,48 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(md - expect.toDouble) < 1e-9, s"$md vs $expect")
   }
 
+  test("star contraction: logarithmic rounds and exact labels on a path") {
+    // A 64-vertex path is the adversarial case for min-label propagation
+    // (information moves one hop per round → ~63 rounds); large-star/
+    // small-star must collapse it in O(log n) rounds with every vertex
+    // labeled by the path minimum.
+    val n = 64L
+    val edges = spark.range(n - 1)
+      .select(col("id").as("u"), (col("id") + 1).as("v"))
+    val lab = ops.Graph.starContractLabels(spark, edges).cache()
+    // the component minimum (vertex 0) is absent by contract — callers
+    // coalesce it to itself
+    assert(lab.count() == n - 1)
+    assert(lab.where(col("vertex") === 0L).count() == 0)
+    assert(lab.where(col("label") =!= 0L).count() == 0,
+      "every non-minimum path vertex must label to the minimum id")
+    assert(ops.Graph.lastStarRounds <= 10,
+      s"path-64 took ${ops.Graph.lastStarRounds} star rounds (want O(log n))")
+    lab.unpersist()
+
+    // empty edge set: terminates immediately, yields no labels
+    val none = ops.Graph.starContractLabels(spark,
+      spark.range(0).select(col("id").as("u"), col("id").as("v")))
+    assert(none.count() == 0)
+  }
+
+  test("pagerank law: a vertex with no in-edges keeps its teleport mass") {
+    // Directed toy graph: 3-cycle plus a source vertex 4 that points in
+    // but receives nothing. Before the round-9 guard, 4 silently fell
+    // out of the ranking after round 1 (the in-sum aggregate only emits
+    // vertices that RECEIVE contributions).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("u", "v")
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val r = ops.Graph.pagerankRanks(edges, deg).cache()
+    assert(r.count() == 4, "all four vertices must stay ranked")
+    val tele = ((ops.Graph.PrBase / 4) * 15) / 100
+    assert(r.where(col("u") === 4).head().getAs[Long]("r") == tele,
+      "a no-in-edge vertex holds exactly its teleport share")
+    // nothing is created from nowhere: total mass stays under base
+    assert(r.agg(sum(col("r"))).head().getLong(0) <= ops.Graph.PrBase)
+    r.unpersist()
+  }
+
   test("fixed point is stable: one more propagation round changes nothing") {
     // Idempotence distinguishes a true fixed point from a bounded-round
     // scheme (c10's 3-round propagation is NOT idempotent in general).
