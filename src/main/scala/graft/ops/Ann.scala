@@ -30,8 +30,20 @@ import graft.functions.VectorExpressions
   * reports recall@K against the exact ops.Knn top-k as integer counts.
   */
 object Ann {
-  val C = 64 // coarse centroids
-  val P = 16 // probed lists per query
+  /** (C, P) retuned in round 9 for the production recall bar: trained
+    * recall@10 must clear 0.9, and does at every fixture tier (0.980 at
+    * sf0.01, 0.975 at sf0.001, 0.911 at sf0.1 — tools.AnnTune sweep).
+    * The fixtures' embeddings are near-isotropic — ANN's hardest case:
+    * measured recall ≈ scan fraction plus a quantization bonus that
+    * GROWS with C (at a fixed 25% scan: 0.63 @ C=32, 0.73 @ C=64, 0.85
+    * @ C=128), so the frontier point takes the finest index the seed
+    * rule supports and P/C = 0.375. Real embedding corpora cluster, and
+    * there the same index reaches the bar at far smaller P/C — C and P
+    * are the two knobs a deployment retunes per corpus (index build is
+    * amortized once; probe cost is per-query, so minimizing P/C is what
+    * matters at 100 TB). */
+  val C = 256 // coarse centroids
+  val P = 96 // probed lists per query
   val K = 10
   /** Fixed Lloyd's refinement rounds — fixed (not convergence-tested) so
     * the computation is a pure function of the data on every engine. */
@@ -44,20 +56,33 @@ object Ann {
   private[ops] val Quant = 1L << 20
 
   private[ops] def centroids(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).where(col("vec_id") < C)
+    centroidsAt(s, d, C)
+
+  private[graft] def centroidsAt(s: SparkSession, d: String, c: Int): DataFrame =
+    Tables.embeddings(s, d).where(col("vec_id") < c)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
 
   // The assignment table is the index: built once per (session, dataset)
   // and shared by probes/stats — the local analog of a persisted IVF
   // index on a cluster. Fixture files are immutable for a session.
+  // Keys carry the centroid count so the (C, P) tuning sweep
+  // (tools.AnnTune) can hold several candidate indexes side by side.
   private val assignCache = new graft.PersistedCache
 
   def assignments(s: SparkSession, d: String): DataFrame =
-    assignCache.getOrBuild(s, d)(buildAssignments(s, d, centroids(s, d)))
+    assignmentsAt(s, d, C)
+
+  private[graft] def assignmentsAt(s: SparkSession, d: String, c: Int): DataFrame =
+    assignCache.getOrBuild(s, s"$d#assign#$c")(
+      buildAssignments(s, d, centroidsAt(s, d, c)))
 
   def trainedAssignments(s: SparkSession, d: String): DataFrame =
-    assignCache.getOrBuild(s, s"$d#trainedAssign")(
-      buildAssignments(s, d, trainedCentroids(s, d)))
+    trainedAssignmentsAt(s, d, C)
+
+  private[graft] def trainedAssignmentsAt(s: SparkSession, d: String,
+      c: Int): DataFrame =
+    assignCache.getOrBuild(s, s"$d#trainedAssign#$c")(
+      buildAssignments(s, d, trainedCentroidsAt(s, d, c)))
 
   /** Drop cached per-session index state (tests / long-lived sessions);
     * sessions also self-evict on application end. */
@@ -132,17 +157,39 @@ object Ann {
 
   /** `LloydIters` rounds of deterministic Lloyd's from the seed pick. */
   def trainedCentroids(s: SparkSession, d: String): DataFrame =
-    assignCache.getOrBuild(s, s"$d#trainedCents") {
+    trainedCentroidsAt(s, d, C)
+
+  /** When true (the default), each Lloyd's round is localCheckpoint'd —
+    * a lineage barrier per iteration, the shape reliable checkpoints
+    * take on a real cluster. Which side wins is a measured function of
+    * the per-round subtree size: at C=64 (round 8) the single unrolled
+    * plan won because Catalyst's exchange reuse deduped the repeated
+    * subtrees (3.5 s vs 4.3 s), but after the C=256 recall retune the
+    * n·C assignment subtree dominates and the barrier wins decisively
+    * (sf0.1 cold: 4.9 s vs 7.5 s, `ProfileQuery ann_ivf_topk_trained
+    * ... cold` A/B, SURVEY §8). The conf keeps both shapes one setting
+    * apart; results are bit-identical either way (the quantized-mean
+    * arithmetic doesn't care where the barrier sits). */
+  val IterativeCheckpointConf = "spark.graft.iterative.checkpoint"
+
+  private[graft] def trainedCentroidsAt(s: SparkSession, d: String,
+      c: Int): DataFrame =
+    assignCache.getOrBuild(s, s"$d#trainedCents#$c") {
       val e = Tables.repartitioned(Tables.embeddings(s, d), s)
         .select(col("vec_id"), col("embedding"))
-      (1 to LloydIters).foldLeft(centroids(s, d))((c, _) => refineOnce(s, e, c))
+      val barrier =
+        !s.conf.getOption(IterativeCheckpointConf).contains("false")
+      (1 to LloydIters).foldLeft(centroidsAt(s, d, c)) { (cs, _) =>
+        val next = refineOnce(s, e, cs)
+        if (barrier) next.localCheckpoint(true) else next
+      }
     }
 
-  /** IVF approximate top-k under `cents`/`lists`: probe the P nearest
+  /** IVF approximate top-k under `cents`/`lists`: probe the `p` nearest
     * lists per query, exact cosine within the probed lists. Leave-one-out
     * like knn_topk. */
   private def ivfTopkFrom(s: SparkSession, d: String, cents: DataFrame,
-      lists: DataFrame): DataFrame = {
+      lists: DataFrame, p: Int): DataFrame = {
     val e = Tables.repartitioned(Tables.embeddings(s, d), s)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val wProbe = Window.partitionBy(col("qid"))
@@ -150,7 +197,7 @@ object Ann {
     val probes = e.crossJoin(broadcast(cents))
       .select(col("qid"), col("qv"), col("cent_id"),
         VectorExpressions.cosine_distance(s, col("qv"), col("cent_vec")).as("cdist"))
-      .withColumn("prn", row_number().over(wProbe)).where(col("prn") <= P)
+      .withColumn("prn", row_number().over(wProbe)).where(col("prn") <= p)
       .select(col("qid"), col("qv"), col("cent_id"))
     val inv = lists
       .select(col("cent_id"), col("vec_id").as("cid"), col("embedding").as("cv"))
@@ -171,10 +218,19 @@ object Ann {
   }
 
   def ivfTopk(s: SparkSession, d: String): DataFrame =
-    ivfTopkFrom(s, d, centroids(s, d), assignments(s, d))
+    ivfTopkFrom(s, d, centroids(s, d), assignments(s, d), P)
 
   def ivfTopkTrained(s: SparkSession, d: String): DataFrame =
-    ivfTopkFrom(s, d, trainedCentroids(s, d), trainedAssignments(s, d))
+    ivfTopkFrom(s, d, trainedCentroids(s, d), trainedAssignments(s, d), P)
+
+  private[graft] def ivfTopkTrainedAt(s: SparkSession, d: String,
+      c: Int, p: Int): DataFrame =
+    ivfTopkFrom(s, d, trainedCentroidsAt(s, d, c),
+      trainedAssignmentsAt(s, d, c), p)
+
+  private[graft] def recallTrainedAt(s: SparkSession, d: String,
+      c: Int, p: Int): DataFrame =
+    recallOf(s, d, ivfTopkTrainedAt(s, d, c, p))
 
   /** Per-label prototype centroids: the quantized elementwise mean of
     * every vector carrying the label (same engine-exact arithmetic as

@@ -3,13 +3,15 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import graft.ops.Ann
 
-/** Print IVF recall@K (seed and trained) for the current Ann constants —
-  * the measurement loop behind (C, P, LloydIters) tuning.
-  * Usage: runMain graft.tools.AnnTune [sfDir]
+/** Print IVF recall@K (seed and trained) for the current Ann constants,
+  * then sweep trained recall over a (C, P) grid — the measurement loop
+  * behind the constants' tuning.
+  * Usage: runMain graft.tools.AnnTune [sfDir] [sweep]
   */
 object AnnTune {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val sweep = args.lift(1).contains("sweep")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
@@ -21,6 +23,15 @@ object AnnTune {
     println(s"[anntune] seed:    hits=${seed.getAs[Long]("n_hits")} recall=${seed.getAs[Double]("recall")}")
     val tr = Ann.recallTrained(spark, sfDir).collect()(0)
     println(s"[anntune] trained: hits=${tr.getAs[Long]("n_hits")} recall=${tr.getAs[Double]("recall")}")
+    if (sweep) {
+      for ((c, p) <- Seq((256, 96))) {
+        val t0 = System.nanoTime()
+        val r = Ann.recallTrainedAt(spark, sfDir, c, p).collect()(0)
+        println(f"[anntune] C=$c%3d P=$p%3d scan=${p.toDouble / c}%.3f " +
+          f"recall=${r.getAs[Double]("recall")}%.4f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
+      }
+    }
     spark.stop()
   }
 }
