@@ -36,8 +36,20 @@ object Tables {
     * so the NTZ→TIMESTAMP cast below is the identity on the epoch value —
     * the same interpretation DuckDB's `epoch_ns(ts)` oracle twin uses.
     */
+  /** `spark.sql.legacy.parquet.nanosAsLong` is the ONLY way Spark 4
+    * reads TIMESTAMP(NANOS) parquet — ParquetOptions exposes no
+    * per-read twin (verified against the 4.1.2 jars), so the events
+    * readers cannot scope it to the scan. Least-intrusive correct form:
+    * written at most once per session, only if currently unset, never
+    * toggled back — a shared long-lived session sees one stable value
+    * instead of a write per read. */
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+  private[graft] def ensureNanosConf(s: SparkSession): Unit =
+    if (!s.conf.getOption(NanosConf).contains("true"))
+      s.conf.set(NanosConf, "true")
+
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosConf(s)
     normalizeEventTs(s.read.parquet(s"$d/events.parquet"))
   }
 
@@ -61,12 +73,26 @@ object Tables {
 
   /** The parquet-declared type of `events.ts` — a streaming file source
     * must declare its schema up front, so it probes this via a cheap
-    * batch footer read.
+    * batch footer read, memoized per (session, dir): the fixture files
+    * are immutable for a session, and three call sites re-probing the
+    * footer on every streaming-query construction was pure waste.
     */
-  def eventsTsType(s: SparkSession, d: String): org.apache.spark.sql.types.DataType = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet").schema("ts").dataType
-  }
+  private val tsTypeCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), org.apache.spark.sql.types.DataType]
+  def eventsTsType(s: SparkSession, d: String): org.apache.spark.sql.types.DataType =
+    tsTypeCache.getOrElseUpdate((s, d), {
+      ensureNanosConf(s)
+      s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    })
+
+  /** Collision-free identifier tag for a dataset dir: the full path
+    * with every non-word character mapped to '_'. Used wherever a temp
+    * view or memory-sink name must be unique per dataset — the previous
+    * Integer.toHexString(d.hashCode) tags could collide across two
+    * dirs in one session and silently cross-wire one run's view into
+    * another's reader. */
+  def dirTag(d: String): String = d.replaceAll("[^A-Za-z0-9_]", "_")
 
   /** Default parallelism for explicit repartitions. Single-file parquet
     * fixtures arrive as 1 input partition, which would serialize any

@@ -753,7 +753,7 @@ object EventOps {
     * the watermark — the bounded-state production shape; the memory sink
     * is only the harness adapter. */
   def streamClosedSessions(s: SparkSession, d: String): DataFrame = {
-    val name = "d26_closed_" + java.lang.Integer.toHexString(d.hashCode)
+    val name = "d26_closed_" + graft.Tables.dirTag(d)
     graft.streaming.Streams.runToMemory(
       graft.streaming.Streams.closedSessionsTimeout(s, d).toDF(),
       name, org.apache.spark.sql.streaming.OutputMode.Append())
@@ -772,7 +772,7 @@ object EventOps {
     * this puts all three production streaming shapes through the
     * correctness gate. */
   def streamTumbling(s: SparkSession, d: String): DataFrame = {
-    val name = "d27_tumbling_" + java.lang.Integer.toHexString(d.hashCode)
+    val name = "d27_tumbling_" + graft.Tables.dirTag(d)
     graft.streaming.Streams.runToMemory(
       graft.streaming.Streams.tumbling(s, d), name,
       org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -786,13 +786,20 @@ object EventOps {
     * to the same user's purchases within the following hour, both sides
     * watermarked so Spark expires buffered join state (the only way a
     * stream-stream join survives unbounded input). Inner-join append
-    * output is batching-invariant, hence deterministic and oracle-able
-    * against the identical batch SQL. */
+    * output is deterministic and oracle-able against the identical
+    * batch SQL WHILE the fixture replays as one data micro-batch (the
+    * one-file source guarantees it today); across several batches the
+    * watermark could late-drop rows and fork from the batch twin, so
+    * that precondition is ASSERTED below, not assumed — mirroring d26's
+    * explicit single-batch reasoning. */
   def streamClickToPurchase(s: SparkSession, d: String): DataFrame = {
-    val name = "d28_ssj_" + java.lang.Integer.toHexString(d.hashCode)
-    graft.streaming.Streams.runToMemory(
+    val name = "d28_ssj_" + graft.Tables.dirTag(d)
+    val q = graft.streaming.Streams.runToMemory(
       graft.streaming.Streams.clickToPurchase(s, d), name,
       org.apache.spark.sql.streaming.OutputMode.Append())
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"d28 oracle parity needs a single data micro-batch, saw $dataBatches")
     s.table(name)
       .select(col("click_id"), col("purchase_id"),
         (col("purchase_ts").cast("long") - col("click_ts").cast("long"))

@@ -405,7 +405,7 @@ object Graph {
     * a ≤|nations|·3-row frontier against the 75-row edge list — the
     * closure never touches base-table data again. */
   def tradeReach(s: SparkSession, d: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val tag = graft.Tables.dirTag(d)
     def view(name: String, df: org.apache.spark.sql.DataFrame): String = {
       val v = s"${name}_reach_$tag"
       df.createOrReplaceTempView(v)

@@ -174,18 +174,41 @@ object Knn {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Byte budget per candidate block in [[knnTopkBlocked]] — sized so a
+    * block co-resides comfortably with a query partition in executor
+    * memory (same order as Spark's own broadcast threshold). */
+  val BlockBytesConf = "spark.graft.knn.blockBytes"
+  private val DefaultBlockBytes = 64L << 20
+
+  /** Candidate-side block count: ceil(candidate bytes / block budget),
+    * from Catalyst's scan statistics — file-size based, plan-time, no
+    * job, and it keeps summing correctly over a multi-file 100 TB scan.
+    * Floored at 2: a candidate set that fits ONE block belongs to the
+    * broadcast layout (knn_topk), so this operator always exercises the
+    * partial-heap merge path it exists to provide. */
+  private[graft] def candidateBlocks(s: SparkSession, d: String): Int = {
+    val bytes = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val budget = s.conf.getOption(BlockBytesConf).map(_.toLong)
+      .getOrElse(DefaultBlockBytes)
+    ((bytes + budget - 1) / budget).min(4096).max(2).toInt
+  }
+
   /** The non-broadcast layout: when the candidate set is too large to
     * broadcast, both sides partition and Spark's CartesianProduct runs
     * partition-pair-wise (block-nested-loop) products; `top_k_by` then
     * reduces each (query, candidate-block) to k rows map-side and merges
     * the per-block partial heaps in one k-row-per-query shuffle. Same
-    * results, same oracle — only the physical layout differs. */
+    * results, same oracle — only the physical layout differs, and the
+    * block count follows the data size ([[candidateBlocks]]), not a
+    * constant. */
   def knnTopkBlocked(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val p = Tables.parallelism(s)
     val q = e.repartition(p)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = e.repartition(4) // candidate blocks
+    val c = e.repartition(candidateBlocks(s, d))
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("label").as("clabel"))
     // SHUFFLE_REPLICATE_NL forbids the broadcast fallback the optimizer

@@ -619,8 +619,8 @@ object Relational {
     * subquery side is tiny after aggregation, so at scale all three are
     * one broadcast anti join each. */
   def notInNulls(s: SparkSession, d: String): DataFrame = {
-    val pv = s"part_ni_${java.lang.Integer.toHexString(d.hashCode)}"
-    val lv = s"line_ni_${java.lang.Integer.toHexString(d.hashCode)}"
+    val pv = s"part_ni_${graft.Tables.dirTag(d)}"
+    val lv = s"line_ni_${graft.Tables.dirTag(d)}"
     Tables.part(s, d).createOrReplaceTempView(pv)
     Tables.lineitem(s, d).createOrReplaceTempView(lv)
     // every 100th-order lineitem contributes NULL instead of its part key
@@ -659,8 +659,8 @@ object Relational {
   /** B18b: IN / NOT IN subqueries through the SQL entry point (the
     * DSL twin is the semi/anti join pair in b06). */
   def inSubquery(s: SparkSession, d: String): DataFrame = {
-    val ov = s"orders_in_${java.lang.Integer.toHexString(d.hashCode)}"
-    val cv = s"cust_in_${java.lang.Integer.toHexString(d.hashCode)}"
+    val ov = s"orders_in_${graft.Tables.dirTag(d)}"
+    val cv = s"cust_in_${graft.Tables.dirTag(d)}"
     Tables.orders(s, d).createOrReplaceTempView(ov)
     Tables.customer(s, d).createOrReplaceTempView(cv)
     s.sql(
@@ -692,7 +692,7 @@ object Relational {
   def groupingSets(s: SparkSession, d: String): DataFrame = {
     // per-dataset view name: a fixed name would let concurrent callers on
     // the same session read each other's dataset
-    val view = s"orders_v_${java.lang.Integer.toHexString(d.hashCode)}"
+    val view = s"orders_v_${graft.Tables.dirTag(d)}"
     Tables.orders(s, d).createOrReplaceTempView(view)
     s.sql(
       s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -1040,7 +1040,7 @@ object Relational {
     * DSL spells it `when(...)`; the money sums go through DECIMAL for
     * order-independent exactness. */
   def filterClauseAgg(s: SparkSession, d: String): DataFrame = {
-    val lv = s"line_fc_${java.lang.Integer.toHexString(d.hashCode)}"
+    val lv = s"line_fc_${graft.Tables.dirTag(d)}"
     Tables.lineitem(s, d).createOrReplaceTempView(lv)
     s.sql(
       s"""SELECT l_returnflag,
@@ -1150,8 +1150,8 @@ object Relational {
     * Catalyst decorrelates this into a join (no per-row subquery
     * execution), which is exactly the rewrite a scale-out engine needs. */
   def existsCorrelated(s: SparkSession, d: String): DataFrame = {
-    val sv = s"supp_ex_${java.lang.Integer.toHexString(d.hashCode)}"
-    val cv = s"cust_ex_${java.lang.Integer.toHexString(d.hashCode)}"
+    val sv = s"supp_ex_${graft.Tables.dirTag(d)}"
+    val cv = s"cust_ex_${graft.Tables.dirTag(d)}"
     Tables.supplier(s, d).createOrReplaceTempView(sv)
     Tables.customer(s, d).createOrReplaceTempView(cv)
     s.sql(
@@ -1186,8 +1186,8 @@ object Relational {
        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
 
   def lateralTopK(s: SparkSession, d: String): DataFrame = {
-    val nv = s"nation_lat_${java.lang.Integer.toHexString(d.hashCode)}"
-    val cv = s"cust_lat_${java.lang.Integer.toHexString(d.hashCode)}"
+    val nv = s"nation_lat_${graft.Tables.dirTag(d)}"
+    val cv = s"cust_lat_${graft.Tables.dirTag(d)}"
     Tables.nation(s, d).createOrReplaceTempView(nv)
     Tables.customer(s, d).createOrReplaceTempView(cv)
     s.sql(lateralSql(nv, cv))

@@ -34,7 +34,7 @@ object Streams {
   /** File-source stream over the events parquet with the same
     * second-floored event-time column as Tables.events. */
   def eventStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.ensureNanosConf(s)
     val raw = s.readStream.schema(eventSchema(graft.Tables.eventsTsType(s, d)))
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(d)
@@ -188,7 +188,15 @@ object Streams {
 
   /** Stream-stream join: each click joined to the same user's purchases
     * within the following hour. Watermarks on both sides bound the join
-    * state; the time-range condition lets Spark expire buffered rows. */
+    * state; the time-range condition lets Spark expire buffered rows.
+    *
+    * Determinism caveat: inner-join append output is batching-invariant
+    * only while the whole fixture replays as a SINGLE data micro-batch
+    * (true for the one-file source with no maxFilesPerTrigger). Across
+    * multiple micro-batches, rows arriving later than the 10-minute
+    * watermark would be late-dropped and could diverge from the batch
+    * twin — d28's declaring wrapper asserts the single-batch condition
+    * instead of assuming it (EventOps.streamClickToPurchase). */
   def clickToPurchase(s: SparkSession, d: String): DataFrame = {
     val clicks = eventStream(s, d)
       .where(col("event_type") === "click")

@@ -52,6 +52,29 @@ class TopKAggSpec extends SparkSpec {
     assert(blocked.sameElements(win))
   }
 
+  test("blocked knn: block count follows the byte budget, results don't") {
+    // tiny budget → many blocks; huge budget → the 2-block floor (one
+    // block would mean the broadcast layout is the right operator)
+    spark.conf.set(ops.Knn.BlockBytesConf, "4096")
+    val many = ops.Knn.candidateBlocks(spark, sf0001)
+    spark.conf.set(ops.Knn.BlockBytesConf, (1L << 30).toString)
+    val few = ops.Knn.candidateBlocks(spark, sf0001)
+    assert(few == 2 && many > few, s"few=$few many=$many")
+    // result invariance across block counts (the partial heaps merge to
+    // the same total order no matter how the candidate side is cut)
+    val win = ops.Knn.knnTopk(spark, sf0001)
+      .select($"qid", $"rnk".cast("long"), $"cid", $"dist")
+      .as[(Long, Long, Long, Double)].collect()
+    for (budget <- Seq("4096", (1L << 30).toString)) {
+      spark.conf.set(ops.Knn.BlockBytesConf, budget)
+      val blocked = ops.Knn.knnTopkBlocked(spark, sf0001)
+        .select($"qid", $"rnk".cast("long"), $"cid", $"dist")
+        .as[(Long, Long, Long, Double)].collect()
+      assert(blocked.sameElements(win), s"diverged at blockBytes=$budget")
+    }
+    spark.conf.unset(ops.Knn.BlockBytesConf)
+  }
+
   test("buffer serialization round-trips through sorted order") {
     val buf = new graft.functions.TopKBuffer(2)
     buf.insert(0.3, 1, 7); buf.insert(0.1, 2, 8); buf.insert(0.2, 3, 9)
