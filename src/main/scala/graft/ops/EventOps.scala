@@ -807,7 +807,36 @@ object EventOps {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** d29: streaming stateful dedup DECLARED — `Streams.dedup`
+    * (dropDuplicatesWithinWatermark on (user_id, event_type)) executed
+    * through a real file-source → memory-sink streaming query. This is
+    * the fourth production streaming shape through the CORRECTNESS gate
+    * (after arbitrary state d26, windowed agg d27, stream-stream join
+    * d28): bounded dedup state, the streaming twin of batch d04.
+    *
+    * Determinism contract: WHICH physical row survives per key is
+    * arrival-order dependent (within a micro-batch the operator keeps
+    * the first row it processes, not the earliest by event time), so the
+    * declared output is the KEY SET — one (user_id, event_type) row per
+    * surviving key, which is exactly the distinct key set of the input
+    * regardless of ordering. d04 remains the (stronger) batch contract
+    * on row identity; StreamingSpec covers the row-level behavior.
+    *
+    * Scale: state is one entry per key inside the watermark horizon —
+    * the bounded-state form that lets exact dedup run on an unbounded
+    * stream (the batch operator would need the full history). */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val name = "d29_dedup_" + graft.Tables.dirTag(d)
+    graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.dedup(s, d), name,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    s.table(name)
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d29_stream_dedup" -> (streamDedup _),
     "d26_stream_sessions" -> (streamClosedSessions _),
     "d27_stream_tumbling" -> (streamTumbling _),
     "d28_stream_join" -> (streamClickToPurchase _),
@@ -879,6 +908,11 @@ object EventOps {
     // d27: the streaming window's oracle IS d01's aggregate — identical
     // SQL text, because the decimal sum state makes the streamed result
     // bit-equal to the batch one
+    // d29: the surviving key set of streaming dedup ≡ the distinct key
+    // set of the input (see streamDedup's determinism contract)
+    "d29_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "d27_stream_tumbling" ->
       s"""SELECT strftime(date_trunc('hour', $duckSecTs), '%Y-%m-%d %H:%M:%S') AS wstart,
          |  event_type, count(*) AS n,

@@ -254,6 +254,38 @@ object Graph {
       .orderBy(col("doc_id"))
   }
 
+  /** Number of cross-validation folds for s11. */
+  val KFolds = 5
+
+  /** s11: GROUP k-fold cross-validation assignment — s08's group-aware
+    * fencing applied to k-fold CV: every member of a near-dup component
+    * lands in the SAME fold (fold hashed from the component id, not the
+    * doc id), so no evaluation fold ever contains a near-duplicate of a
+    * training document — the sklearn GroupKFold contract, with the dedup
+    * clustering itself supplying the groups. Output is the per-(fold,
+    * lang) composition audit a practitioner checks before trusting CV
+    * numbers: docs, distinct components, and char mass per cell.
+    *
+    * Scale: fold assignment is a map-side hash over the component table
+    * (all real cost is the c26 fixed point, shared via the session
+    * cache); the audit is one keyed aggregate over ≤ k·|langs| cells. */
+  def groupKfold(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashExpressions
+    val fold = pmod(HashExpressions.fnv1a64(s,
+      concat(lit("fold:"), col("component").cast("string"))),
+      lit(KFolds.toLong))
+    components(s, d)
+      .select(col("doc_id"), col("component"))
+      .withColumn("fold", fold)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars")), Seq("doc_id"))
+      .groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_components"),
+        sum(col("n_chars")).as("n_chars_sum"))
+      .orderBy(col("fold"), col("lang"))
+  }
+
   /** Rank mass scale: ranks are parts-per-trillion BIGINTs. Integer
     * arithmetic everywhere — r DIV deg per edge, (85·Σ) DIV 100 damping,
     * teleport (base DIV N)·15 DIV 100 — so every iteration is a pure
@@ -563,7 +595,8 @@ object Graph {
     "g03_triangle_stats" -> (triangleStats _),
     "g04_assortativity" -> (assortativity _),
     "e06_trade_reach" -> (tradeReach _),
-    "s08_leakage_safe_split" -> (leakageSafeSplit _))
+    "s08_leakage_safe_split" -> (leakageSafeSplit _),
+    "s11_group_kfold" -> (groupKfold _))
 
   // The τ=0.6 doc near-dup edge list (a_id < b_id) — same edge SQL as
   // c02's oracle; shared by the c26/s08 closure oracles and g03.
@@ -730,5 +763,25 @@ object Graph {
          |  CASE WHEN bucket < 80 THEN 'train'
          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM bucketed ORDER BY doc_id""".stripMargin
+    },
+    "s11_group_kfold" -> {
+      // fnv1a64("fold:" || component) mod KFolds — the same component
+      // closure (recursive CTE) and hash twin as s08
+      val hs = TextOps.toSigned(TextOps.fnvFold(TextOps.FnvOffU))
+      s"""WITH RECURSIVE $edgeSql,
+         |keyed AS (
+         |  SELECT doc_id, component,
+         |    'fold:' || CAST(component AS VARCHAR) AS t
+         |  FROM comp),
+         |hashed AS (SELECT doc_id, component, $hs AS hsv FROM keyed),
+         |f AS (
+         |  SELECT doc_id, component,
+         |    ((hsv % $KFolds) + $KFolds) % $KFolds AS fold
+         |  FROM hashed)
+         |SELECT f.fold, d.lang, count(*) AS n_docs,
+         |  CAST(count(DISTINCT f.component) AS BIGINT) AS n_components,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars_sum
+         |FROM f JOIN documents d USING (doc_id)
+         |GROUP BY f.fold, d.lang ORDER BY f.fold, d.lang""".stripMargin
     })
 }

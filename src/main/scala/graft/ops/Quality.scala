@@ -376,7 +376,50 @@ object Quality {
       .limit(20)
   }
 
+  /** Benford first-digit expectation in ppm per digit 1..9 — the SAME
+    * integer constants are baked into the Spark plan and the DuckDB
+    * oracle (computing log10(1+1/d) at runtime would bet on two libm
+    * implementations rounding identically; hardcoding the 9 published
+    * constants removes float parity from the contract entirely). */
+  private[graft] val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Q08: Benford first-significant-digit audit — the classic fabricated-
+    * data / corrupted-feed detector: naturally-grown multiplicative
+    * quantities follow log10(1+1/d) first-digit frequencies, and a feed
+    * whose digits drift from its own baseline (or sit suspiciously flat,
+    * as TPC-H's uniform synthetic prices do) is flagged for review.
+    * Digits are derived in exact integer arithmetic: price → cents
+    * (round(p·100) — 2-decimal prices sit ~1e-10 from the integer, so
+    * both engines land on the same BIGINT) → leading digit via decimal
+    * string, never float log10. Observed shares are integer ppm against
+    * a broadcast scalar total; expectation is the shared constant table.
+    *
+    * Scale: map-side digit projection, a 9-group aggregate with map-side
+    * partials, one broadcast scalar — nothing grows with the table. */
+  def benfordAudit(s: SparkSession, d: String): DataFrame = {
+    val expCase = BenfordPpm
+      .map { case (dg, ppm) => s"WHEN $dg THEN ${ppm}L" }
+      .mkString("CASE digit ", " ", " END")
+    val digits = Tables.lineitem(s, d)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+    val total = digits.agg(count(lit(1)).as("total"))
+    digits.groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("obs_ppm", expr("(n * 1000000) DIV total"))
+      .withColumn("exp_ppm", expr(expCase))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        col("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q08_benford" -> (benfordAudit _),
     "q01_constraints" -> (constraintChecks _),
     "q02_outliers" -> (lengthOutliers _),
     "q03_mad_outliers" -> (madOutliers _),
@@ -448,6 +491,24 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    // q08: same cents derivation (round lands on the same BIGINT — see
+    // the engine Scaladoc), same leading-digit-via-VARCHAR, same shared
+    // expectation constants; // ≡ DIV on non-negative operands.
+    "q08_benford" -> {
+      val expCase = BenfordPpm
+        .map { case (dg, ppm) => s"WHEN $dg THEN $ppm" }
+        .mkString("CASE digit ", " ", " END")
+      s"""WITH digits AS (
+         |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+         |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |  FROM lineitem),
+         |tot AS (SELECT count(*) AS total FROM digits),
+         |per AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit)
+         |SELECT digit, n, (n * 1000000) // total AS obs_ppm,
+         |  CAST($expCase AS BIGINT) AS exp_ppm,
+         |  (n * 1000000) // total - $expCase AS dev_ppm
+         |FROM per CROSS JOIN tot ORDER BY digit""".stripMargin
+    },
     "q05_column_stats" -> q05Sql,
     // q07: DuckDB's 0-based dow shifted +1 to Spark's 1=Sunday (the d23
     // convention); the scoreability predicate is the same integer

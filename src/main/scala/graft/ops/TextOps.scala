@@ -674,6 +674,48 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(30)
 
+  /** C37: n-gram novelty scoring — per document, the fraction of its
+    * distinct word 5-grams that NO earlier document (doc_id order = the
+    * corpus's ingest order) already contained. This is the corpus-
+    * freshness signal a training-data pipeline ranks new crawls by: a
+    * document whose n-grams are all already in the corpus adds no new
+    * text even if no single document duplicates it (the many-source
+    * boilerplate case that per-document near-dup scoring misses).
+    *
+    * Shape at scale: grams are hashed to 8-byte FNV keys map-side (the
+    * shuffle carries hashes, never gram strings); first-seen is one
+    * window-min per gram hash, the per-doc rollup one more keyed
+    * aggregate — two shuffles total, both on uniform hash keys, no
+    * self-join and nothing quadratic. In an incremental ingest the
+    * first-seen table is exactly c21's persisted seen-set, so novelty of
+    * a new batch joins against yesterday's gram index instead of
+    * rescanning the corpus. Ratios are integer ppm (exact cross-engine).
+    *
+    * Oracle: identical gram construction via list_transform/list_slice,
+    * identical FNV-1a fold in HUGEINT mod-2^64 ([[fnvFold]]). */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val n = 5
+    val grams = Tables.documents(s, d)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .where(size(col("tok")) >= n)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("tok")) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(col("tok"), i + j)): _*)))).as("g"))
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.fnv1a64(s, col("g")).as("gh"))
+    val w = Window.partitionBy(col("gh"))
+    grams
+      .withColumn("first_doc", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) DIV n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E-string: second scalar kitchen sink — regex extraction, padding,
     * search, translate/replace/reverse — aggregated order-independently. */
   def stringKitchen(s: SparkSession, d: String): DataFrame =
@@ -1193,6 +1235,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c33_lm_score" -> (lmScore _),
+    "c37_ngram_novelty" -> (ngramNovelty _),
     "c36_cdc_dedup" -> (cdcDedup _),
     "c32_line_dedup" -> (lineDedup _),
     "c29_containment" -> (containmentNearDup _),
@@ -1438,6 +1481,28 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     // identical integer nano-unit arithmetic: (10⁹·(c12+1)) // (c1+V)
+    // identical 5-gram construction (list_slice windows over the space-
+    // split tokens), identical FNV-1a fold; first-seen = min(doc_id) per
+    // gram hash; ratio in integer ppm (// ≡ DIV on non-negatives).
+    "c37_ngram_novelty" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |      range(1, len(tk) - 3),
+         |      i -> array_to_string(list_slice(tk, i, i + 4), ' ')))) AS t
+         |  FROM tok WHERE len(tk) >= 5),
+         |h AS (SELECT doc_id, ${toSigned(s"(${fnvFold(FnvOffU)})")} AS gh
+         |      FROM g),
+         |f AS (SELECT gh, min(doc_id) AS first_doc FROM h GROUP BY gh)
+         |SELECT h.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN h.doc_id = f.first_doc THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN h.doc_id = f.first_doc THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000 // count(*) AS novelty_ppm
+         |FROM h JOIN f USING (gh)
+         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
     // per bigram, BIGINT sum // count per doc — DuckDB's // and Spark's
     // DIV agree on non-negative operands, and no float is ever summed.
     // Tokens are space-split, so 'w1 w2' re-splits unambiguously.

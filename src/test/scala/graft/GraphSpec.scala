@@ -193,4 +193,25 @@ class GraphSpec extends SparkSpec {
       .where(col("nm") < col("component")).count()
     assert(moved == 0, s"$moved labels would still move")
   }
+
+  test("s11: folds partition the corpus and never split a component") {
+    val out = Graph.groupKfold(spark, sf0001)
+    // partition: per-(fold,lang) doc counts sum to the corpus
+    val nDocs = out.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(nDocs == Tables.documents(spark, sf0001).count())
+    // GroupKFold contract: a component id maps to exactly one fold —
+    // re-derive the per-doc assignment and count folds per component
+    val comp = Graph.components(spark, sf0001)
+      .select(col("doc_id"), col("component"))
+    val fold = pmod(graft.functions.HashExpressions.fnv1a64(spark,
+      concat(lit("fold:"), col("component").cast("string"))),
+      lit(ops.Graph.KFolds.toLong))
+    val straddle = comp.withColumn("fold", fold)
+      .groupBy(col("component"))
+      .agg(countDistinct(col("fold")).as("nf"))
+      .where(col("nf") > 1).count()
+    assert(straddle == 0, s"$straddle components straddle folds")
+    // every fold is populated at this corpus size
+    assert(out.select(col("fold")).distinct().count() == ops.Graph.KFolds)
+  }
 }

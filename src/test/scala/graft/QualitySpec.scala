@@ -130,4 +130,22 @@ class QualitySpec extends SparkSpec {
     // (each cell truncates at most 1 micro-unit: 100 cells -> >= -1e-4·N)
     assert(got >= -0.5, got.toString)
   }
+
+  test("q08: digit coverage, share conservation, and the constant table") {
+    val rows = ops.Quality.benfordAudit(spark, sf0001).collect()
+    // every first digit of a positive price is 1..9 and all prices count
+    assert(rows.map(_.getAs[Int]("digit")).toSet.subsetOf((1 to 9).toSet))
+    val nTotal = rows.map(_.getAs[Long]("n")).sum
+    assert(nTotal == Tables.lineitem(spark, sf0001).count())
+    // floor-division shares: sum <= 1e6, off by at most 1 ppm per digit
+    val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obsSum <= 1000000L && obsSum >= 1000000L - 9)
+    // the baked-in expectation table is a probability vector in ppm
+    assert(ops.Quality.BenfordPpm.map(_._2).sum == 1000000L)
+    // dev is exactly obs - exp per row
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dev_ppm") ==
+        r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm"))
+    }
+  }
 }

@@ -356,4 +356,31 @@ class TextSpec extends SparkSpec {
     assert(got.getInt(0) == 5 && got.getInt(1) == 3)
     df.unpersist()
   }
+
+  test("c37: novelty conservation, bounds, and the first-doc law") {
+    val df = ops.TextOps.ngramNovelty(spark, sf0001).cache()
+    // bounds: 0 <= n_novel <= n_grams, ppm in [0, 1e6]
+    assert(df.where(col("n_novel") > col("n_grams") ||
+      col("n_novel") < 0 || col("novelty_ppm") < 0 ||
+      col("novelty_ppm") > 1000000).count() == 0)
+    // first-doc law: the smallest doc_id introduces every gram it has
+    val first = df.orderBy(col("doc_id")).limit(1).head()
+    assert(first.getAs[Long]("n_novel") == first.getAs[Long]("n_grams"))
+    assert(first.getAs[Long]("novelty_ppm") == 1000000L)
+    // conservation: total novel grams == distinct grams in the corpus
+    // (each distinct gram is novel exactly once, at its first doc)
+    val totalNovel = df.agg(sum(col("n_novel"))).head().getLong(0)
+    val distinctGrams = Tables.documents(spark, sf0001)
+      .where(col("text").isNotNull)
+      .select(split(col("text"), " ").as("tok"))
+      .where(size(col("tok")) >= 5)
+      .select(explode(transform(
+        sequence(lit(1), size(col("tok")) - 4),
+        i => concat_ws(" ", (0 until 5).map(j =>
+          element_at(col("tok"), i + j)): _*))).as("g"))
+      .distinct().count()
+    assert(totalNovel == distinctGrams,
+      s"novel=$totalNovel distinct=$distinctGrams")
+    df.unpersist()
+  }
 }
