@@ -420,6 +420,147 @@ object Ann {
   def recallTrained(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, ivfTopkTrained(s, d))
 
+  // ------------------------------------------------------------ SemDeDup
+
+  /** C38: SemDeDup (Abbas et al., 2023) — the cluster-then-pairwise
+    * semantic dedup used to prune web-scale embedding corpora: instead
+    * of an exact all-pairs (or even triangle-pruned, c12) similarity
+    * join, pairs are only examined WITHIN each IVF cell, trading a
+    * bounded recall loss (cross-cell near-dups are simply not looked
+    * at — that is the algorithm, not a bug) for a pair space of
+    * Σ|cell|² ≪ n². Keep rule, made deterministic: within a dup pair
+    * the member FARTHER from its centroid survives (the paper keeps the
+    * low-centroid-similarity "outlier" as the cluster representative),
+    * ties broken to the lower vec_id. "Beats" is a strict total order
+    * on (cdist asc, vec_id desc), so every dup chain keeps at least its
+    * order-maximum — a survivor always exists (law-tested).
+    *
+    * Scale shape: the pair generator is a self-equi-join on cent_id —
+    * the assignment table is already hash-partitioned by cent_id, so
+    * this is the one join bucketing makes local; no all-pairs anywhere.
+    */
+  private def semdedupDup(s: SparkSession, d: String): DataFrame = {
+    val a = assignments(s, d)
+    val l = a.select(col("cent_id"), col("vec_id").as("i"),
+      col("embedding").as("ei"), col("cdist").as("di"))
+    val r = a.select(col("cent_id"), col("vec_id").as("j"),
+      col("embedding").as("ej"), col("cdist").as("dj"))
+    l.join(r, Seq("cent_id"))
+      .where(col("i") =!= col("j"))
+      .withColumn("pdist",
+        VectorExpressions.cosine_distance(s, col("ei"), col("ej")))
+      .where(col("pdist") < lit(TextOps.EmbedDupTau))
+      .select(col("cent_id"), col("i"), col("di"), col("j"), col("dj"))
+  }
+
+  /** Per-vector SemDeDup audit table: kept=0 iff some same-cell near-dup
+    * outranks it under the keep order. */
+  def semdedup(s: SparkSession, d: String): DataFrame = {
+    val dropped = semdedupDup(s, d)
+      .where(col("dj") > col("di") ||
+        (col("dj") === col("di") && col("j") < col("i")))
+      .select(col("i").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(1))
+    assignments(s, d)
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"), round(col("cdist"), 6).as("cdist"),
+        when(col("is_dropped").isNull, 1).otherwise(0).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Corpus-level SemDeDup summary (the number a pipeline dashboard
+    * tracks per ingest drop). */
+  def semdedupStats(s: SparkSession, d: String): DataFrame = {
+    val dup = semdedupDup(s, d).where(col("i") < col("j"))
+    val nv = assignments(s, d).agg(count(lit(1)).as("n_vecs"))
+    val nd = semdedupDup(s, d)
+      .where(col("dj") > col("di") ||
+        (col("dj") === col("di") && col("j") < col("i")))
+      .select(col("i")).distinct()
+      .agg(count(lit(1)).as("n_dropped"))
+    val np = dup.agg(count(lit(1)).as("n_dup_pairs"),
+      countDistinct(col("cent_id")).as("n_dup_cells"))
+    nv.crossJoin(nd).crossJoin(np)
+      .select(col("n_vecs"), (col("n_vecs") - col("n_dropped")).as("n_kept"),
+        col("n_dropped"), col("n_dup_pairs"), col("n_dup_cells"))
+  }
+
+  // ------------------------------------- random projection (JL) audit
+
+  /** Output dimensionality of the Johnson–Lindenstrauss projection. */
+  val RpOutDim = 16
+  /** Input dim of the embeddings fixture (asserted in AnnSpec). */
+  val RpInDim = 64
+  /** Quantization for the RP integer arithmetic. 2^12 keeps every
+    * intermediate provably inside BIGINT: unit norm ⇒ Σ|v_i| ≤ √64·1
+    * (Cauchy–Schwarz) ⇒ |p_j| ≤ 8·2^12 = 2^15, pair diff² ≤ 2^32,
+    * proj2 ≤ 16·2^32 = 2^36, and the ppm numerator 3·proj2·10^6 < 2^58. */
+  private val RpQuant = 1L << 12
+  /** Audit sample: all pairs of this fixed id range — constant work
+    * regardless of corpus size. */
+  private val RpSampleIds = 64
+
+  /** C40: deterministic sparse random projection (Achlioptas 2003 /
+    * Johnson–Lindenstrauss) with a distance-preservation audit — the
+    * dimensionality-reduction tier a 100 TB vector pipeline runs before
+    * ANN indexing: 64-d float vectors become 16-d integer sketches (4×
+    * fewer dims, and ±1/0 arithmetic instead of float multiply), and
+    * pairwise L2 is preserved up to JL distortion. The projection
+    * matrix entries are hashed, not sampled: sign(j,i) derives from
+    * fnv1a64("rp:j:i") mod 6 → {+1 w.p. 1/6, −1 w.p. 1/6, 0 w.p. 2/3},
+    * so the matrix is a pure function of (j, i) on any engine, any
+    * cluster layout — no rand(), no stored matrix to ship. The
+    * projection itself is posexplode → broadcast-join the ~1/3-dense
+    * sign matrix → partial-agg'd (vec, j) sums: one map-side-combined
+    * shuffle of n·16 rows.
+    *
+    * The audit reports the distortion histogram over all pairs of a
+    * fixed id-range sample (constant work regardless of corpus size):
+    * ratio = (3/k)·||Rx−Ry||² / ||x−y||² in integer ppm, banded by 0.1.
+    * JL says the mass concentrates at 1e6; the bands make a fat tail
+    * visible. All arithmetic is quantized-integer (see [[RpQuant]]) —
+    * exact on both engines. */
+  def rpAudit(s: SparkSession, d: String): DataFrame = {
+    val mat = s.range(RpOutDim.toLong).select(col("id").as("j"))
+      .crossJoin(s.range(RpInDim.toLong).select(col("id").as("i")))
+      .withColumn("sgn", {
+        val hm = pmod(graft.functions.HashExpressions.fnv1a64(s,
+          concat(lit("rp:"), col("j").cast("string"), lit(":"),
+            col("i").cast("string"))), lit(6))
+        when(hm === 0, 1).when(hm === 1, -1).otherwise(0)
+      })
+      .where(col("sgn") =!= 0)
+    val qe = Tables.repartitioned(Tables.embeddings(s, d), s)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        expr(s"CAST(floor(CAST(v AS DOUBLE) * $RpQuant) AS BIGINT)").as("q"))
+    val proj = qe.join(broadcast(mat), Seq("i"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("sgn") * col("q")).as("p"))
+    val qs = qe.where(col("vec_id") < RpSampleIds)
+    val ps = proj.where(col("vec_id") < RpSampleIds)
+    val o2 = qs.select(col("vec_id").as("ia"), col("i"), col("q").as("qa"))
+      .join(qs.select(col("vec_id").as("ib"), col("i"), col("q").as("qb")),
+        Seq("i"))
+      .where(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("orig2"))
+    val p2 = ps.select(col("vec_id").as("ia"), col("j"), col("p").as("pa"))
+      .join(ps.select(col("vec_id").as("ib"), col("j"), col("p").as("pb")),
+        Seq("j"))
+      .where(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(sum((col("pa") - col("pb")) * (col("pa") - col("pb"))).as("proj2"))
+    o2.join(p2, Seq("ia", "ib"))
+      .where(col("orig2") > 0)
+      .select(expr(s"3 * proj2 * 1000000 DIV ($RpOutDim * orig2)")
+        .as("ratio_ppm"))
+      .groupBy(expr("ratio_ppm DIV 100000").as("band"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("ratio_ppm")).as("min_ppm"),
+        max(col("ratio_ppm")).as("max_ppm"), sum(col("ratio_ppm")).as("sum_ppm"))
+      .orderBy(col("band"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk" -> (ivfTopk _),
     "ann_ivf_topk_trained" -> (ivfTopkTrained _),
@@ -431,6 +572,9 @@ object Ann {
     "ann_pq_topk" -> (pqTopk _),
     "ann_pq_recall" -> (pqRecall _),
     "ann_pq_codes" -> (pqCodeStats _),
+    "c38_semdedup" -> (semdedup _),
+    "c38_semdedup_stats" -> (semdedupStats _),
+    "c40_random_projection" -> (rpAudit _),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -625,7 +769,101 @@ object Ann {
        |    JOIN embeddings c ON c.vec_id = k.cid) y)""".stripMargin
   }
 
+  /** DuckDB twin of the SemDeDup chain: seed assignment WITH its cdist,
+    * the within-cell dup pairs under the same unrounded τ cut (the c35
+    * precedent: both engines compute the identical double cosine over
+    * the same floats), and the dropped set under the same strict
+    * (cdist, −vec_id) keep order. */
+  private def semdedupCtes: String =
+    s"""$seedCentsCte,
+       |sa AS (
+       |  SELECT vec_id, embedding, cent_id, cdist FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                   CAST(c.cent_vec AS DOUBLE[])) AS cdist,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                     CAST(c.cent_vec AS DOUBLE[])) ASC,
+       |        c.cent_id ASC) AS crn
+       |    FROM embeddings e CROSS JOIN cents0 c) z WHERE crn = 1),
+       |dup AS (
+       |  SELECT a.cent_id, a.vec_id AS i, a.cdist AS di,
+       |    b.vec_id AS j, b.cdist AS dj
+       |  FROM sa a JOIN sa b ON a.cent_id = b.cent_id
+       |    AND a.vec_id <> b.vec_id
+       |  WHERE 1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |          CAST(b.embedding AS DOUBLE[])) < ${TextOps.EmbedDupTau}),
+       |drop0 AS (
+       |  SELECT DISTINCT i FROM dup
+       |  WHERE dj > di OR (dj = di AND j < i))""".stripMargin
+
+  /** DuckDB twin of the RP audit: same fnv-hashed sign matrix
+    * (TextOps.fnvFold over the same key strings), same quantized-integer
+    * projection and pair arithmetic; // ≡ DIV on the non-negative
+    * operands. */
+  private def rpOracle: String =
+    s"""WITH keys AS (
+       |  SELECT jj.j, ii.i,
+       |    'rp:' || CAST(jj.j AS VARCHAR) || ':' || CAST(ii.i AS VARCHAR) AS t
+       |  FROM range(0, $RpOutDim) jj(j) CROSS JOIN range(0, $RpInDim) ii(i)),
+       |hm AS (SELECT j, i,
+       |  ${TextOps.toSigned(TextOps.fnvFold(TextOps.FnvOffU))} AS h
+       |  FROM keys),
+       |mat AS (
+       |  SELECT j, i,
+       |    CASE ((h % 6) + 6) % 6 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END
+       |      AS sgn
+       |  FROM hm),
+       |qe AS (
+       |  SELECT vec_id, i - 1 AS i,
+       |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+       |      * $RpQuant) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings) x),
+       |proj AS (
+       |  SELECT e.vec_id, m.j, CAST(sum(m.sgn * e.q) AS BIGINT) AS p
+       |  FROM qe e JOIN mat m ON m.i = e.i AND m.sgn <> 0
+       |  GROUP BY e.vec_id, m.j),
+       |o2 AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS orig2
+       |  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id < b.vec_id
+       |  WHERE a.vec_id < $RpSampleIds AND b.vec_id < $RpSampleIds
+       |  GROUP BY a.vec_id, b.vec_id),
+       |p2 AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    CAST(sum((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS proj2
+       |  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+       |  WHERE a.vec_id < $RpSampleIds AND b.vec_id < $RpSampleIds
+       |  GROUP BY a.vec_id, b.vec_id),
+       |r AS (
+       |  SELECT (3 * p2.proj2 * 1000000) // ($RpOutDim * o2.orig2)
+       |    AS ratio_ppm
+       |  FROM o2 JOIN p2 ON o2.ia = p2.ia AND o2.ib = p2.ib
+       |  WHERE o2.orig2 > 0)
+       |SELECT ratio_ppm // 100000 AS band, count(*) AS n_pairs,
+       |  min(ratio_ppm) AS min_ppm, max(ratio_ppm) AS max_ppm,
+       |  CAST(sum(ratio_ppm) AS BIGINT) AS sum_ppm
+       |FROM r GROUP BY band ORDER BY band""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "c38_semdedup" ->
+      s"""WITH $semdedupCtes
+         |SELECT sa.vec_id, sa.cent_id, round(sa.cdist, 6) AS cdist,
+         |  CASE WHEN d.i IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM sa LEFT JOIN drop0 d ON sa.vec_id = d.i
+         |ORDER BY sa.vec_id""".stripMargin,
+    "c38_semdedup_stats" ->
+      s"""WITH $semdedupCtes
+         |SELECT (SELECT count(*) FROM sa) AS n_vecs,
+         |  (SELECT count(*) FROM sa) - (SELECT count(*) FROM drop0)
+         |    AS n_kept,
+         |  (SELECT count(*) FROM drop0) AS n_dropped,
+         |  (SELECT count(*) FROM dup WHERE i < j) AS n_dup_pairs,
+         |  (SELECT count(DISTINCT cent_id) FROM dup WHERE i < j)
+         |    AS n_dup_cells""".stripMargin,
+    "c40_random_projection" -> rpOracle,
     "ann_pq_topk" ->
       s"""WITH $pqCtes
          |$topkSelect""".stripMargin,

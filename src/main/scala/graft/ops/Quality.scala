@@ -418,8 +418,58 @@ object Quality {
       .orderBy(col("digit"))
   }
 
+  /** Q09: two-sample Kolmogorov–Smirnov drift per stratum — each
+    * event_type's value distribution against the pooled corpus, the
+    * distribution-shift audit run between ingest drops (χ² (q04) sees
+    * only categorical composition; KS sees any shape change in a
+    * numeric column: a new client version that doubles basket sizes
+    * moves KS long before the mean alarms).
+    *
+    * Exactness: D = max_x |F_t(x) − F(x)| needs the ECDFs at every
+    * pooled observation point. Values are mapped to cents (exact BIGINT,
+    * the q08 argument), the comparison is cross-multiplied —
+    * |c_t(x)·N − C(x)·n_t| over BIGINTs — so the max and the final ppm
+    * are integer-exact; no float ECDFs, no libm.
+    *
+    * Scale shape: one (type, cents) count shuffle collapses the table to
+    * the VALUE DOMAIN (bounded: cents of a bounded metric), the
+    * domain×type grid restores the points a stratum never observed, and
+    * the per-type cumulative runs as a window partitioned by type over
+    * domain-sized partitions. The pooled ECDF is derived by summing the
+    * per-type cumulatives (a domain-keyed aggregate) — no global
+    * single-partition window anywhere. */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    val cents = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val byTC = cents.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("n"))
+    val types = byTC.select(col("event_type")).distinct()
+    val domain = byTC.select(col("cents")).distinct()
+    val filled = domain.crossJoin(broadcast(types))
+      .join(byTC, Seq("event_type", "cents"), "left")
+      .select(col("event_type"), col("cents"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val cum = filled.withColumn("c", sum(col("n")).over(
+      Window.partitionBy(col("event_type")).orderBy(col("cents"))))
+    val tot = cum.groupBy(col("cents")).agg(sum(col("c")).as("ctot"))
+    val nT = byTC.groupBy(col("event_type")).agg(sum(col("n")).as("n_t"))
+    val nAll = cents.agg(count(lit(1)).as("n_all"))
+    cum.join(tot, "cents")
+      .join(broadcast(nT), "event_type")
+      .crossJoin(broadcast(nAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_t")).as("n_type"), max(col("n_all")).as("n_total"),
+        max(abs(col("c") * col("n_all") - col("ctot") * col("n_t")))
+          .as("raw"))
+      .select(col("event_type"), col("n_type"), col("n_total"),
+        expr("raw * 1000000 DIV (n_type * n_total)").as("ks_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_benford" -> (benfordAudit _),
+    "q09_ks_drift" -> (ksDrift _),
     "q01_constraints" -> (constraintChecks _),
     "q02_outliers" -> (lengthOutliers _),
     "q03_mad_outliers" -> (madOutliers _),
@@ -491,6 +541,38 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    // q09: identical cents derivation (q08's round-to-BIGINT argument),
+    // identical domain×type grid, cross-multiplied integer ECDF compare;
+    // // ≡ DIV on the non-negative operands
+    "q09_ks_drift" ->
+      """WITH cents AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |bytc AS (SELECT event_type, cents, count(*) AS n
+        |         FROM cents GROUP BY event_type, cents),
+        |grid AS (
+        |  SELECT t.event_type, d.cents
+        |  FROM (SELECT DISTINCT cents FROM bytc) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM bytc) t),
+        |filled AS (
+        |  SELECT g.event_type, g.cents, coalesce(b.n, 0) AS n
+        |  FROM grid g LEFT JOIN bytc b USING (event_type, cents)),
+        |cum AS (
+        |  SELECT event_type, cents,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY cents)
+        |      AS BIGINT) AS c
+        |  FROM filled),
+        |tot AS (SELECT cents, CAST(sum(c) AS BIGINT) AS ctot
+        |        FROM cum GROUP BY cents),
+        |nt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_t
+        |       FROM bytc GROUP BY event_type),
+        |na AS (SELECT count(*) AS n_all FROM cents)
+        |SELECT c.event_type, max(nt.n_t) AS n_type, max(na.n_all) AS n_total,
+        |  max(abs(c.c * na.n_all - t.ctot * nt.n_t)) * 1000000
+        |    // (max(nt.n_t) * max(na.n_all)) AS ks_ppm
+        |FROM cum c JOIN tot t USING (cents) JOIN nt USING (event_type)
+        |CROSS JOIN na
+        |GROUP BY c.event_type ORDER BY event_type""".stripMargin,
     // q08: same cents derivation (round lands on the same BIGINT — see
     // the engine Scaladoc), same leading-digit-via-VARCHAR, same shared
     // expectation constants; // ≡ DIV on non-negative operands.

@@ -1074,6 +1074,42 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** B42: salted/replicated skew JOIN, DECLARED — b29 fixed the skewed
+    * AGGREGATE; this is the partner rewrite for a skewed shuffle JOIN.
+    * When one join key owns a disproportionate share of the probe side
+    * (one hot order, one celebrity user), a plain shuffle join lands the
+    * whole hot key on a single reducer and the stage runs at the speed
+    * of that straggler. Salting splits the probe side into S
+    * deterministic sub-streams (key, hash mod S) and REPLICATES each
+    * build row S times, once per salt, so a hot key's rows spread over S
+    * reducers at the cost of an S× build-side inflation — the manual
+    * form of AQE's skew-join split, for when the build side is too big
+    * to broadcast but much smaller than the probe side (the only regime
+    * where the rewrite pays). The salt is a deterministic hash of a
+    * high-cardinality probe column, never rand(): retries and both
+    * engines see identical sub-streams. Semantically a no-op — the
+    * oracle is the PLAIN join+aggregate, which IS the contract of a
+    * skew rewrite, and SkewSpec asserts the equality law plus the S×
+    * build replication. Sums reassociate through lossless DECIMAL so
+    * the sub-stream merge order is unobservable. */
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val S = 8
+    val fact = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_partkey"), lit(S)))
+      .select(col("l_orderkey"), col("salt"), col("l_extendedprice"),
+        col("l_discount"))
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey") &&
+          fact("salt") === dim("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        expr(s"CAST(sum($decPrice * $decDisc) AS DOUBLE)").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** B31: IGNORE NULLS navigation — `lag(..., ignoreNulls)` and running
     * `first/last_value` skipping nulls, over a deterministically masked
     * price column (every third order key reports no price: the
@@ -1301,6 +1337,7 @@ object Relational {
     "b27_percentile_cont" -> (percentileCont _),
     "b28_mode" -> (modePerGroup _),
     "b29_salted_agg" -> (saltedAgg _),
+    "b42_salted_join" -> (saltedJoin _),
     "b31_ignore_nulls" -> (ignoreNullsNav _),
     "b32_filter_clause" -> (filterClauseAgg _),
     "b33_higher_moments" -> (higherMoments _),
@@ -1549,6 +1586,16 @@ object Relational {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)))
         |    FILTER (WHERE l_quantity >= 25) AS DOUBLE) AS bulk_revenue
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // b42: the oracle is the UNSALTED join — a skew rewrite's contract
+    // is semantic transparency; the DECIMAL revenue sum makes the
+    // engine's salted sub-stream reassociation exact
+    "b42_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "b29_salted_agg" ->
       """WITH p AS (
         |  SELECT l_returnflag, l_partkey % 8 AS salt,

@@ -66,4 +66,43 @@ class AnnSpec extends SparkSpec {
     val recall = Ann.pqRecall(spark, sf0001).head().getAs[Double]("recall")
     assert(recall >= 0.9, s"pq recall@10 = $recall")
   }
+
+  test("semdedup: stats agree with the audit; every dup cell keeps a member") {
+    val audit = Ann.semdedup(spark, sf0001)
+      .select($"vec_id", $"cent_id", $"kept").as[(Long, Long, Int)].collect()
+    val st = Ann.semdedupStats(spark, sf0001)
+      .select($"n_vecs", $"n_kept", $"n_dropped", $"n_dup_pairs",
+        $"n_dup_cells")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val nKept = audit.count(_._3 == 1).toLong
+    assert(st._1 === audit.length.toLong)
+    assert(st._2 === nKept)
+    assert(st._3 === audit.length - nKept)
+    assert(st._3 > 0, "fixture must exercise the drop path (see EmbedDupTau)")
+    // survivor law: "beats" is a strict total order, so a dup chain's
+    // maximum is never dropped — any cell that dropped members still
+    // keeps at least one
+    val byCell = audit.groupBy(_._2)
+    audit.filter(_._3 == 0).map(_._2).distinct.foreach { cell =>
+      assert(byCell(cell).exists(_._3 == 1), s"cell $cell lost every member")
+    }
+  }
+
+  test("random projection: pair coverage and JL distortion sanity") {
+    val bands = Ann.rpAudit(spark, sf0001)
+      .select($"band", $"n_pairs", $"min_ppm", $"max_ppm", $"sum_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val nPairs = bands.map(_._2).sum
+    // all pairs of the 64-id sample, minus any with zero quantized
+    // distance (none expected on this fixture)
+    assert(nPairs === 64L * 63 / 2, s"pair coverage $nPairs")
+    // JL: the grand mean ratio concentrates near 1e6; k=16 is noisy so
+    // only a loose band is asserted — the band histogram itself is the
+    // oracle-checked artifact
+    val grand = bands.map(_._5).sum.toDouble / nPairs / 1e6
+    assert(grand > 0.4 && grand < 2.5, s"grand mean distortion $grand")
+    bands.foreach { case (b, _, lo, hi, _) =>
+      assert(lo >= b * 100000 && hi < (b + 1) * 100000, s"band $b bounds")
+    }
+  }
 }

@@ -148,4 +148,33 @@ class QualitySpec extends SparkSpec {
         r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm"))
     }
   }
+
+  test("q09: KS statistic matches an exact in-memory recompute") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sf0001)
+      .select($"event_type",
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[(String, Long)].collect()
+    val n = rows.length.toLong
+    val domain = rows.map(_._2).distinct.sorted
+    val cntAll = rows.groupBy(_._2).map { case (c, xs) => c -> xs.length.toLong }
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      val nt = rs.length.toLong
+      val cnt = rs.groupBy(_._2).map { case (c, xs) => c -> xs.length.toLong }
+      var ct = 0L; var call = 0L; var best = 0L
+      domain.foreach { x =>
+        ct += cnt.getOrElse(x, 0L)
+        call += cntAll.getOrElse(x, 0L)
+        val v = math.abs(ct * n - call * nt)
+        if (v > best) best = v
+      }
+      (t, nt, n, best * 1000000L / (nt * n))
+    }
+    val got = ops.Quality.ksDrift(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // a KS statistic is a probability distance: 0 <= D <= 1
+    got.foreach { case (_, _, _, ppm) => assert(ppm >= 0 && ppm <= 1000000L) }
+  }
 }

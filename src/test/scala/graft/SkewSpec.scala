@@ -78,4 +78,21 @@ class SkewSpec extends SparkSpec {
     assert(direct.orderBy($"k").collect().toSeq ===
       salted.orderBy($"k").collect().toSeq)
   }
+
+  test("b42 salted join equals the plain join; build side replicates 8x") {
+    val li = Tables.lineitem(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_orderpriority")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)").as("revenue"))
+      .orderBy($"o_orderpriority")
+    assert(plain.collect().toSeq ===
+      ops.Relational.saltedJoin(spark, sf0001).collect().toSeq)
+    // the build-side inflation the rewrite pays: one replica per salt
+    val dim = o.withColumn("salt", explode(sequence(lit(0), lit(7))))
+    assert(dim.count() === o.count() * 8)
+  }
 }
