@@ -439,22 +439,31 @@ object Quality {
     * per-type cumulatives (a domain-keyed aggregate) — no global
     * single-partition window anywhere. */
   def ksDrift(s: SparkSession, d: String): DataFrame = {
-    val cents = Tables.events(s, d)
-      .select(col("event_type"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val byTC = cents.groupBy(col("event_type"), col("cents"))
-      .agg(count(lit(1)).as("n"))
-    val types = byTC.select(col("event_type")).distinct()
-    val domain = byTC.select(col("cents")).distinct()
-    val filled = domain.crossJoin(broadcast(types))
-      .join(byTC, Seq("event_type", "cents"), "left")
-      .select(col("event_type"), col("cents"),
-        coalesce(col("n"), lit(0L)).as("n"))
-    val cum = filled.withColumn("c", sum(col("n")).over(
-      Window.partitionBy(col("event_type")).orderBy(col("cents"))))
+    // The per-type cumulative table feeds FOUR consumers (pooled ECDF,
+    // per-type totals, grand total, final join probe) and Spark does not
+    // reuse aliased subtrees — cached, events is scanned exactly once
+    // per (session, dataset); the q07/hourlyCache lesson.
+    val cum = hourlyCache.getOrBuild(s, s"ks_cum:$d") {
+      val byTC = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("n"))
+      val types = byTC.select(col("event_type")).distinct()
+      val domain = byTC.select(col("cents")).distinct()
+      domain.crossJoin(broadcast(types))
+        .join(byTC, Seq("event_type", "cents"), "left")
+        .select(col("event_type"), col("cents"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .withColumn("c", sum(col("n")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("cents"))))
+    }
+    // everything else derives from the cached cumulative: the pooled
+    // ECDF is the sum of per-type cumulatives, a type's total is its
+    // max cumulative, and the grand total is the sum of those
     val tot = cum.groupBy(col("cents")).agg(sum(col("c")).as("ctot"))
-    val nT = byTC.groupBy(col("event_type")).agg(sum(col("n")).as("n_t"))
-    val nAll = cents.agg(count(lit(1)).as("n_all"))
+    val nT = cum.groupBy(col("event_type")).agg(max(col("c")).as("n_t"))
+    val nAll = nT.agg(sum(col("n_t")).as("n_all"))
     cum.join(tot, "cents")
       .join(broadcast(nT), "event_type")
       .crossJoin(broadcast(nAll))

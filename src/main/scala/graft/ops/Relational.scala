@@ -1101,7 +1101,11 @@ object Relational {
     val dim = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-    fact.join(dim,
+    // Pin a shuffled join: the rewrite's premise is a build side too big
+    // to broadcast, and at fixture scale the optimizer would otherwise
+    // broadcast the replicated dim and silently skip the shape under
+    // test (the ivf shuffle_hash lesson; plan-asserted in SkewSpec).
+    fact.join(dim.hint("shuffle_hash"),
         fact("l_orderkey") === dim("o_orderkey") &&
           fact("salt") === dim("salt"))
       .groupBy(col("o_orderpriority"))

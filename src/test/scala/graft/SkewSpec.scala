@@ -94,5 +94,13 @@ class SkewSpec extends SparkSpec {
     // the build-side inflation the rewrite pays: one replica per salt
     val dim = o.withColumn("salt", explode(sequence(lit(0), lit(7))))
     assert(dim.count() === o.count() * 8)
+    // scale-faithful physical shape: the premise is a build side too
+    // big to broadcast, so the (key, salt) join must be a shuffled join
+    // even at fixture scale
+    val plan = ops.Relational.saltedJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"salted build side must not broadcast:\n$plan")
   }
 }
