@@ -835,7 +835,31 @@ object EventOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** d30: the stream-static enrichment join DECLARED — `Streams.enriched`
+    * (streaming events ⋈ static customer dimension, broadcast per
+    * micro-batch, then a watermarked Complete-mode window aggregate)
+    * executed through a real file-source → memory-sink streaming query.
+    * Fifth production streaming shape through the CORRECTNESS gate
+    * (arbitrary state d26, windowed agg d27, stream-stream join d28,
+    * stateful dedup d29): dimension enrichment, THE most common
+    * streaming topology — and unlike d28 it needs zero join state, which
+    * is why it scales to any stream rate. Inner join + order-independent
+    * DECIMAL sum state make the result hash-equal to the batch twin
+    * regardless of micro-batching, so the oracle is the plain batch
+    * join+aggregate. */
+  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    val name = "d30_enrich_" + graft.Tables.dirTag(d)
+    graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.enriched(s, d), name,
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    s.table(name)
+      .select(date_format(col("wstart"), fmt).as("wstart"),
+        col("c_mktsegment"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d30_stream_enrich" -> (streamEnrich _),
     "d29_stream_dedup" -> (streamDedup _),
     "d26_stream_sessions" -> (streamClosedSessions _),
     "d27_stream_tumbling" -> (streamTumbling _),
@@ -913,6 +937,14 @@ object EventOps {
     "d29_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // d30: the stream-static join's batch twin — same inner join, same
+    // hour-aligned window, same DECIMAL sum
+    "d30_stream_enrich" ->
+      s"""SELECT strftime(date_trunc('hour', $duckSecTs), '%Y-%m-%d %H:%M:%S') AS wstart,
+         |  c_mktsegment, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1, 2 ORDER BY wstart, c_mktsegment""".stripMargin,
     "d27_stream_tumbling" ->
       s"""SELECT strftime(date_trunc('hour', $duckSecTs), '%Y-%m-%d %H:%M:%S') AS wstart,
          |  event_type, count(*) AS n,

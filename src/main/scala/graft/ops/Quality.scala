@@ -476,9 +476,44 @@ object Quality {
       .orderBy(col("event_type"))
   }
 
+  /** Q10: CUSUM change-point detection per stratum — WHERE in time a
+    * series' level shifted, completing the drift family: q04 (χ², did
+    * the categorical mix move), q09 (KS, did a numeric distribution's
+    * shape move), q10 (WHEN did the rate move). The classic CUSUM
+    * estimator: S_k = Σ_{i≤k}(x_i − μ) peaks at the change point; kept
+    * in exact integers by scaling through the day count — D·S_k =
+    * D·C_k − k·T over BIGINTs (C_k cumulative, T total, D days), so
+    * argmax and magnitude are engine-exact, ties to the earliest day.
+    *
+    * Scale: one keyed aggregate collapses events to (type, day) — the
+    * only pass over the stream; every window after that runs on the
+    * day-bounded table. */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("ck", sum(col("x")).over(wOrd))
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("t", sum(col("x")).over(wAll))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("dev", abs(col("nd") * col("ck") - col("k") * col("t")))
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(col("dev").desc, col("day").asc)
+    scored.withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+      .select(col("event_type"), col("nd").as("n_days"), col("t").as("total"),
+        date_format(col("day"), "yyyy-MM-dd").as("peak_day"),
+        col("dev").as("peak_dev"),
+        expr("dev * 1000000 DIV (nd * t)").as("dev_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_benford" -> (benfordAudit _),
     "q09_ks_drift" -> (ksDrift _),
+    "q10_cusum_changepoint" -> (cusumChangepoint _),
     "q01_constraints" -> (constraintChecks _),
     "q02_outliers" -> (lengthOutliers _),
     "q03_mad_outliers" -> (madOutliers _),
@@ -550,6 +585,31 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    // q10: identical day truncation of the shared second-floored ts,
+    // identical D-scaled integer CUSUM, same (dev desc, day asc) pick
+    "q10_cusum_changepoint" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, date_trunc('day', ${EventOps.duckSecTs}) AS day,
+         |    count(*) AS x
+         |  FROM events GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT event_type, day,
+         |    sum(x) OVER (PARTITION BY event_type ORDER BY day) AS ck,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         |    sum(x) OVER (PARTITION BY event_type) AS t,
+         |    count(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM daily),
+         |dev AS (
+         |  SELECT event_type, day, nd, t, abs(nd * ck - k * t) AS dev,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY abs(nd * ck - k * t) DESC, day ASC) AS rn
+         |  FROM scored)
+         |SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+         |  CAST(t AS BIGINT) AS total,
+         |  strftime(day, '%Y-%m-%d') AS peak_day,
+         |  CAST(dev AS BIGINT) AS peak_dev,
+         |  CAST(dev * 1000000 // (nd * t) AS BIGINT) AS dev_ppm
+         |FROM dev WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // q09: identical cents derivation (q08's round-to-BIGINT argument),
     // identical domain×type grid, cross-multiplied integer ECDF compare;
     // // ≡ DIV on the non-negative operands

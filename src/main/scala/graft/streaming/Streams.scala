@@ -214,6 +214,29 @@ object Streams {
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** D30-stream: stream-static enrichment join — the streaming fact
+    * joined to a STATIC dimension (the kafka-facts × warehouse-dims
+    * production shape). The static side is re-planned per micro-batch
+    * and broadcast: no join state at all, no watermark needed for the
+    * join (only the downstream windowed aggregate keeps one), which is
+    * why stream-static is the FIRST enrichment tool to reach for before
+    * the stateful stream-stream join (d28). Inner join + Complete-mode
+    * DECIMAL window aggregate = batching-invariant, so the result is
+    * hash-equal to the batch twin (d30 declares this). */
+  def enriched(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    eventStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE)")
+          .as("sum_value"))
+      .select(col("window.start").as("wstart"), col("c_mktsegment"),
+        col("n"), col("sum_value"))
+  }
+
   /** Batch twin of [[clickToPurchase]] for equivalence checks. */
   def clickToPurchaseBatch(s: SparkSession, d: String): DataFrame = {
     val ev = graft.Tables.events(s, d)

@@ -177,4 +177,33 @@ class QualitySpec extends SparkSpec {
     // a KS statistic is a probability distance: 0 <= D <= 1
     got.foreach { case (_, _, _, ppm) => assert(ppm >= 0 && ppm <= 1000000L) }
   }
+
+  test("q10: CUSUM peak matches an exact in-memory recompute") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf0001)
+      .groupBy($"event_type",
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.date_trunc("day", $"ts"),
+          "yyyy-MM-dd").as("day"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("x"))
+      .as[(String, String, Long)].collect()
+    val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      val nd = sorted.length.toLong
+      var ck = 0L
+      val devs = sorted.zipWithIndex.map { case ((_, day, x), i) =>
+        ck += x
+        (day, math.abs(nd * ck - (i + 1) * total))
+      }
+      // earliest-day tie-break: explicit first-match scan
+      val best = devs.map(_._2).max
+      val firstPeak = devs.find(_._2 == best).get
+      (t, nd, total, firstPeak._1, best, best * 1000000L / (nd * total))
+    }
+    val got = ops.Quality.cusumChangepoint(spark, sf0001)
+      .as[(String, Long, Long, String, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
 }

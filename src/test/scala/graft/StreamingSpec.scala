@@ -220,4 +220,28 @@ class StreamingSpec extends SparkSpec {
     val batch = ops.EventOps.dedupFirst(spark, sf0001).count()
     assert(total === batch)
   }
+
+  test("stream-static enrichment join agrees with the batch join+aggregate") {
+    Streams.runToMemory(Streams.enriched(spark, sf0001), "stream_enrich",
+      OutputMode.Complete())
+    val streamed = spark.table("stream_enrich")
+      .select(date_format($"wstart", "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        $"c_mktsegment", $"n", $"sum_value")
+      .orderBy($"wstart", $"c_mktsegment")
+      .as[(String, String, Long, Double)].collect()
+    val ev = Tables.events(spark, sf0001)
+    val batch = ev
+      .join(Tables.customer(spark, sf0001)
+        .select($"c_custkey", $"c_mktsegment"),
+        ev("user_id") === $"c_custkey")
+      .groupBy(date_trunc("hour", $"ts").as("w"), $"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE)")
+          .as("sum_value"))
+      .select(date_format($"w", "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        $"c_mktsegment", $"n", $"sum_value")
+      .orderBy($"wstart", $"c_mktsegment")
+      .as[(String, String, Long, Double)].collect()
+    assert(streamed.sameElements(batch))
+  }
 }
