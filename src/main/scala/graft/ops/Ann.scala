@@ -469,18 +469,20 @@ object Ann {
   }
 
   /** Corpus-level SemDeDup summary (the number a pipeline dashboard
-    * tracks per ingest drop). */
+    * tracks per ingest drop). All four dup-derived counts come from ONE
+    * pass over the pair table (conditional aggregates over the
+    * both-directions join) — a naive dropped-set + pair-count pair of
+    * subqueries would run the candidate join twice. */
   def semdedupStats(s: SparkSession, d: String): DataFrame = {
-    val dup = semdedupDup(s, d).where(col("i") < col("j"))
     val nv = assignments(s, d).agg(count(lit(1)).as("n_vecs"))
-    val nd = semdedupDup(s, d)
-      .where(col("dj") > col("di") ||
-        (col("dj") === col("di") && col("j") < col("i")))
-      .select(col("i")).distinct()
-      .agg(count(lit(1)).as("n_dropped"))
-    val np = dup.agg(count(lit(1)).as("n_dup_pairs"),
-      countDistinct(col("cent_id")).as("n_dup_cells"))
-    nv.crossJoin(nd).crossJoin(np)
+    val agg = semdedupDup(s, d).agg(
+      count(when(col("i") < col("j"), 1)).as("n_dup_pairs"),
+      countDistinct(when(col("i") < col("j"), col("cent_id")))
+        .as("n_dup_cells"),
+      countDistinct(when(col("dj") > col("di") ||
+        (col("dj") === col("di") && col("j") < col("i")), col("i")))
+        .as("n_dropped"))
+    nv.crossJoin(agg)
       .select(col("n_vecs"), (col("n_vecs") - col("n_dropped")).as("n_kept"),
         col("n_dropped"), col("n_dup_pairs"), col("n_dup_cells"))
   }
