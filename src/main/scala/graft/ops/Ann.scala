@@ -341,14 +341,23 @@ object Ann {
     * four hash joins against the code table — the Spark rendering of
     * PQ's table-lookup scan loop. */
   private def pqRerankTopk(s: SparkSession, d: String): DataFrame = {
+    val queries = Tables.embeddings(s, d).select(col("vec_id").as("qid"))
+    val pairs = queries.join(pqCodes(s, d).withColumnRenamed("vec_id", "cid"),
+      col("qid") =!= col("cid"))
+    adcRerankTopk(s, d, pairs)
+  }
+
+  /** ADC-score `pairs` (qid, cid, code0..codeM-1), keep the ADC
+    * top-[[PqRerankMin]]/[[PqRerankDiv]] per query, exact-cosine re-rank
+    * to K. Shared by the flat PQ scan (all pairs) and the IVFPQ
+    * composition (probed pairs only). */
+  private def adcRerankTopk(s: SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
     val luts = (0 until PqM).map { m =>
       pqSubDists(s, d).select(col("vec_id").as("qid"),
         col("cw_id").as(s"code$m"),
         (col(s"s$m") * col(s"s$m")).as(s"q$m"))
     }
-    val queries = Tables.embeddings(s, d).select(col("vec_id").as("qid"))
-    val pairs = queries.join(pqCodes(s, d).withColumnRenamed("vec_id", "cid"),
-      col("qid") =!= col("cid"))
     val scored = (0 until PqM).foldLeft(pairs) { (df, m) =>
       df.join(broadcast(luts(m)), Seq("qid", s"code$m"))
     }.select(col("qid"), col("cid"),
@@ -378,6 +387,40 @@ object Ann {
   }
 
   def pqTopk(s: SparkSession, d: String): DataFrame = pqRerankTopk(s, d)
+
+  /** The IVFPQ composition — the production ANN shape (FAISS IVFPQ):
+    * IVF prunes WHICH vectors are examined (P/C of the inverted lists
+    * per query), PQ compresses HOW each examined vector is scored (M
+    * byte codes + a broadcast LUT instead of the full float vector),
+    * and the exact re-rank restores true distances at the cut. At
+    * 100 TB this is the only tier that is simultaneously sublinear in
+    * vectors touched AND bytes per touch; the two error sources
+    * (list recall × ADC rank noise) multiply, so its recall is bounded
+    * by the seed-IVF tier's (ann_recall) — measured alongside it by
+    * `ann_ivfpq_recall`. Candidates route by cent_id exactly as in
+    * ivfTopk (shuffle-hash, lists never broadcast). */
+  def ivfpqTopk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.repartitioned(Tables.embeddings(s, d), s)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").asc, col("cent_id").asc)
+    val probes = e.crossJoin(broadcast(centroids(s, d)))
+      .select(col("qid"), col("cent_id"),
+        VectorExpressions.cosine_distance(s, col("qv"), col("cent_vec"))
+          .as("cdist"))
+      .withColumn("prn", row_number().over(wProbe)).where(col("prn") <= P)
+      .select(col("qid"), col("cent_id"))
+    val inv = assignments(s, d)
+      .select(col("cent_id"), col("vec_id").as("cid"))
+    val cand = probes.join(inv.hint("shuffle_hash"), Seq("cent_id"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+    adcRerankTopk(s, d,
+      cand.join(pqCodes(s, d).withColumnRenamed("vec_id", "cid"), Seq("cid")))
+  }
+
+  def ivfpqRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, ivfpqTopk(s, d).select(col("qid"), col("cid")))
 
   /** recall@K of the PQ→re-rank pipeline vs the exact top-k. */
   def pqRecall(s: SparkSession, d: String): DataFrame =
@@ -577,6 +620,8 @@ object Ann {
     "c38_semdedup" -> (semdedup _),
     "c38_semdedup_stats" -> (semdedupStats _),
     "c40_random_projection" -> (rpAudit _),
+    "ann_ivfpq_topk" -> (ivfpqTopk _),
+    "ann_ivfpq_recall" -> (ivfpqRecall _),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -616,9 +661,10 @@ object Ann {
          |     FROM m$t GROUP BY cent_id) v USING (cent_id))""".stripMargin
     }.mkString(",\n")
 
-  /** assignment + probe + ranked-topk CTE chain against centroid CTE
-    * `from`; leaves a `ranked` CTE with (qid, cid, dist, rnk). */
-  private def ivfCtes(from: String): String =
+  /** assignment + probe CTEs against centroid CTE `from` — the IVF
+    * routing half, shared by the exact-within-lists chain ([[ivfCtes]])
+    * and the IVFPQ composition. */
+  private def assignProbeCtes(from: String): String =
     s"""assign AS (
        |  SELECT vec_id, embedding, cent_id FROM (
        |    SELECT e.vec_id, e.embedding, c.cent_id,
@@ -634,7 +680,13 @@ object Ann {
        |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
        |                                     CAST(c.cent_vec AS DOUBLE[])) ASC,
        |        c.cent_id ASC) AS prn
-       |    FROM embeddings e CROSS JOIN $from c) z WHERE prn <= $P),
+       |    FROM embeddings e CROSS JOIN $from c) z WHERE prn <= $P)"""
+      .stripMargin
+
+  /** assignment + probe + ranked-topk CTE chain against centroid CTE
+    * `from`; leaves a `ranked` CTE with (qid, cid, dist, rnk). */
+  private def ivfCtes(from: String): String =
+    s"""${assignProbeCtes(from)},
        |cand AS (
        |  SELECT p.qid, a.vec_id AS cid,
        |    1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -701,7 +753,17 @@ object Ann {
     * contract as [[ivfCtes]], so [[topkSelect]]/[[recallSelect]]
     * compose unchanged. Every float op mirrors the engine's order:
     * sqrt'd subspace euclideans, s*s squares, ((q0+q1)+q2)+q3. */
-  private def pqCtes: String = {
+  private def pqCtes: String = pqCtesWith(
+    s"""ppairs AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, x.vec_id AS cid,
+       |    ${(0 until PqM).map(m => s"x.code$m").mkString(", ")}
+       |  FROM embeddings q JOIN pcodes x ON q.vec_id <> x.vec_id)"""
+      .stripMargin)
+
+  /** PQ chain with the candidate-pair CTE injected: the flat scan pairs
+    * every query with every code row; the IVFPQ composition pairs only
+    * within probed inverted lists. */
+  private def pqCtesWith(ppairsCte: String): String = {
     val subExprs = (0 until PqM).map { m =>
       val a = m * PqSubDim + 1
       val b = (m + 1) * PqSubDim
@@ -746,10 +808,7 @@ object Ann {
        |lut AS MATERIALIZED (
        |  SELECT vec_id AS qid, cw_id,
        |    ${(0 until PqM).map(m => s"s$m*s$m AS q$m").mkString(", ")} FROM psd),
-       |ppairs AS MATERIALIZED (
-       |  SELECT q.vec_id AS qid, x.vec_id AS cid,
-       |    ${(0 until PqM).map(m => s"x.code$m").mkString(", ")}
-       |  FROM embeddings q JOIN pcodes x ON q.vec_id <> x.vec_id),
+       |$ppairsCte,
        |$adcSteps,
        |adc AS (SELECT qid, cid, acc AS adc FROM padc${PqM - 1}),
        |cands AS (
@@ -849,7 +908,26 @@ object Ann {
        |  CAST(sum(ratio_ppm) AS BIGINT) AS sum_ppm
        |FROM r GROUP BY band ORDER BY band""".stripMargin
 
+  /** IVFPQ: the IVF routing CTEs + the PQ chain with its pair CTE
+    * restricted to probed inverted lists. */
+  private def ivfpqCtes: String =
+    s"""$seedCentsCte,
+       |${assignProbeCtes("cents0")},
+       |${pqCtesWith(
+        s"""ppairs AS MATERIALIZED (
+           |  SELECT p.qid, a.vec_id AS cid,
+           |    ${(0 until PqM).map(m => s"x.code$m").mkString(", ")}
+           |  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+           |  JOIN pcodes x ON x.vec_id = a.vec_id
+           |  WHERE a.vec_id <> p.qid)""".stripMargin)}""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_ivfpq_topk" ->
+      s"""WITH $ivfpqCtes
+         |$topkSelect""".stripMargin,
+    "ann_ivfpq_recall" ->
+      s"""WITH $ivfpqCtes,
+         |$recallSelect""".stripMargin,
     "c38_semdedup" ->
       s"""WITH $semdedupCtes
          |SELECT sa.vec_id, sa.cent_id, round(sa.cdist, 6) AS cdist,

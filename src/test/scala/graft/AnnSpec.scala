@@ -67,6 +67,18 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"pq recall@10 = $recall")
   }
 
+  test("ivfpq: composed recall is bounded by the IVF routing tier and " +
+    "still materially better than random") {
+    val ivfpq = Ann.ivfpqRecall(spark, sf0001).head().getAs[Double]("recall")
+    val ivf = Ann.recallSeed(spark, sf0001).head().getAs[Double]("recall")
+    // PQ only re-scores what IVF routed: candidates are a subset, so
+    // composed recall can never exceed the routing tier's
+    assert(ivfpq <= ivf + 1e-9, s"ivfpq $ivfpq > ivf $ivf")
+    // P/C = 37.5% of lists probed; random pruning would give ~0.375
+    assert(ivfpq >= 0.6, s"ivfpq recall $ivfpq")
+    info(s"recall@10: ivfpq=$ivfpq ivf=$ivf")
+  }
+
   test("semdedup: stats agree with the audit; every dup cell keeps a member") {
     val audit = Ann.semdedup(spark, sf0001)
       .select($"vec_id", $"cent_id", $"kept").as[(Long, Long, Int)].collect()
