@@ -221,6 +221,35 @@ class StreamingSpec extends SparkSpec {
     assert(total === batch)
   }
 
+  test("RocksDB state store produces the identical windowed aggregate " +
+    "as the default provider") {
+    // The default HDFSBackedStateStoreProvider keeps all streaming state
+    // on the JVM heap — a non-starter for 100 TB-scale keyed state. The
+    // production backend is RocksDB (spilling, incremental checkpoints);
+    // pin that switching providers is a pure conf change with bit-equal
+    // results, so the scale deployment needs no query rewrite.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      Streams.runToMemory(Streams.tumbling(spark, sf0001), "rocks_tumbling",
+        OutputMode.Complete())
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    val viaRocks = spark.table("rocks_tumbling")
+      .select(date_format($"wstart", "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        $"event_type", $"n", $"sum_value")
+      .orderBy($"wstart", $"event_type")
+      .as[(String, String, Long, Double)].collect()
+    val viaBatch = ops.EventOps.windowTumbling(spark, sf0001)
+      .select($"wstart", $"event_type", $"n", $"sum_value")
+      .as[(String, String, Long, Double)].collect()
+    assert(viaRocks.sameElements(viaBatch))
+  }
+
   test("stream-static enrichment join agrees with the batch join+aggregate") {
     Streams.runToMemory(Streams.enriched(spark, sf0001), "stream_enrich",
       OutputMode.Complete())
