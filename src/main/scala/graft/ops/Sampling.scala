@@ -288,7 +288,74 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
+  /** S12: temporal holdout split — the TIME-based carve every
+    * forecasting/eval pipeline needs beside the hash splits (s01):
+    * train on the past, validate/test on the future, so no eval row
+    * precedes a training row (the temporal form of leakage-safety;
+    * s08 fences near-dup leakage, this fences time). Cuts are the
+    * exact global 80th/90th order statistics of (ts, event_id) — the
+    * b21 lower-percentile rank rule — so the carve is deterministic
+    * and unique-key tie-broken.
+    *
+    * Scale shape (the reason this isn't one global row_number): a
+    * global rank window would sort the corpus into a single reducer.
+    * Instead the cut ROWS are located with a two-phase distributed
+    * order statistic — per-day counts (bounded domain) + a cumulative
+    * over that tiny table find WHICH day holds each target rank, a
+    * rank window runs ONLY inside those ≤2 days, and the two cut rows
+    * are broadcast back for a stateless map-side comparison over the
+    * full table. The same shape d25 uses for its prefix sums. */
+  def temporalSplit(s: SparkSession, d: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val perDay = e.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    // cumulative over the day-bounded table (tiny: one row per day)
+    val wDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = perDay.withColumn("cum_before",
+      coalesce(sum(col("c")).over(wDay), lit(0L)))
+    val nAll = e.agg(count(lit(1)).as("n"))
+    val cutDays = cum.crossJoin(broadcast(nAll))
+      .select(col("day"), col("cum_before"), col("c"),
+        explode(array(
+          struct(lit("t80").as("name"),
+            expr("(80 * (n - 1)) DIV 100 + 1").as("r")),
+          struct(lit("t90").as("name"),
+            expr("(90 * (n - 1)) DIV 100 + 1").as("r")))).as("cut"))
+      .select(col("day"), col("cum_before"), col("cut.name").as("name"),
+        col("cut.r").as("r"))
+      .where(col("cum_before") < col("r") &&
+        col("r") <= col("cum_before") + col("c"))
+    // rank only within the (≤2) days that contain a cut
+    val wIn = Window.partitionBy(col("name"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val cutRows = e.join(broadcast(cutDays),
+        date_trunc("day", col("ts")) === col("day"))
+      .withColumn("rn_in", row_number().over(wIn))
+      .where(col("cum_before") + col("rn_in") === col("r"))
+      .groupBy()
+      .agg(
+        max(when(col("name") === "t80",
+          struct(col("ts").as("a"), col("event_id").as("b")))).as("c80"),
+        max(when(col("name") === "t90",
+          struct(col("ts").as("a"), col("event_id").as("b")))).as("c90"))
+    e.crossJoin(broadcast(cutRows))
+      .withColumn("key", struct(col("ts").as("a"), col("event_id").as("b")))
+      .withColumn("split",
+        when(col("key") <= col("c80"), "train")
+          .when(col("key") <= col("c90"), "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        date_format(min(col("ts")), fmt).as("min_ts"),
+        date_format(max(col("ts")), fmt).as("max_ts"))
+      .orderBy(col("split"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_temporal_split" -> (temporalSplit _),
     "s10_distribution_match" -> (distributionMatch _),
     "s09_weighted_sample" -> (weightedSample _),
     "s07_temperature_mix" -> (temperatureMix _),
@@ -319,6 +386,27 @@ object Sampling {
     "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
 
   val oracles: Map[String, String] = Map(
+    // s12: the oracle can afford the simple one-window form — split by
+    // global (sts, event_id) rank against the same lower-percentile cut
+    // ranks; rank-<= is equivalent to the engine's lexicographic
+    // compare against the broadcast cut rows (total order, unique keys)
+    "s12_temporal_split" ->
+      s"""WITH e AS (SELECT event_id, event_type,
+         |  ${EventOps.duckSecTs} AS sts FROM events),
+         |r AS (SELECT event_id, event_type, sts,
+         |    row_number() OVER (ORDER BY sts, event_id) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM e),
+         |sp AS (SELECT event_type, sts,
+         |    CASE WHEN rn <= (80 * (n - 1)) // 100 + 1 THEN 'train'
+         |         WHEN rn <= (90 * (n - 1)) // 100 + 1 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM r)
+         |SELECT split, event_type, count(*) AS n,
+         |  strftime(min(sts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+         |  strftime(max(sts), '%Y-%m-%d %H:%M:%S') AS max_ts
+         |FROM sp GROUP BY split, event_type
+         |ORDER BY split, event_type""".stripMargin,
     "s10_distribution_match" ->
       s"""WITH mass AS (
          |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass_before,

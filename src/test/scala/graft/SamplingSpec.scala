@@ -188,4 +188,27 @@ class SamplingSpec extends SparkSpec {
     }
     mix.unpersist()
   }
+
+  test("s12: temporal split is leakage-free and carves ~80/10/10 by time") {
+    val rows = ops.Sampling.temporalSplit(spark, sf0001)
+      .as[(String, String, Long, String, String)].collect()
+    val bySplit = rows.groupBy(_._1)
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    val n = rows.map(_._3).sum
+    val (nTr, nVa, nTe) = (bySplit("train").map(_._3).sum,
+      bySplit("val").map(_._3).sum, bySplit("test").map(_._3).sum)
+    // rank cuts land within one row of the 80/10/10 targets
+    assert(math.abs(nTr - 0.8 * n) <= 1, s"train $nTr of $n")
+    assert(math.abs(nVa - 0.1 * n) <= 1, s"val $nVa of $n")
+    assert(nTr + nVa + nTe === n)
+    // THE temporal-leakage law: every training timestamp precedes (or
+    // ties at the cut row with) every val timestamp, and val precedes
+    // test — string-sortable format makes lexicographic = chronological
+    val trMax = bySplit("train").map(_._5).max
+    val vaMin = bySplit("val").map(_._4).min
+    val vaMax = bySplit("val").map(_._5).max
+    val teMin = bySplit("test").map(_._4).min
+    assert(trMax <= vaMin, s"train max $trMax > val min $vaMin")
+    assert(vaMax <= teMin, s"val max $vaMax > test min $teMin")
+  }
 }
