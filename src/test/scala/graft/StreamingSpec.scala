@@ -250,6 +250,49 @@ class StreamingSpec extends SparkSpec {
     assert(viaRocks.sameElements(viaBatch))
   }
 
+  test("checkpoint restart resumes from the offset log: already-committed " +
+    "files are not reprocessed, new files are") {
+    // The recovery contract a production ingest leans on: the file
+    // source's offset log lives in the checkpoint, so a crashed/stopped
+    // query restarted with the SAME checkpointLocation picks up exactly
+    // the files it had not yet committed — at-least-once delivery to the
+    // sink, no silent re-ingest of yesterday's shards.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def wipe(p: String): Unit = { val f = new java.io.File(p)
+      if (f.exists()) Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => Files.delete(x)) }
+    val src = "target/test-ckpt/src"; val ckpt = "target/test-ckpt/ckpt"
+    wipe("target/test-ckpt")
+    Files.createDirectories(Paths.get(src))
+    // file 1: the first half of events, file 2 arrives "later"
+    val ev = Tables.events(spark, sf0001).select($"event_id", $"user_id")
+    val n = ev.count()
+    ev.where($"event_id" % 2 === 0).coalesce(1).write
+      .mode("overwrite").parquet(s"$src/batch1")
+    val schema = spark.read.parquet(s"$src/batch1").schema
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$src/*")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) => counts += b.count(): Unit
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(counts.sum === ev.where($"event_id" % 2 === 0).count())
+    ev.where($"event_id" % 2 === 1).coalesce(1).write
+      .mode("overwrite").parquet(s"$src/batch2")
+    runOnce() // restart from the SAME checkpoint
+    // total processed = all rows exactly once: batch1 was committed in
+    // run 1 and must not be re-delivered in run 2
+    assert(counts.sum === n, s"processed ${counts.sum} of $n")
+  }
+
   test("stream-static enrichment join agrees with the batch join+aggregate") {
     Streams.runToMemory(Streams.enriched(spark, sf0001), "stream_enrich",
       OutputMode.Complete())
