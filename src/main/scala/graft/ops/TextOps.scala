@@ -716,6 +716,69 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** C41: cross-document repeated-SPAN detection — the exact-substring
+    * dedup signal (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"): two documents sharing a long verbatim
+    * span are near-certain template/boilerplate/quotation dups even
+    * when their doc-level similarity is low. Completes the sub-document
+    * dedup ladder: c32 = line-level, c36 = chunk-level, c41 =
+    * span-level. A suffix array is the classic sequential tool; the
+    * distributed rendering is positioned n-gram postings + a
+    * gaps-and-islands run length per aligned diagonal:
+    *
+    *  - positioned word 5-grams, FNV-hashed map-side (8-byte keys);
+    *  - postings capped at document frequency ≤ [[SpanMaxDf]] — a gram
+    *    in half the corpus is uninformative boilerplate AND quadratic
+    *    in the join (the same rare-gram cap production systems use);
+    *    df ≥ 2 because a unique gram can never pair;
+    *  - matches equi-join on the hash (never all-pairs), then the
+    *    longest consecutive run per (pair, diagonal) via the d18
+    *    pos − row_number anchor — consecutive matched grams on one
+    *    diagonal ARE a shared span of run + n − 1 words;
+    *  - top-20 pairs by longest span, totally ordered.
+    */
+  def sharedSpans(s: SparkSession, d: String): DataFrame = {
+    val n = 5
+    val grams = Tables.documents(s, d)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .where(size(col("tok")) >= n)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("tok")) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(col("tok"), i + j)): _*)))
+        .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.HashExpressions.fnv1a64(s, col("g")).as("gh"))
+    val rare = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df").between(2, SpanMaxDf))
+      .select(col("gh"))
+    val posted = grams.join(rare, Seq("gh"))
+    val matches = posted
+      .select(col("gh"), col("doc_id").as("a_id"), col("pos").as("a_pos"))
+      .join(posted.select(col("gh"), col("doc_id").as("b_id"),
+        col("pos").as("b_pos")), Seq("gh"))
+      .where(col("a_id") < col("b_id"))
+    val wRun = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("a_pos"))
+    val islands = matches
+      .select(col("a_id"), col("b_id"),
+        (col("a_pos") - col("b_pos")).as("diag"), col("a_pos"))
+      .withColumn("anchor", col("a_pos") - row_number().over(wRun))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("anchor"))
+      .agg(count(lit(1)).as("run_len"))
+    islands.groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("run_len")).as("n_matches"),
+        max(col("run_len")).as("longest_run"))
+      .withColumn("span_words", col("longest_run") + (n - 1))
+      .orderBy(col("longest_run").desc, col("a_id").asc, col("b_id").asc)
+      .limit(20)
+  }
+
+  /** Document-frequency cap for c41's gram postings (see scaladoc). */
+  val SpanMaxDf = 50
+
   /** E-string: second scalar kitchen sink — regex extraction, padding,
     * search, translate/replace/reverse — aggregated order-independently. */
   def stringKitchen(s: SparkSession, d: String): DataFrame =
@@ -1236,6 +1299,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c33_lm_score" -> (lmScore _),
     "c37_ngram_novelty" -> (ngramNovelty _),
+    "c41_shared_spans" -> (sharedSpans _),
     "c36_cdc_dedup" -> (cdcDedup _),
     "c32_line_dedup" -> (lineDedup _),
     "c29_containment" -> (containmentNearDup _),
@@ -1484,6 +1548,41 @@ object TextOps {
     // identical 5-gram construction (list_slice windows over the space-
     // split tokens), identical FNV-1a fold; first-seen = min(doc_id) per
     // gram hash; ratio in integer ppm (// ≡ DIV on non-negatives).
+    // c41: identical positioned grams (engine pos is 0-based posexplode
+    // index -> i - 1 here), identical df cap, identical diagonal anchor
+    "c41_shared_spans" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |pg AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    array_to_string(list_slice(tk, i, i + 4), ' ') AS t
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+         |        FROM tok WHERE len(tk) >= 5) x),
+         |h AS (SELECT doc_id, pos, ${toSigned(s"(${fnvFold(FnvOffU)})")} AS gh
+         |      FROM pg),
+         |rare AS (
+         |  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df
+         |                  FROM h GROUP BY gh) z
+         |  WHERE df BETWEEN 2 AND $SpanMaxDf),
+         |p AS (SELECT h.* FROM h JOIN rare USING (gh)),
+         |m AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.pos - b.pos AS diag, a.pos AS a_pos
+         |  FROM p a JOIN p b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+         |runs AS (
+         |  SELECT a_id, b_id, diag,
+         |    a_pos - row_number() OVER (PARTITION BY a_id, b_id, diag
+         |                               ORDER BY a_pos) AS anchor
+         |  FROM m),
+         |isl AS (
+         |  SELECT a_id, b_id, diag, anchor, count(*) AS run_len
+         |  FROM runs GROUP BY a_id, b_id, diag, anchor)
+         |SELECT a_id, b_id, CAST(sum(run_len) AS BIGINT) AS n_matches,
+         |  CAST(max(run_len) AS BIGINT) AS longest_run,
+         |  CAST(max(run_len) + 4 AS BIGINT) AS span_words
+         |FROM isl GROUP BY a_id, b_id
+         |ORDER BY longest_run DESC, a_id, b_id LIMIT 20""".stripMargin,
     "c37_ngram_novelty" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split(text, ' ') AS tk

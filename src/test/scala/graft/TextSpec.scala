@@ -383,4 +383,30 @@ class TextSpec extends SparkSpec {
       s"novel=$totalNovel distinct=$distinctGrams")
     df.unpersist()
   }
+
+  test("c41: every reported shared span is a real verbatim common " +
+    "word-substring (soundness vs an exact DP recompute)") {
+    val top = ops.TextOps.sharedSpans(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(top.nonEmpty, "fixture must contain shared spans")
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    top.take(5).foreach { case (a, b, nMatches, run, span) =>
+      assert(span === run + 4)
+      assert(nMatches >= run)
+      val ta = docs(a).split(" "); val tb = docs(b).split(" ")
+      // exact longest-common-word-substring DP: the operator's span is
+      // sound if the true maximum is at least what it reported (it may
+      // exceed it only when a df-capped boilerplate gram split a run)
+      val dp = Array.ofDim[Int](ta.length + 1, tb.length + 1)
+      var best = 0
+      for (i <- 1 to ta.length; j <- 1 to tb.length)
+        if (ta(i - 1) == tb(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          if (dp(i)(j) > best) best = dp(i)(j)
+        }
+      assert(best >= span,
+        s"pair ($a,$b): true common run $best < reported span $span")
+    }
+  }
 }
