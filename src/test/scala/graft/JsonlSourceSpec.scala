@@ -78,8 +78,12 @@ class JsonlSourceSpec extends SparkSpec {
     "JSONL-sourced table equals the parquet-sourced result") {
     // the pipeline operators take DataFrames by table contract, not by
     // file format — re-run c01's normalized-dedup logic over the JSONL
-    // read and require identical survivors
-    val fromJsonl = spark.read.schema(docSchema).json(dir)
+    // read and require identical survivors. (Writes its own copy so the
+    // test does not order-depend on the round-trip test above.)
+    val own = "target/test-jsonl/docs2"
+    Tables.documents(spark, sf0001).coalesce(1)
+      .write.mode("overwrite").json(own)
+    val fromJsonl = spark.read.schema(docSchema).json(own)
     val norm = (df: org.apache.spark.sql.DataFrame) =>
       df.select($"doc_id", lower(trim($"text")).as("norm"))
         .groupBy($"norm").agg(min($"doc_id").as("keep_id"))
