@@ -510,10 +510,42 @@ object Quality {
       .orderBy(col("event_type"))
   }
 
+  /** Q11: Simpson diversity of the corpus composition — the
+    * concentration dashboard a data-mixing pipeline watches: Simpson's
+    * λ = Σ nᵢ(nᵢ−1)/(N(N−1)) is the probability two random rows share
+    * a category, Gini–Simpson 1−λ the diversity, and N(N−1)/Σnᵢ(nᵢ−1)
+    * the EFFECTIVE number of categories (5 balanced languages → 5.0;
+    * one dominating → →1). Chosen over Shannon entropy deliberately:
+    * Simpson is a RATIONAL statistic — exact integer ppm on both
+    * engines — where entropy would put libm's log into the contract.
+    *
+    * Scale: one keyed count per audited dimension + a k-row fold;
+    * nothing grows past the category count. */
+  def simpsonDiversity(s: SparkSession, d: String): DataFrame = {
+    def dim(df: DataFrame, c: String, name: String): DataFrame =
+      df.groupBy(col(c)).agg(count(lit(1)).as("ni"))
+        .agg(sum(col("ni")).as("n"), count(lit(1)).as("k"),
+          sum(col("ni") * (col("ni") - 1)).as("s2"))
+        .select(lit(name).as("dim"), col("n").as("n_rows"),
+          col("k").as("n_categories"),
+          expr("s2 * 1000000 DIV (n * (n - 1))").as("simpson_ppm"),
+          expr("1000000 - s2 * 1000000 DIV (n * (n - 1))")
+            .as("gini_simpson_ppm"),
+          expr("CASE WHEN s2 = 0 THEN NULL " +
+            "ELSE n * (n - 1) * 1000000 DIV s2 END")
+            .as("eff_categories_ppm"))
+    val docs = Tables.documents(s, d)
+    dim(docs, "lang", "doc_lang")
+      .unionAll(dim(docs, "source", "doc_source"))
+      .unionAll(dim(Tables.events(s, d), "event_type", "event_type"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_benford" -> (benfordAudit _),
     "q09_ks_drift" -> (ksDrift _),
     "q10_cusum_changepoint" -> (cusumChangepoint _),
+    "q11_simpson_diversity" -> (simpsonDiversity _),
     "q01_constraints" -> (constraintChecks _),
     "q02_outliers" -> (lengthOutliers _),
     "q03_mad_outliers" -> (madOutliers _),
@@ -585,6 +617,28 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    // q11: identical rational Simpson arithmetic per audited dimension;
+    // // ≡ DIV on non-negative operands, same zero guard
+    "q11_simpson_diversity" -> {
+      def dimSql(table: String, c: String, name: String) =
+        s"""SELECT '$name' AS dim, CAST(sum(ni) AS BIGINT) AS n_rows,
+           |  count(*) AS n_categories,
+           |  CAST(sum(ni * (ni - 1)) * 1000000
+           |    // (sum(ni) * (sum(ni) - 1)) AS BIGINT) AS simpson_ppm,
+           |  CAST(1000000 - sum(ni * (ni - 1)) * 1000000
+           |    // (sum(ni) * (sum(ni) - 1)) AS BIGINT) AS gini_simpson_ppm,
+           |  CAST(CASE WHEN sum(ni * (ni - 1)) = 0 THEN NULL
+           |    ELSE sum(ni) * (sum(ni) - 1) * 1000000
+           |      // sum(ni * (ni - 1)) END AS BIGINT) AS eff_categories_ppm
+           |FROM (SELECT $c, count(*) AS ni FROM $table GROUP BY $c) g"""
+          .stripMargin
+      s"""${dimSql("documents", "lang", "doc_lang")}
+         |UNION ALL
+         |${dimSql("documents", "source", "doc_source")}
+         |UNION ALL
+         |${dimSql("events", "event_type", "event_type")}
+         |ORDER BY dim""".stripMargin
+    },
     // q10: identical day truncation of the shared second-floored ts,
     // identical D-scaled integer CUSUM, same (dev desc, day asc) pick
     "q10_cusum_changepoint" ->

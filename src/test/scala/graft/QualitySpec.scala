@@ -178,6 +178,28 @@ class QualitySpec extends SparkSpec {
     got.foreach { case (_, _, _, ppm) => assert(ppm >= 0 && ppm <= 1000000L) }
   }
 
+  test("q11: Simpson identities hold — probabilities complement, " +
+    "effective categories bounded by actual") {
+    val rows = ops.Quality.simpsonDiversity(spark, sf0001).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_categories")
+      val sp = r.getAs[Long]("simpson_ppm")
+      val gs = r.getAs[Long]("gini_simpson_ppm")
+      val eff = r.getAs[Long]("eff_categories_ppm")
+      // λ and 1−λ are integer complements by construction
+      assert(sp + gs === 1000000L)
+      assert(sp >= 0 && sp <= 1000000L)
+      // without-replacement inverse Simpson is bounded by k(N−1)/(N−k),
+      // which EXCEEDS k slightly (balanced k=5 over N=1000 gives 5.02,
+      // not 5.00) — so the honest upper bound uses that expression
+      val n = r.getAs[Long]("n_rows")
+      val bound = k * (n - 1) * 1000000L / (n - k)
+      assert(eff <= bound + 1, s"${r.getString(0)}: eff $eff > bound $bound")
+      assert(eff >= 1000000L - 1, s"${r.getString(0)}: eff $eff < 1")
+    }
+  }
+
   test("q10: CUSUM peak matches an exact in-memory recompute") {
     import spark.implicits._
     val daily = Tables.events(spark, sf0001)
