@@ -858,7 +858,26 @@ object EventOps {
       .orderBy(col("wstart"), col("c_mktsegment"))
   }
 
+  /** d31: the sliding streaming window DECLARED — d02's aggregate via
+    * Structured Streaming (overlapping windows = 4 concurrent states
+    * per event, the shape that multiplies streaming state and makes
+    * RocksDB matter; watermark expires each slide 10 min after its
+    * close). DECIMAL sum state makes streamed ≡ batch bit-for-bit, so
+    * it shares d02's oracle SQL verbatim. Sixth streaming shape through
+    * the gate. */
+  def streamSliding(s: SparkSession, d: String): DataFrame = {
+    val name = "d31_sliding_" + graft.Tables.dirTag(d)
+    graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.sliding(s, d), name,
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    s.table(name)
+      .select(date_format(col("wstart"), fmt).as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d31_stream_sliding" -> (streamSliding _),
     "d30_stream_enrich" -> (streamEnrich _),
     "d29_stream_dedup" -> (streamDedup _),
     "d26_stream_sessions" -> (streamClosedSessions _),
@@ -927,6 +946,19 @@ object EventOps {
        |SELECT event_type, count(last_od) AS n_matched, count(*) AS n_events,
        |  CAST(sum(date_diff('day', last_od, sts)) AS BIGINT) AS sum_days_since
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** d02/d31 shared oracle: explode each event into its 4 overlapping
+    * 15-minute slides, aggregate per (window, type) in exact DECIMAL. */
+  private val slidingOracle: String =
+    s"""WITH e AS (SELECT $duckSecTs AS sts, event_type, value FROM events),
+       |slid AS (
+       |  SELECT time_bucket(INTERVAL '15 minutes', sts)
+       |           - (s.i * INTERVAL '15 minutes') AS wstart, event_type, value
+       |  FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) s)
+       |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+       |  count(*) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
+       |FROM slid GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // d27: the streaming window's oracle IS d01's aggregate — identical
@@ -1310,16 +1342,10 @@ object EventOps {
          |  min(value) AS min_value, max(value) AS max_value
          |FROM events
          |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
-    "d02_window_sliding" ->
-      s"""WITH e AS (SELECT $duckSecTs AS sts, event_type, value FROM events),
-         |slid AS (
-         |  SELECT time_bucket(INTERVAL '15 minutes', sts)
-         |           - (s.i * INTERVAL '15 minutes') AS wstart, event_type, value
-         |  FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) s)
-         |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
-         |  count(*) AS n,
-         |  CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
-         |FROM slid GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "d02_window_sliding" -> slidingOracle,
+    // d31: the streaming sliding window's oracle IS d02's — the decimal
+    // window state makes the streamed result bit-equal to the batch one
+    "d31_stream_sliding" -> slidingOracle,
     "d03_sessionize" ->
       s"""$sessionCtes,
          |per_sess AS (

@@ -55,6 +55,19 @@ object Streams {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n"), col("sum_value"), col("min_value"), col("max_value"))
 
+  /** D2-stream: sliding 1-hour window every 15 minutes — each event
+    * lands in 4 concurrent window states; DECIMAL sum state keeps the
+    * streamed result hash-equal to the batch twin (d31 declares this). */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    eventStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE)")
+          .as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** D4-stream: stateful dedup bounded by the watermark. */
   def dedup(s: SparkSession, d: String): DataFrame =
     eventStream(s, d)
