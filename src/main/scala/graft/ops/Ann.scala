@@ -311,19 +311,25 @@ object Ann {
   /** (id, cw_id, s0..s3): per-subspace euclidean distances of every
     * vector against every codeword — shared by encoding (argmin per
     * subspace) and the query LUT (squares). n·Cw map-side rows. */
-  private def pqSubDists(s: SparkSession, d: String): DataFrame = {
-    val cb = Tables.embeddings(s, d).where(col("vec_id") < PqCw)
-      .select(col("vec_id").as("cw_id"), col("embedding").as("cw_vec"))
-    val e = Tables.repartitioned(Tables.embeddings(s, d), s)
-      .select(col("vec_id"), col("embedding"))
-    val subCols = (0 until PqM).map { m =>
-      VectorExpressions.euclidean_distance(s,
-        slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
-        slice(col("cw_vec"), m * PqSubDim + 1, PqSubDim)).as(s"s$m")
+  private def pqSubDists(s: SparkSession, d: String): DataFrame =
+    // session-cached: every PQ query consumes this table TWICE (the
+    // code argmin and the query LUT are both views of it) and Spark
+    // does not reuse aliased subtrees — uncached, the n·Cw distance
+    // evaluation ran twice per query (measured ≈3.2 → ≈2.2 s cold on
+    // ann_pq_topk at sf0.01). Same lifecycle as the IVF index cache.
+    assignCache.getOrBuild(s, s"$d#pqsub") {
+      val cb = Tables.embeddings(s, d).where(col("vec_id") < PqCw)
+        .select(col("vec_id").as("cw_id"), col("embedding").as("cw_vec"))
+      val e = Tables.repartitioned(Tables.embeddings(s, d), s)
+        .select(col("vec_id"), col("embedding"))
+      val subCols = (0 until PqM).map { m =>
+        VectorExpressions.euclidean_distance(s,
+          slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
+          slice(col("cw_vec"), m * PqSubDim + 1, PqSubDim)).as(s"s$m")
+      }
+      e.crossJoin(broadcast(cb))
+        .select(col("vec_id") +: col("cw_id") +: subCols: _*)
     }
-    e.crossJoin(broadcast(cb))
-      .select(col("vec_id") +: col("cw_id") +: subCols: _*)
-  }
 
   /** (vec_id, code0..code3): the compressed index — one argmin per
     * subspace over the shared sub-distance rows, collapsed map-side by
