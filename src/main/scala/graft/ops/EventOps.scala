@@ -876,7 +876,38 @@ object EventOps {
       .orderBy(col("wstart"), col("event_type"))
   }
 
+  /** d32: the LEFT OUTER stream-stream join DECLARED — d28's interval
+    * join with the hard half added: unmatched clicks surface with NULL
+    * purchase columns only after the watermark proves no match can
+    * still arrive (state expiry + a flushing micro-batch — the d26
+    * machinery driving OUTER JOIN emission instead of session closes).
+    * Matched rows ≡ d28. Unmatched clicks are NOT simply the batch
+    * complement: one is emitted only when its 1-hour horizon lies
+    * strictly below the final global watermark — and with the default
+    * multipleWatermarkPolicy=min that watermark is the MIN across both
+    * sides of (max side event time − 10 min), so the tail of the click
+    * stream is held in state, exactly as it would be on an unbounded
+    * stream. The oracle applies that rule verbatim (found empirically:
+    * the fixture's LAST click is held because its own side's watermark
+    * can never pass its horizon). Seventh streaming shape through the
+    * gate; same single-data-micro-batch precondition as d28, asserted. */
+  def streamClickToPurchaseLeft(s: SparkSession, d: String): DataFrame = {
+    val name = "d32_ssjl_" + graft.Tables.dirTag(d)
+    val q = graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.clickToPurchaseLeft(s, d), name,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"d32 oracle parity needs a single data micro-batch, saw $dataBatches")
+    s.table(name)
+      .select(col("click_id"), col("purchase_id"),
+        (col("purchase_ts").cast("long") - col("click_ts").cast("long"))
+          .as("lag_sec"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d32_stream_join_left" -> (streamClickToPurchaseLeft _),
     "d31_stream_sliding" -> (streamSliding _),
     "d30_stream_enrich" -> (streamEnrich _),
     "d29_stream_dedup" -> (streamDedup _),
@@ -984,6 +1015,30 @@ object EventOps {
          |  min(value) AS min_value, max(value) AS max_value
          |FROM events
          |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    // d32: the LEFT OUTER twin. Matched rows = d28's inner join. An
+    // UNMATCHED click is only emitted once the engine can prove no
+    // purchase can still match: its 1-hour horizon must lie strictly
+    // below the FINAL GLOBAL watermark, which under the default
+    // multipleWatermarkPolicy=min is the MIN across both sides of
+    // (max event time − 10 min). The oracle encodes exactly that rule —
+    // the last click of the fixture is correctly HELD, not emitted.
+    "d32_stream_join_left" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, $duckSecTs AS sts
+         |           FROM events),
+         |c AS (SELECT * FROM e WHERE event_type = 'click'),
+         |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+         |wm AS (SELECT least((SELECT max(sts) FROM c),
+         |                    (SELECT max(sts) FROM p))
+         |         - INTERVAL 10 MINUTES AS w),
+         |j AS (
+         |  SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+         |    CAST(epoch(p.sts) - epoch(c.sts) AS BIGINT) AS lag_sec,
+         |    c.sts AS cts
+         |  FROM c LEFT JOIN p ON c.user_id = p.user_id
+         |   AND p.sts >= c.sts AND p.sts <= c.sts + INTERVAL 1 HOUR)
+         |SELECT click_id, purchase_id, lag_sec FROM j CROSS JOIN wm
+         |WHERE purchase_id IS NOT NULL OR cts + INTERVAL 1 HOUR < wm.w
+         |ORDER BY click_id, purchase_id""".stripMargin,
     // d28: the stream-stream join's batch twin — inner interval join on
     // second-floored event times
     "d28_stream_join" ->

@@ -250,6 +250,33 @@ object Streams {
         col("n"), col("sum_value"))
   }
 
+  /** D32-stream: LEFT OUTER stream-stream join — d28's interval join
+    * with the harder emission semantics: an unmatched click can only be
+    * emitted (with NULL purchase columns) once the watermark proves no
+    * future purchase can still match, i.e. the engine holds it until
+    * state expiry and a (possibly no-data) micro-batch flushes it. The
+    * matched subset is batching-invariant (= the inner join); the
+    * unmatched subset is its complement over clicks — deterministic
+    * once the final watermark has passed every join horizon, which
+    * `processAllAvailable` guarantees on a replayed fixture. */
+  def clickToPurchaseLeft(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventStream(s, d)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = eventStream(s, d)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+  }
+
   /** Batch twin of [[clickToPurchase]] for equivalence checks. */
   def clickToPurchaseBatch(s: SparkSession, d: String): DataFrame = {
     val ev = graft.Tables.events(s, d)

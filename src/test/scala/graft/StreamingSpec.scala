@@ -293,6 +293,37 @@ class StreamingSpec extends SparkSpec {
     assert(counts.sum === n, s"processed ${counts.sum} of $n")
   }
 
+  test("left-outer stream-stream join: matched = inner join; held rows " +
+    "are exactly the tail the min-watermark cannot clear") {
+    Streams.runToMemory(Streams.clickToPurchaseLeft(spark, sf0001),
+      "ssj_left", OutputMode.Append())
+    val out = spark.table("ssj_left")
+      .select($"click_id", $"purchase_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong)))
+    val matchedStream = out.collect { case (c, Some(p)) => (c, p) }.toSet
+    val matchedBatch = Streams.clickToPurchaseBatch(spark, sf0001)
+      .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+    assert(matchedStream === matchedBatch, "matched rows must equal d28")
+    // emission rule for NULL rows: horizon strictly below the final
+    // global watermark = min over sides of (max side ts - 10 min)
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", $"event_type", $"ts".cast("long").as("sec"))
+      .as[(Long, Long, String, Long)].collect()
+    val clicks = ev.filter(_._3 == "click")
+    val purchases = ev.filter(_._3 == "purchase")
+    val wm = math.min(clicks.map(_._4).max, purchases.map(_._4).max) - 600L
+    val unmatchedAll = clicks.filter { case (cid, u, _, cs) =>
+      !purchases.exists(p => p._2 == u && p._4 >= cs && p._4 <= cs + 3600)
+    }
+    val expectedNulls = unmatchedAll
+      .filter { case (_, _, _, cs) => cs + 3600 < wm }.map(_._1).toSet
+    val streamedNulls = out.collect { case (c, None) => c }.toSet
+    assert(streamedNulls === expectedNulls,
+      s"held=${unmatchedAll.map(_._1).toSet -- streamedNulls}")
+    // at least one click must actually be HELD for the law to bite
+    assert((unmatchedAll.map(_._1).toSet -- expectedNulls).nonEmpty)
+  }
+
   test("stream-static enrichment join agrees with the batch join+aggregate") {
     Streams.runToMemory(Streams.enriched(spark, sf0001), "stream_enrich",
       OutputMode.Complete())
