@@ -74,3 +74,66 @@ object ZOrder2Expr {
     org.apache.spark.sql.functions.call_function("zorder2", x, y)
   }
 }
+
+/** Three-dimensional Morton interleave (SURVEY §2.B, b43) — the same
+  * data-layout primitive as [[ZOrder2Expr]] one dimension up: sorting by
+  * this code gives every file a bounding BOX in THREE columns at once,
+  * so scans filtered on any of the three prune from footer stats. Each
+  * input is masked to its low 21 bits (21·3 = 63 interleaved bits — the
+  * result stays a non-negative BIGINT); bit i of x/y/z lands on bit
+  * 3i / 3i+1 / 3i+2. The spread uses the classic 5-step Morton-3 mask
+  * ladder (no loop, no branch), inside whole-stage codegen. The DuckDB
+  * twin is a generated 63-term shift/or chain
+  * ([[graft.ops.Relational.zorder3InterleaveSql]]) — bit-exact. */
+case class ZOrder3Expr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "zorder3"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zorder3 requires three bigint arguments, got " +
+        children.map(_.dataType.catalogString).mkString(", "))
+
+  override def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    ZOrder3Expr.interleave3(x.asInstanceOf[Long], y.asInstanceOf[Long],
+      z.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, z) =>
+      s"graft.functions.ZOrder3Expr.interleave3($x, $y, $z)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object ZOrder3Expr {
+  /** Spread the low 21 bits of v so bit i lands on bit 3i — the Morton-3
+    * mask-shift ladder. */
+  def spread3(v0: Long): Long = {
+    var v = v0 & 0x1fffffL
+    v = (v | (v << 32)) & 0x001f00000000ffffL
+    v = (v | (v << 16)) & 0x001f0000ff0000ffL
+    v = (v | (v << 8)) & 0x100f00f00f00f00fL
+    v = (v | (v << 4)) & 0x10c30c30c30c30c3L
+    v = (v | (v << 2)) & 0x1249249249249249L
+    v
+  }
+
+  /** code = x on bits 3i, y on bits 3i+1, z on bits 3i+2. */
+  def interleave3(x: Long, y: Long, z: Long): Long =
+    spread3(x) | (spread3(y) << 1) | (spread3(z) << 2)
+
+  def zorder3(spark: org.apache.spark.sql.SparkSession,
+      x: Column, y: Column, z: Column): Column = {
+    Registry.ensure(spark, "zorder3")(exprs =>
+      ZOrder3Expr(exprs(0), exprs(1), exprs(2)))
+    org.apache.spark.sql.functions.call_function("zorder3", x, y, z)
+  }
+}

@@ -172,6 +172,14 @@ object Ann {
     * arithmetic doesn't care where the barrier sits). */
   val IterativeCheckpointConf = "spark.graft.iterative.checkpoint"
 
+  /** When "false", the per-query ADC lookup tables join by qid-keyed
+    * shuffle-hash instead of broadcast — the at-scale branch for the
+    * leave-one-out PQ form where the query side IS the corpus and the
+    * LUT grows O(n·Cw·M). Default broadcast: the production serving
+    * shape (small query batches, LUT of a few thousand rows). Same
+    * results on both branches; see [[adcRerankTopk]]. */
+  val LutBroadcastConf = "spark.graft.ann.lutBroadcast"
+
   private[graft] def trainedCentroidsAt(s: SparkSession, d: String,
       c: Int): DataFrame =
     assignCache.getOrBuild(s, s"$d#trainedCents#$c") {
@@ -185,20 +193,32 @@ object Ann {
       }
     }
 
+  /** Probe routing — THE one definition of "which `p` inverted lists
+    * does each query scan": every query crossed with the broadcast
+    * centroids (C rows), ranked by (cosine distance, cent_id), keep the
+    * top `p`. Returns (qid, qv, cent_id); consumers that don't need the
+    * query vector drop `qv`. Shared by the exact-within-lists IVF tier
+    * and the IVFPQ composition so a tie-break or P change can never
+    * drift between them. */
+  private def probesOf(s: SparkSession, d: String, cents: DataFrame,
+      p: Int): DataFrame = {
+    val e = Tables.repartitioned(Tables.embeddings(s, d), s)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").asc, col("cent_id").asc)
+    e.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cent_id"),
+        VectorExpressions.cosine_distance(s, col("qv"), col("cent_vec")).as("cdist"))
+      .withColumn("prn", row_number().over(wProbe)).where(col("prn") <= p)
+      .select(col("qid"), col("qv"), col("cent_id"))
+  }
+
   /** IVF approximate top-k under `cents`/`lists`: probe the `p` nearest
     * lists per query, exact cosine within the probed lists. Leave-one-out
     * like knn_topk. */
   private def ivfTopkFrom(s: SparkSession, d: String, cents: DataFrame,
       lists: DataFrame, p: Int): DataFrame = {
-    val e = Tables.repartitioned(Tables.embeddings(s, d), s)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("cdist").asc, col("cent_id").asc)
-    val probes = e.crossJoin(broadcast(cents))
-      .select(col("qid"), col("qv"), col("cent_id"),
-        VectorExpressions.cosine_distance(s, col("qv"), col("cent_vec")).as("cdist"))
-      .withColumn("prn", row_number().over(wProbe)).where(col("prn") <= p)
-      .select(col("qid"), col("qv"), col("cent_id"))
+    val probes = probesOf(s, d, cents, p)
     val inv = lists
       .select(col("cent_id"), col("vec_id").as("cid"), col("embedding").as("cv"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cid").asc)
@@ -306,9 +326,9 @@ object Ann {
     * ADC = Σₘ ‖qₘ − codeword(codeₘ)‖² ranks candidates for the cosine
     * ground truth, and the exact cosine re-rank of the top [[PqRerank]]
     * restores exact distances at the cut. Every float op (subspace
-    * euclidean, square, the 4-term sum, cosine) is written in the same
-    * order in both engines, so results stay hash-exact. */
-  /** (id, cw_id, s0..s3): per-subspace euclidean distances of every
+    * euclidean, square, the M-term left-fold sum, cosine) is written in
+    * the same order in both engines, so results stay hash-exact. */
+  /** (id, cw_id, s0..s{M−1}) for M = [[PqM]]: per-subspace euclidean distances of every
     * vector against every codeword — shared by encoding (argmin per
     * subspace) and the query LUT (squares). n·Cw map-side rows. */
   private def pqSubDists(s: SparkSession, d: String): DataFrame =
@@ -331,7 +351,7 @@ object Ann {
         .select(col("vec_id") +: col("cw_id") +: subCols: _*)
     }
 
-  /** (vec_id, code0..code3): the compressed index — one argmin per
+  /** (vec_id, code0..code{M−1}): the compressed index — one argmin per
     * subspace over the shared sub-distance rows, collapsed map-side by
     * M min_by aggregates in ONE grouped pass (the exchange carries n
     * rows, not n·Cw). */
@@ -343,8 +363,8 @@ object Ann {
   }
 
   /** ADC top-[[PqRerank]] then exact cosine re-rank → (qid, rnk, cid,
-    * dist). The per-query LUT (squared sub-distances) is broadcast into
-    * four hash joins against the code table — the Spark rendering of
+    * dist). The per-query LUT (squared sub-distances) is joined into
+    * [[PqM]] hash joins against the code table — the Spark rendering of
     * PQ's table-lookup scan loop. */
   private def pqRerankTopk(s: SparkSession, d: String): DataFrame = {
     val queries = Tables.embeddings(s, d).select(col("vec_id").as("qid"))
@@ -354,25 +374,42 @@ object Ann {
   }
 
   /** ADC-score `pairs` (qid, cid, code0..codeM-1), keep the ADC
-    * top-[[PqRerankMin]]/[[PqRerankDiv]] per query, exact-cosine re-rank
-    * to K. Shared by the flat PQ scan (all pairs) and the IVFPQ
-    * composition (probed pairs only). */
+    * top-`greatest(PqRerankMin, n·cutNum/cutDen)` per query, exact-cosine
+    * re-rank to K. Shared by the flat PQ scan (all pairs; cut n/10) and
+    * the IVFPQ composition (probed pairs only; cut scaled to the PROBED
+    * candidate count — see [[ivfpqTopkFrom]]): a fixed global fraction
+    * would mis-size the cut once routing has already discarded most of
+    * the corpus. */
   private def adcRerankTopk(s: SparkSession, d: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame, cutNum: Int = 1,
+      cutDen: Int = PqRerankDiv): DataFrame = {
     val luts = (0 until PqM).map { m =>
       pqSubDists(s, d).select(col("vec_id").as("qid"),
         col("cw_id").as(s"code$m"),
         (col(s"s$m") * col(s"s$m")).as(s"q$m"))
     }
+    // The LUT has n_queries·Cw rows. Broadcast is right for production
+    // ANN serving (a query batch is small), but the declared leave-one-out
+    // form makes EVERY corpus row a query — at 100× the broadcast is
+    // O(n·Cw·M) and becomes the scale-killer of the PQ tier. The conf
+    // flips every LUT join to a qid-keyed shuffle-hash: both sides
+    // partition by (qid, code_m), so each pair row meets exactly its own
+    // query's 256 LUT rows and nothing is replicated to every executor.
+    // Results are identical either way (same join, different exchange) —
+    // plan-asserted in AnnSpec for both branches.
+    val lutBroadcast =
+      !s.conf.getOption(LutBroadcastConf).contains("false")
     val scored = (0 until PqM).foldLeft(pairs) { (df, m) =>
-      df.join(broadcast(luts(m)), Seq("qid", s"code$m"))
+      val lut = if (lutBroadcast) broadcast(luts(m))
+                else luts(m).hint("shuffle_hash")
+      df.join(lut, Seq("qid", s"code$m"))
     }.select(col("qid"), col("cid"),
       (0 until PqM).map(m => col(s"q$m")).reduce(_ + _).as("adc"))
     val wAdc = Window.partitionBy(col("qid"))
       .orderBy(col("adc").asc, col("cid").asc)
     val rlim = Tables.embeddings(s, d).agg(
-      expr(s"greatest(CAST($PqRerankMin AS BIGINT), count(1) DIV $PqRerankDiv)")
-        .as("rlim"))
+      expr(s"greatest(CAST($PqRerankMin AS BIGINT), " +
+        s"count(1) * $cutNum DIV $cutDen)").as("rlim"))
     val cands = scored.withColumn("arn", row_number().over(wAdc))
       .crossJoin(broadcast(rlim))
       .where(col("arn") <= col("rlim"))
@@ -402,31 +439,138 @@ object Ann {
     * 100 TB this is the only tier that is simultaneously sublinear in
     * vectors touched AND bytes per touch; the two error sources
     * (list recall × ADC rank noise) multiply, so its recall is bounded
-    * by the seed-IVF tier's (ann_recall) — measured alongside it by
-    * `ann_ivfpq_recall`. Candidates route by cent_id exactly as in
-    * ivfTopk (shuffle-hash, lists never broadcast). */
-  def ivfpqTopk(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.repartitioned(Tables.embeddings(s, d), s)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("cdist").asc, col("cent_id").asc)
-    val probes = e.crossJoin(broadcast(centroids(s, d)))
-      .select(col("qid"), col("cent_id"),
-        VectorExpressions.cosine_distance(s, col("qv"), col("cent_vec"))
-          .as("cdist"))
-      .withColumn("prn", row_number().over(wProbe)).where(col("prn") <= P)
+    * by its routing tier's — measured alongside it by
+    * `ann_ivfpq_recall`, law-tested ≤ routing recall. Candidates route
+    * by cent_id exactly as in ivfTopk (shuffle-hash, lists never
+    * broadcast). */
+  private[graft] def ivfpqTopkFrom(s: SparkSession, d: String,
+      cents: DataFrame, lists: DataFrame, p: Int,
+      codes: Option[DataFrame] = None): DataFrame = {
+    val probes = probesOf(s, d, cents, p)
       .select(col("qid"), col("cent_id"))
-    val inv = assignments(s, d)
+    val inv = lists
       .select(col("cent_id"), col("vec_id").as("cid"))
     val cand = probes.join(inv.hint("shuffle_hash"), Seq("cent_id"))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"))
-    adcRerankTopk(s, d,
-      cand.join(pqCodes(s, d).withColumnRenamed("vec_id", "cid"), Seq("cid")))
+    // re-rank cut scaled to the PROBED pair count: each query carries
+    // ≈ n·p/C candidates, and the exact re-rank takes half of them —
+    // the flat-scan lesson (fixed cuts decay with n) applied to the
+    // composed tier, where the decaying quantity is probed volume
+    adcRerankTopk(s, d, cand.join(codes.getOrElse(pqCodes(s, d))
+      .withColumnRenamed("vec_id", "cid"), Seq("cid")),
+      cutNum = p, cutDen = 2 * C)
   }
+
+  /** Probed lists for the composed IVFPQ tier. Wider than plain IVF's P
+    * because IVFPQ multiplies TWO error sources — routing recall × ADC
+    * rank noise — and the production bar (recall@10 ≥ 0.9) must survive
+    * the product on a near-isotropic corpus, ANN's hardest case.
+    * Measured on the TRAINED index (AnnTune, sf0.1): P=96/128 with the
+    * old global n/10 cut gave 0.883/0.912 — over the bar but thin; with
+    * the probed-volume-scaled re-rank cut, P=144 reaches 0.9693 (P=160:
+    * 0.9796; diminishing). Real clustered corpora reach the bar at far
+    * smaller P; this is the knob a deployment retunes per corpus. */
+  val PIvfpq = 144
+
+  /** The composed production tier now runs BUILD-then-QUERY: coarse
+    * quantizer TRAINED (Lloyd's), index persisted via [[ensureIndex]],
+    * and the query side consumes the stored artifact — so a cold session
+    * pays probe + ADC + re-rank only, never training. Results are
+    * bit-identical to composing the live-computed index (the artifact is
+    * exact arithmetic round-tripped through parquet), which keeps the
+    * full DuckDB oracle. */
+  def ivfpqTopk(s: SparkSession, d: String): DataFrame =
+    ivfpqTopkFrom(s, d, storedCentroids(s, d), storedLists(s, d), PIvfpq,
+      Some(storedCodes(s, d)))
 
   def ivfpqRecall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, ivfpqTopk(s, d).select(col("qid"), col("cid")))
+
+  private[graft] def ivfpqRecallSeedAt(s: SparkSession, d: String,
+      p: Int): DataFrame =
+    recallOf(s, d, ivfpqTopkFrom(s, d, centroids(s, d), assignments(s, d), p)
+      .select(col("qid"), col("cid")))
+
+  private[graft] def ivfpqRecallTrainedAt(s: SparkSession, d: String,
+      c: Int, p: Int): DataFrame =
+    recallOf(s, d, ivfpqTopkFrom(s, d, trainedCentroidsAt(s, d, c),
+      trainedAssignmentsAt(s, d, c), p).select(col("qid"), col("cid")))
+
+  private[graft] def recallSeedAt(s: SparkSession, d: String,
+      p: Int): DataFrame =
+    recallOf(s, d, ivfTopkFrom(s, d, centroids(s, d), assignments(s, d), p))
+
+  // ------------------------------------------------ stored index (r10)
+
+  /** Root directory for persisted ANN indexes (cwd-relative by default —
+    * the same place Spark's own warehouse lives). On a cluster this
+    * would be a table location; locally it's the write half of the
+    * production lifecycle: TRAIN/ASSIGN/ENCODE once, persist, then every
+    * query session pays probe cost only. */
+  val IndexDirConf = "spark.graft.ann.indexDir"
+
+  private def indexPath(s: SparkSession, d: String): String = {
+    val root = s.conf.getOption(IndexDirConf)
+      .getOrElse("spark-warehouse/graft_ann_index")
+    // the path is versioned by every constant the artifact depends on,
+    // so retuning C/P/M can never silently serve a stale index
+    s"$root/v1_C${C}_L${LloydIters}_M${PqM}_Cw${PqCw}_${graft.Tables.dirTag(d)}"
+  }
+
+  /** BUILD once, idempotently: trained centroids, the inverted lists
+    * (partitioned BY cent_id on disk — the layout that makes a probe
+    * touch only its P/C of the files on a real cluster), and the PQ code
+    * table. The `_BUILT` marker commits the artifact only after all
+    * three tables are fully written, so a killed build re-runs instead
+    * of serving a torso. Everything written is bit-exact arithmetic
+    * (quantized means, IEEE distances), so index-from-disk ≡
+    * index-recomputed — which is what lets the indexed queries keep
+    * full DuckDB oracles. */
+  private def ensureIndex(s: SparkSession, d: String): String = {
+    val path = indexPath(s, d)
+    val marker = new org.apache.hadoop.fs.Path(path, "_BUILT")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      trainedCentroids(s, d)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      trainedAssignments(s, d)
+        .select(col("vec_id"), col("embedding"), col("cdist"), col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id")
+        .parquet(s"$path/lists")
+      pqCodes(s, d).write.mode("overwrite").parquet(s"$path/codes")
+      fs.create(marker, true).close()
+    }
+    path
+  }
+
+  private[graft] def storedCentroids(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensureIndex(s, d)}/centroids")
+
+  private[graft] def storedLists(s: SparkSession, d: String): DataFrame =
+    // cent_id comes back as a partition column (inferred int) — restore
+    // the long type the live assignment table carries
+    s.read.parquet(s"${ensureIndex(s, d)}/lists")
+      .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
+        col("embedding"), col("cdist"))
+
+  private[graft] def storedCodes(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensureIndex(s, d)}/codes")
+
+  /** ann_index_build: run the BUILD half and describe the artifact —
+    * the trained inverted-list census, read back from the files just
+    * written (so the declared row is a fact about the persisted index,
+    * not about an in-memory intermediate). */
+  def indexBuild(s: SparkSession, d: String): DataFrame =
+    storedLists(s, d).groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("list_size"))
+      .orderBy(col("cent_id"))
+
+  /** ann_ivf_topk_indexed: the QUERY half — identical semantics (and
+    * oracle SQL) to ann_ivf_topk_trained, but consuming the persisted
+    * index, so a cold session pays probe cost only. */
+  def ivfTopkIndexed(s: SparkSession, d: String): DataFrame =
+    ivfTopkFrom(s, d, storedCentroids(s, d), storedLists(s, d), P)
 
   /** recall@K of the PQ→re-rank pipeline vs the exact top-k. */
   def pqRecall(s: SparkSession, d: String): DataFrame =
@@ -628,6 +772,8 @@ object Ann {
     "c40_random_projection" -> (rpAudit _),
     "ann_ivfpq_topk" -> (ivfpqTopk _),
     "ann_ivfpq_recall" -> (ivfpqRecall _),
+    "ann_index_build" -> (indexBuild _),
+    "ann_ivf_topk_indexed" -> (ivfTopkIndexed _),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -670,7 +816,7 @@ object Ann {
   /** assignment + probe CTEs against centroid CTE `from` — the IVF
     * routing half, shared by the exact-within-lists chain ([[ivfCtes]])
     * and the IVFPQ composition. */
-  private def assignProbeCtes(from: String): String =
+  private def assignProbeCtes(from: String, p: Int = P): String =
     s"""assign AS (
        |  SELECT vec_id, embedding, cent_id FROM (
        |    SELECT e.vec_id, e.embedding, c.cent_id,
@@ -686,7 +832,7 @@ object Ann {
        |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
        |                                     CAST(c.cent_vec AS DOUBLE[])) ASC,
        |        c.cent_id ASC) AS prn
-       |    FROM embeddings e CROSS JOIN $from c) z WHERE prn <= $P)"""
+       |    FROM embeddings e CROSS JOIN $from c) z WHERE prn <= $p)"""
       .stripMargin
 
   /** assignment + probe + ranked-topk CTE chain against centroid CTE
@@ -768,8 +914,10 @@ object Ann {
 
   /** PQ chain with the candidate-pair CTE injected: the flat scan pairs
     * every query with every code row; the IVFPQ composition pairs only
-    * within probed inverted lists. */
-  private def pqCtesWith(ppairsCte: String): String = {
+    * within probed inverted lists. (cutNum, cutDen) mirror the engine's
+    * probed-volume-scaled re-rank cut. */
+  private def pqCtesWith(ppairsCte: String, cutNum: Int = 1,
+      cutDen: Int = PqRerankDiv): String = {
     val subExprs = (0 until PqM).map { m =>
       val a = m * PqSubDim + 1
       val b = (m + 1) * PqSubDim
@@ -822,7 +970,7 @@ object Ann {
        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
        |      ORDER BY adc ASC, cid ASC) AS arn FROM adc) z
        |  WHERE arn <= greatest($PqRerankMin,
-       |    (SELECT count(*) FROM embeddings) // $PqRerankDiv)),
+       |    (SELECT count(*) FROM embeddings) * $cutNum // $cutDen)),
        |ranked AS (
        |  SELECT qid, cid, dist,
        |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC)
@@ -914,18 +1062,22 @@ object Ann {
        |  CAST(sum(ratio_ppm) AS BIGINT) AS sum_ppm
        |FROM r GROUP BY band ORDER BY band""".stripMargin
 
-  /** IVFPQ: the IVF routing CTEs + the PQ chain with its pair CTE
-    * restricted to probed inverted lists. */
+  /** IVFPQ: the TRAINED IVF routing CTEs (Lloyd's unrolled, PIvfpq
+    * probes) + the PQ chain with its pair CTE restricted to probed
+    * inverted lists — the oracle recomputes exactly what the stored
+    * index holds, because the artifact is bit-exact arithmetic. */
   private def ivfpqCtes: String =
     s"""$seedCentsCte,
-       |${assignProbeCtes("cents0")},
+       |$lloydCtes,
+       |${assignProbeCtes(s"cents$LloydIters", PIvfpq)},
        |${pqCtesWith(
         s"""ppairs AS MATERIALIZED (
            |  SELECT p.qid, a.vec_id AS cid,
            |    ${(0 until PqM).map(m => s"x.code$m").mkString(", ")}
            |  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
            |  JOIN pcodes x ON x.vec_id = a.vec_id
-           |  WHERE a.vec_id <> p.qid)""".stripMargin)}""".stripMargin
+           |  WHERE a.vec_id <> p.qid)""".stripMargin,
+        cutNum = PIvfpq, cutDen = 2 * C)}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_ivfpq_topk" ->
@@ -995,5 +1147,20 @@ object Ann {
          |$lloydCtes,
          |${ivfCtes(s"cents$LloydIters")},
          |$recallSelect""".stripMargin,
+    // ann_index_build: the artifact's list census ≡ the trained
+    // assignment census (the stored index is bit-exact recomputation)
+    "ann_index_build" ->
+      s"""WITH $seedCentsCte,
+         |$lloydCtes,
+         |${assignProbeCtes(s"cents$LloydIters")}
+         |SELECT cent_id, count(*) AS list_size FROM assign
+         |GROUP BY cent_id ORDER BY cent_id""".stripMargin,
+    // ann_ivf_topk_indexed: identical semantics to the trained live
+    // form — the oracle is shared verbatim
+    "ann_ivf_topk_indexed" ->
+      s"""WITH $seedCentsCte,
+         |$lloydCtes,
+         |${ivfCtes(s"cents$LloydIters")}
+         |$topkSelect""".stripMargin,
   )
 }

@@ -899,6 +899,26 @@ object EventOps {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches <= 1,
       s"d32 oracle parity needs a single data micro-batch, saw $dataBatches")
+    // Boundary guard for the oracle's strict `<` emission rule: Spark
+    // evicts unmatched outer state once a click's join horizon falls
+    // below the global watermark, and the oracle encodes `cts + 1 HOUR
+    // < wm` with STRICT inequality — pinned empirically, not derived
+    // from the engine's eviction predicate. A fixture where a click's
+    // horizon lands EXACTLY on the final min-policy watermark would make
+    // the <-vs-<= boundary observable and could break parity silently;
+    // assert no such click exists, so a future fixture that does drive
+    // the equality case fails loudly here instead of hash-mismatching.
+    val ev = graft.Tables.events(s, d)
+    val wmSec = ev.where(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type")).agg(max(col("ts").cast("long")).as("mx"))
+      .agg((min(col("mx")) - 600).as("wm_sec"))
+    val onBoundary = ev.where(col("event_type") === "click")
+      .select((col("ts").cast("long") + 3600).as("horizon"))
+      .join(wmSec, col("horizon") === col("wm_sec")).count()
+    require(onBoundary == 0,
+      s"d32 fixture drives the untested horizon==watermark boundary " +
+        s"($onBoundary clicks); pin the <-vs-<= behavior before trusting " +
+        "the oracle")
     s.table(name)
       .select(col("click_id"), col("purchase_id"),
         (col("purchase_ts").cast("long") - col("click_ts").cast("long"))
@@ -906,7 +926,18 @@ object EventOps {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** d33: the streaming WRITE side DECLARED — foreachBatch keyed MERGE
+    * into a versioned parquet serving table (topology + merge rule +
+    * crash-safety in `streaming.Streams.upsertWarehouse`). The declared
+    * row set is the committed final table; because no key state is ever
+    * evicted, it equals the batch per-user aggregate exactly — the
+    * oracle is that plain GROUP BY. Eighth streaming shape through the
+    * gate. */
+  def streamUpsert(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.upsertWarehouse(s, d)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d33_stream_upsert" -> (streamUpsert _),
     "d32_stream_join_left" -> (streamClickToPurchaseLeft _),
     "d31_stream_sliding" -> (streamSliding _),
     "d30_stream_enrich" -> (streamEnrich _),
@@ -992,6 +1023,13 @@ object EventOps {
        |FROM slid GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d33: the committed serving table ≡ the batch per-user aggregate
+    // (nothing evicted ⇒ last upsert per key carries the full total)
+    "d33_stream_upsert" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value,
+         |  CAST(max(epoch($duckSecTs)) AS BIGINT) AS last_sec
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // d27: the streaming window's oracle IS d01's aggregate — identical
     // SQL text, because the decimal sum state makes the streamed result
     // bit-equal to the batch one

@@ -469,10 +469,15 @@ object Quality {
       .crossJoin(broadcast(nAll))
       .groupBy(col("event_type"))
       .agg(max(col("n_t")).as("n_type"), max(col("n_all")).as("n_total"),
-        max(abs(col("c") * col("n_all") - col("ctot") * col("n_t")))
-          .as("raw"))
+        // cross-multiplies in DECIMAL(38,0): c*n_all reaches n_type*n_total,
+        // which exceeds BIGINT once n_type*n_total > ~9.2e18 products — a few
+        // million events. Spark would wrap silently (non-ANSI) while DuckDB
+        // errors, so both engines compute the numerator exact and wide.
+        max(abs(col("c").cast("decimal(38,0)") * col("n_all") -
+          col("ctot").cast("decimal(38,0)") * col("n_t"))).as("raw"))
       .select(col("event_type"), col("n_type"), col("n_total"),
-        expr("raw * 1000000 DIV (n_type * n_total)").as("ks_ppm"))
+        expr("raw * 1000000 DIV (CAST(n_type AS DECIMAL(38,0)) * n_total)")
+          .as("ks_ppm"))
       .orderBy(col("event_type"))
   }
 
@@ -499,14 +504,19 @@ object Quality {
       .withColumn("k", row_number().over(wOrd))
       .withColumn("t", sum(col("x")).over(wAll))
       .withColumn("nd", count(lit(1)).over(wAll))
-      .withColumn("dev", abs(col("nd") * col("ck") - col("k") * col("t")))
+      // D·C_k and k·T in DECIMAL(38,0): both reach days×total, past BIGINT
+      // range on a large-enough stream (DuckDB's windowed sums are already
+      // HUGEINT on its side; this keeps Spark equally exact).
+      .withColumn("dev", abs(col("nd").cast("decimal(38,0)") * col("ck") -
+        col("k").cast("decimal(38,0)") * col("t")))
     val wPick = Window.partitionBy(col("event_type"))
       .orderBy(col("dev").desc, col("day").asc)
     scored.withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
       .select(col("event_type"), col("nd").as("n_days"), col("t").as("total"),
         date_format(col("day"), "yyyy-MM-dd").as("peak_day"),
-        col("dev").as("peak_dev"),
-        expr("dev * 1000000 DIV (nd * t)").as("dev_ppm"))
+        col("dev").cast("long").as("peak_dev"),
+        expr("dev * 1000000 DIV (CAST(nd AS DECIMAL(38,0)) * t)")
+          .as("dev_ppm"))
       .orderBy(col("event_type"))
   }
 
@@ -524,15 +534,20 @@ object Quality {
   def simpsonDiversity(s: SparkSession, d: String): DataFrame = {
     def dim(df: DataFrame, c: String, name: String): DataFrame =
       df.groupBy(col(c)).agg(count(lit(1)).as("ni"))
+        // s2 and every ppm numerator in DECIMAL(38,0): s2 ≤ N² and
+        // s2·10⁶ leaves BIGINT range near N ≈ 3M rows; DuckDB's integer
+        // sums are HUGEINT already, so wide decimals keep the two engines
+        // exact-equal instead of silently diverging at scale.
         .agg(sum(col("ni")).as("n"), count(lit(1)).as("k"),
-          sum(col("ni") * (col("ni") - 1)).as("s2"))
+          sum(col("ni").cast("decimal(38,0)") * (col("ni") - 1)).as("s2"))
         .select(lit(name).as("dim"), col("n").as("n_rows"),
           col("k").as("n_categories"),
-          expr("s2 * 1000000 DIV (n * (n - 1))").as("simpson_ppm"),
-          expr("1000000 - s2 * 1000000 DIV (n * (n - 1))")
+          expr("s2 * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * (n - 1))")
+            .as("simpson_ppm"),
+          expr("1000000 - s2 * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * (n - 1))")
             .as("gini_simpson_ppm"),
           expr("CASE WHEN s2 = 0 THEN NULL " +
-            "ELSE n * (n - 1) * 1000000 DIV s2 END")
+            "ELSE CAST(n AS DECIMAL(38,0)) * (n - 1) * 1000000 DIV s2 END")
             .as("eff_categories_ppm"))
     val docs = Tables.documents(s, d)
     dim(docs, "lang", "doc_lang")
@@ -623,13 +638,14 @@ object Quality {
       def dimSql(table: String, c: String, name: String) =
         s"""SELECT '$name' AS dim, CAST(sum(ni) AS BIGINT) AS n_rows,
            |  count(*) AS n_categories,
-           |  CAST(sum(ni * (ni - 1)) * 1000000
+           |  CAST(sum(CAST(ni AS HUGEINT) * (ni - 1)) * 1000000
            |    // (sum(ni) * (sum(ni) - 1)) AS BIGINT) AS simpson_ppm,
-           |  CAST(1000000 - sum(ni * (ni - 1)) * 1000000
+           |  CAST(1000000 - sum(CAST(ni AS HUGEINT) * (ni - 1)) * 1000000
            |    // (sum(ni) * (sum(ni) - 1)) AS BIGINT) AS gini_simpson_ppm,
-           |  CAST(CASE WHEN sum(ni * (ni - 1)) = 0 THEN NULL
+           |  CAST(CASE WHEN sum(CAST(ni AS HUGEINT) * (ni - 1)) = 0 THEN NULL
            |    ELSE sum(ni) * (sum(ni) - 1) * 1000000
-           |      // sum(ni * (ni - 1)) END AS BIGINT) AS eff_categories_ppm
+           |      // sum(CAST(ni AS HUGEINT) * (ni - 1)) END AS BIGINT)
+           |    AS eff_categories_ppm
            |FROM (SELECT $c, count(*) AS ni FROM $table GROUP BY $c) g"""
           .stripMargin
       s"""${dimSql("documents", "lang", "doc_lang")}
@@ -691,8 +707,10 @@ object Quality {
         |       FROM bytc GROUP BY event_type),
         |na AS (SELECT count(*) AS n_all FROM cents)
         |SELECT c.event_type, max(nt.n_t) AS n_type, max(na.n_all) AS n_total,
-        |  max(abs(c.c * na.n_all - t.ctot * nt.n_t)) * 1000000
-        |    // (max(nt.n_t) * max(na.n_all)) AS ks_ppm
+        |  CAST(max(abs(CAST(c.c AS HUGEINT) * na.n_all
+        |    - CAST(t.ctot AS HUGEINT) * nt.n_t)) * 1000000
+        |    // (CAST(max(nt.n_t) AS HUGEINT) * max(na.n_all)) AS BIGINT)
+        |    AS ks_ppm
         |FROM cum c JOIN tot t USING (cents) JOIN nt USING (event_type)
         |CROSS JOIN na
         |GROUP BY c.event_type ORDER BY event_type""".stripMargin,

@@ -901,6 +901,58 @@ object Relational {
       s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString("(", " | ", ")")
 
+  /** B43: the 3-column Morton layout — b41 one dimension up, because a
+    * real multi-predicate scan workload rarely stops at two clustering
+    * columns (Delta/Iceberg Z-ORDER accept N). Same normalize-first
+    * discipline (each key equi-width-mapped to an 8-bit cell id before
+    * interleaving — raw keys of different magnitudes would hand the
+    * widest column the high z-bits and flatten the layout to a 1-D
+    * sort), then [[graft.functions.ZOrder3Expr]] interleaves the three
+    * cell ids into a 24-bit code cut into 64 equi-width ranges = the
+    * files a range-partitioned writer would produce. The declared row
+    * is each file's bounding BOX in all THREE dimensions; ZOrderSpec
+    * asserts most boxes are simultaneously tight in all three — the
+    * property that lets a 100-TB scan filtered on ANY of the columns
+    * prune from footer stats alone. */
+  def zorder3Layout(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.lineitem(s, d).agg(
+      min(col("l_partkey")).as("pk_lo"), max(col("l_partkey")).as("pk_hi"),
+      min(col("l_suppkey")).as("sk_lo"), max(col("l_suppkey")).as("sk_hi"),
+      min(col("l_orderkey")).as("ok_lo"), max(col("l_orderkey")).as("ok_hi"))
+    val cells = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+      .crossJoin(broadcast(stats))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        expr("(l_partkey - pk_lo) * 256 DIV (pk_hi - pk_lo + 1)").as("cx"),
+        expr("(l_suppkey - sk_lo) * 256 DIV (sk_hi - sk_lo + 1)").as("cy"),
+        expr("(l_orderkey - ok_lo) * 256 DIV (ok_hi - ok_lo + 1)").as("cz"))
+    cells
+      .withColumn("z", graft.functions.ZOrder3Expr.zorder3(s,
+        col("cx"), col("cy"), col("cz")))
+      // 24-bit z-space → 64 equi-width code ranges (2^18 codes each)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        expr("z DIV 262144").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"))
+      .withColumn("pk_span", col("max_pk") - col("min_pk") + 1)
+      .withColumn("sk_span", col("max_sk") - col("min_sk") + 1)
+      .withColumn("ok_span", col("max_ok") - col("min_ok") + 1)
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB twin of [[graft.functions.ZOrder3Expr]]: bit i of x/y/z →
+    * bit 3i/3i+1/3i+2 over the low 21 bits — a 63-term shift/or chain,
+    * all inside non-negative BIGINT. */
+  private[ops] def zorder3InterleaveSql(x: String, y: String,
+      z: String): String =
+    (0 until 21).map(i =>
+      s"((($x >> $i) & 1) << ${3 * i}) | ((($y >> $i) & 1) << ${3 * i + 1})" +
+        s" | ((($z >> $i) & 1) << ${3 * i + 2})")
+      .mkString("(", " | ", ")")
+
   /** E07: generator/UDTF kitchen sink — §2.F's "mapper line parser" slot
     * exercised as a DECLARED query: four lateral-view generator forms
     * (`posexplode` over a computed `sequence`, `posexplode` over an
@@ -1391,6 +1443,7 @@ object Relational {
     "e07_generator_kitchen" -> (generatorKitchen _),
     "b40_incremental_agg" -> (incrementalAgg _),
     "b41_zorder_layout" -> (zorderLayout _),
+    "b43_zorder3_layout" -> (zorder3Layout _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2109,6 +2162,30 @@ object Relational {
          |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk,
          |  max(l_partkey) - min(l_partkey) + 1 AS pk_span,
          |  max(l_suppkey) - min(l_suppkey) + 1 AS sk_span
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "b43_zorder3_layout" ->
+      s"""WITH st AS (
+         |  SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+         |    min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi,
+         |    min(l_orderkey) AS ok_lo, max(l_orderkey) AS ok_hi
+         |  FROM lineitem),
+         |cells AS (
+         |  SELECT l_partkey, l_suppkey, l_orderkey,
+         |    (l_partkey - pk_lo) * 256 // (pk_hi - pk_lo + 1) AS cx,
+         |    (l_suppkey - sk_lo) * 256 // (sk_hi - sk_lo + 1) AS cy,
+         |    (l_orderkey - ok_lo) * 256 // (ok_hi - ok_lo + 1) AS cz
+         |  FROM lineitem, st),
+         |z AS (
+         |  SELECT l_partkey, l_suppkey, l_orderkey,
+         |    ${zorder3InterleaveSql("cx", "cy", "cz")} AS z
+         |  FROM cells)
+         |SELECT z // 262144 AS bucket, count(*) AS n_rows,
+         |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+         |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk,
+         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         |  max(l_partkey) - min(l_partkey) + 1 AS pk_span,
+         |  max(l_suppkey) - min(l_suppkey) + 1 AS sk_span,
+         |  max(l_orderkey) - min(l_orderkey) + 1 AS ok_span
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "e07_generator_kitchen" ->
       """WITH base AS (

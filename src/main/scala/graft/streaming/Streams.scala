@@ -301,4 +301,115 @@ object Streams {
     q.stop()
     q
   }
+
+  // ---------------------------------------------------- d33: write side
+
+  /** Highest committed (parquet `_SUCCESS`) version directory under
+    * `sink`, optionally restricted to versions below `below` — the MERGE
+    * sink's read point. Versions are named `v<batchId>`. */
+  private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
+      sink: String, below: Long = Long.MaxValue)
+      : Option[org.apache.hadoop.fs.Path] = {
+    val glob = new org.apache.hadoop.fs.Path(sink, "v*")
+    Option(fs.globStatus(glob)).getOrElse(Array.empty)
+      .iterator.map(_.getPath)
+      .flatMap(p => scala.util.Try(p.getName.drop(1).toLong).toOption.map(_ -> p))
+      .filter { case (id, p) =>
+        id < below && fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+      .toSeq.sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** One MERGE step of the d33 sink: upsert `delta` (refreshed per-key
+    * aggregate rows) over the previous committed version into a NEW
+    * version directory `v<batchId>`. Matched keys are replaced
+    * (anti-join base + union delta ≡ b25's merge with update+insert
+    * actions and no delete clause); a batch REPLAYED after a crash
+    * overwrites its own version instead of double-applying — the same
+    * idempotent-by-version rule a Delta/Iceberg transaction log gives a
+    * streaming MERGE. */
+  private def mergeVersion(s: SparkSession, sink: String, batchId: Long,
+      delta: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val d = delta.persist()
+    try {
+      val merged = latestVersion(fs, sink, below = batchId) match {
+        case Some(prev) =>
+          s.read.parquet(prev.toString)
+            .join(d, Seq("user_id"), "left_anti").unionByName(d)
+        case None => d
+      }
+      merged.write.mode("overwrite").parquet(s"$sink/v$batchId")
+    } finally d.unpersist()
+  }
+
+  /** D33-stream: the WRITE half of the warehouse topology — d30 reads a
+    * dimension INTO a stream; this maintains the keyed serving table a
+    * stream produces. An Update-mode per-user aggregate is upserted into
+    * a versioned parquet key-value table by `foreachBatch` (the
+    * open-source rendering of a Delta MERGE sink).
+    *
+    * The fixture is staged into TWO files (split at the median event_id)
+    * and streamed with `maxFilesPerTrigger=1`, so the run genuinely
+    * exercises merge semantics: micro-batch 2 carries refreshed totals
+    * for keys micro-batch 1 already wrote, and the sink must REPLACE
+    * those rows, not append (StreamingSpec asserts batch 2 overwrote a
+    * batch-1 row). Update mode emits only keys whose aggregate changed
+    * in the batch — the delta a production MERGE consumes.
+    *
+    * No watermark on the aggregate: a serving table's key state IS the
+    * product, so nothing may be evicted (Spark's documented contract for
+    * unwatermarked Update-mode aggregation); when the key space grows
+    * unboundedly, production bounds it with state TTL — an eviction
+    * policy, not a correctness device. Because nothing is evicted, the
+    * final table is batching-invariant: per key, the LAST update is the
+    * full aggregate over every row of that key, so the committed result
+    * equals the batch GROUP BY regardless of how files land in
+    * micro-batches — which is what lets this streaming WRITE carry a
+    * plain batch DuckDB oracle. */
+  def upsertWarehouse(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = s"spark-warehouse/graft_stream_sink/${graft.Tables.dirTag(d)}"
+    val stage = s"$root/stage"
+    val sink = s"$root/table"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    // fresh run every invocation: the declared result is a pure function
+    // of the fixture, never of a previous run's sink or checkpoint
+    fs.delete(new Path(root), true)
+    val ev = graft.Tables.events(s, d)
+    val bounds = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    def stagePart(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = s"$stage/_tmp_$name"
+      ev.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(tmp, "part-*.parquet"))(0).getPath
+      fs.rename(part, new Path(stage, s"$name.parquet"))
+      fs.delete(new Path(tmp), true)
+    }
+    stagePart(col("event_id") <= mid, "part0")
+    stagePart(col("event_id") > mid, "part1")
+    val agg = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "part*.parquet")
+      .parquet(stage)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        // DECIMAL sum state: order-independent, so the upserted totals
+        // are hash-equal to the batch twin (the d27 argument)
+        expr("CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE)")
+          .as("sum_value"),
+        max(col("ts").cast("long")).as("last_sec"))
+    val doMerge: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) => mergeVersion(s, sink, id, batch.toDF())
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(doMerge)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val last = latestVersion(fs, sink).getOrElse(
+      throw new IllegalStateException("d33 sink committed no version"))
+    s.read.parquet(last.toString).orderBy(col("user_id"))
+  }
 }

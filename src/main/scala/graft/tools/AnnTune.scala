@@ -32,6 +32,35 @@ object AnnTune {
           f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
       }
     }
+    if (args.lift(1).contains("ivfpq")) {
+      def show(tag: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val r = df.collect()(0)
+        println(f"[anntune] $tag recall=${r.getAs[Double]("recall")}%.4f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
+      }
+      show(s"ivfpq seed    P=${Ann.P}", Ann.ivfpqRecall(spark, sfDir))
+      for (p <- Seq(128, 144)) {
+        show(f"route seed    P=$p%3d", Ann.recallSeedAt(spark, sfDir, p))
+        show(f"ivfpq seed    P=$p%3d", Ann.ivfpqRecallSeedAt(spark, sfDir, p))
+      }
+      for (p <- Seq(96, 128)) {
+        show(f"ivfpq trained P=$p%3d",
+          Ann.ivfpqRecallTrainedAt(spark, sfDir, Ann.C, p))
+      }
+    }
+    if (args.lift(1).contains("ivfpq2")) {
+      def show(tag: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val r = df.collect()(0)
+        println(f"[anntune] $tag recall=${r.getAs[Double]("recall")}%.4f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
+      }
+      for (p <- Seq(144, 160)) {
+        show(f"ivfpq trained P=$p%3d",
+          Ann.ivfpqRecallTrainedAt(spark, sfDir, Ann.C, p))
+      }
+    }
     spark.stop()
   }
 }

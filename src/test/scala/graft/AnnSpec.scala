@@ -67,16 +67,49 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"pq recall@10 = $recall")
   }
 
-  test("ivfpq: composed recall is bounded by the IVF routing tier and " +
-    "still materially better than random") {
+  test("ivfpq: composed recall is bounded by ITS routing tier (trained, " +
+    "PIvfpq probes) and clears the production bar") {
     val ivfpq = Ann.ivfpqRecall(spark, sf0001).head().getAs[Double]("recall")
-    val ivf = Ann.recallSeed(spark, sf0001).head().getAs[Double]("recall")
+    // the r10 composition routes through the TRAINED index at PIvfpq
+    // probes — the bound must be measured on the same routing tier
+    val route = Ann.recallTrainedAt(spark, sf0001, Ann.C, Ann.PIvfpq)
+      .head().getAs[Double]("recall")
     // PQ only re-scores what IVF routed: candidates are a subset, so
     // composed recall can never exceed the routing tier's
-    assert(ivfpq <= ivf + 1e-9, s"ivfpq $ivfpq > ivf $ivf")
-    // P/C = 37.5% of lists probed; random pruning would give ~0.375
-    assert(ivfpq >= 0.6, s"ivfpq recall $ivfpq")
-    info(s"recall@10: ivfpq=$ivfpq ivf=$ivf")
+    assert(ivfpq <= route + 1e-9, s"ivfpq $ivfpq > routing $route")
+    // the production bar the retune was for (0.969 sf0.1, see PIvfpq)
+    assert(ivfpq >= 0.9, s"ivfpq recall $ivfpq")
+    info(s"recall@10: ivfpq=$ivfpq routing=$route")
+  }
+
+  test("adc lut branch: broadcast vs qid-keyed shuffle-hash — same rows, " +
+    "declared physical shapes") {
+    def joins(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p = df.queryExecution.executedPlan.toString
+      ("BroadcastHashJoin".r.findAllIn(p).size,
+        "ShuffledHashJoin".r.findAllIn(p).size)
+    }
+    val bc = Ann.pqTopk(spark, sf0001)
+    val bcRows = bc.collect()
+    val (bcB, _) = joins(bc)
+    assert(bcB >= Ann.PqM, s"default branch must broadcast the M LUT " +
+      s"joins (saw $bcB broadcasts)")
+    try {
+      spark.conf.set(Ann.LutBroadcastConf, "false")
+      Ann.clearCache()
+      val sh = Ann.pqTopk(spark, sf0001)
+      val shRows = sh.collect()
+      val (shB, shS) = joins(sh)
+      assert(shS >= Ann.PqM, s"at-scale branch must shuffle-hash the M " +
+        s"LUT joins (saw $shS)")
+      assert(shB < bcB, "the conf must actually remove LUT broadcasts")
+      // identical results: same join, different exchange
+      assert(shRows.map(_.toString).sorted.toSeq ===
+        bcRows.map(_.toString).sorted.toSeq)
+    } finally {
+      spark.conf.unset(Ann.LutBroadcastConf)
+      Ann.clearCache()
+    }
   }
 
   test("semdedup: stats agree with the audit; every dup cell keeps a member") {

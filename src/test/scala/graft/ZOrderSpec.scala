@@ -50,6 +50,60 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("interleave3 matches the bit-by-bit reference on edge + random keys") {
+    import graft.functions.ZOrder3Expr
+    def slow3(x: Long, y: Long, z: Long): Long = {
+      var c = 0L
+      for (i <- 0 until 21) {
+        c |= ((x >> i) & 1L) << (3 * i)
+        c |= ((y >> i) & 1L) << (3 * i + 1)
+        c |= ((z >> i) & 1L) << (3 * i + 2)
+      }
+      c
+    }
+    val edges = Seq(0L, 1L, 2L, 3L, 0x1fffffL, 0x155555L, 0x0aaaaaL)
+    val rnd = new scala.util.Random(7)
+    val keys = edges ++ Seq.fill(40)(rnd.nextLong().abs & 0x1fffffL)
+    for (x <- keys; y <- keys.take(5); z <- keys.take(5)) {
+      val c = ZOrder3Expr.interleave3(x, y, z)
+      assert(c === slow3(x, y, z), s"x=$x y=$y z=$z")
+      assert(c >= 0L)
+    }
+  }
+
+  test("zorder3 codegen expression agrees with the interpreted path") {
+    import spark.implicits._
+    import graft.functions.ZOrder3Expr
+    val df = Seq((3L, 5L, 7L), (0L, 0L, 0L), (123456L, 654321L, 99999L),
+      (0x1fffffL, 0x1fffffL, 0x1fffffL)).toDF("x", "y", "z")
+      .withColumn("c",
+        ZOrder3Expr.zorder3(spark, col("x"), col("y"), col("z")))
+    df.collect().foreach { r =>
+      assert(r.getLong(3) ===
+        ZOrder3Expr.interleave3(r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+  }
+
+  test("b43: z-buckets bound all THREE dimensions tighter than a 1-D sort") {
+    val out = ops.Relational.zorder3Layout(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    def full(minC: String, maxC: String): Long =
+      out.map(_.getAs[Long](maxC)).max - out.map(_.getAs[Long](minC)).min + 1
+    val (pkAll, skAll, okAll) =
+      (full("min_pk", "max_pk"), full("min_sk", "max_sk"),
+        full("min_ok", "max_ok"))
+    // most buckets must be genuine 3-D boxes: simultaneously below half
+    // the full range in every dimension (any 1-D sorted layout leaves
+    // two of the three spans ≈ the full range in every file)
+    val tight = out.count { r =>
+      r.getAs[Long]("pk_span") * 2 <= pkAll &&
+        r.getAs[Long]("sk_span") * 2 <= skAll &&
+        r.getAs[Long]("ok_span") * 2 <= okAll
+    }
+    assert(tight * 10 >= out.length * 5,
+      s"only $tight/${out.length} buckets are tight in all three dims")
+  }
+
   test("b41: z-buckets bound both dimensions tighter than a 1-D sort does") {
     val out = ops.Relational.zorderLayout(spark, sf0001).collect()
     assert(out.nonEmpty)
