@@ -53,9 +53,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names =
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query-name filter (local
+    // iteration / the sf1 scale rehearsal); driver runs never set it
+    val onlyFilter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names0 =
       if (all) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
+    val names = onlyFilter match {
+      case Some(f) => SparkEntry.queries.keys.toSeq.sorted.filter(f)
+      case None => names0
+    }
     var failed = List.empty[String]
     def timeOnce(name: String): Option[Double] = {
       val fn = SparkEntry.queries(name)

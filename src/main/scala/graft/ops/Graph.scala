@@ -633,8 +633,13 @@ object Graph {
   // unrolled as chained CTEs. DuckDB's // and Spark's DIV agree on
   // non-negative operands; sums are CAST from HUGEINT to BIGINT before
   // the damping multiply so both engines run identical 64-bit ops.
+  // MATERIALIZED: without the barrier DuckDB inlines each iteration CTE
+  // into its consumers, so r3 re-computes r2 (which re-computes r1...)
+  // once per reference — harmless at 600k edges, an 80-GB temp-spill
+  // death at the sf1 rehearsal's 5M-edge graph. Same fix as the ADC
+  // chain; bit-identical results, the barrier is purely physical.
   private def prIterSql(prev: String, next: String): String =
-    s"""$next AS (
+    s"""$next AS MATERIALIZED (
        |  SELECT ed.v AS u,
        |    tt.tele + (85 * CAST(sum($prev.r // deg.deg) AS BIGINT)) // 100
        |      AS r
@@ -645,12 +650,12 @@ object Graph {
   private val pagerankOracle: String = {
     val iters = (1 to PrIters)
       .map(i => prIterSql(s"r${i - 1}", s"r$i")).mkString(",\n")
-    s"""WITH e0 AS (
+    s"""WITH e0 AS MATERIALIZED (
        |  SELECT DISTINCT o.o_custkey * 2 AS cu, l.l_suppkey * 2 + 1 AS su
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-       |ed AS (SELECT cu AS u, su AS v FROM e0
+       |ed AS MATERIALIZED (SELECT cu AS u, su AS v FROM e0
        |       UNION ALL SELECT su, cu FROM e0),
-       |deg AS (SELECT u, count(*) AS deg FROM ed GROUP BY u),
+       |deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM ed GROUP BY u),
        |nn AS (SELECT count(*) AS n FROM deg),
        |tt AS (SELECT ((${PrBase} // n) * 15) // 100 AS tele,
        |              ${PrBase} // n AS rinit FROM nn),

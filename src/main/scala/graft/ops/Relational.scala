@@ -207,7 +207,16 @@ object Relational {
         sum(col("l_quantity")).as("sum_qty"),
         expr(s"CAST(sum($decPrice) AS DOUBLE)").as("sum_base_price"),
         expr(s"CAST(sum($decPrice * $decDisc) AS DOUBLE)").as("sum_disc_price"),
-        expr(s"CAST(sum($decPrice * $decDisc * $decTax) AS DOUBLE)").as("sum_charge"),
+        // scale-6 decimal → double through EXPLICIT integer micro-units:
+        // below 2^53 µ-units CAST(decimal AS DOUBLE) is exact and the
+        // engines agree for free, but the sf1 rehearsal crossed it
+        // (sum_charge ≈ 2.75e16 µ-units) and Spark's BigDecimal.doubleValue
+        // vs DuckDB's hugeint·10⁻ˢ double-rounding diverged by one ulp.
+        // Routing both engines through CAST(µ-units AS BIGINT) AS DOUBLE
+        // then ONE division makes the rounding sequence identical at any
+        // scale (and bit-equal to the old path below 2^53).
+        expr(s"CAST(CAST(sum($decPrice * $decDisc * $decTax) * 1000000 " +
+          "AS BIGINT) AS DOUBLE) / 1000000.0").as("sum_charge"),
         expr("round(sum(l_quantity) / count(1), 6)").as("avg_qty"),
         expr(s"round(CAST(sum($decPrice) AS DOUBLE) / count(1), 6)").as("avg_price"),
         expr("round(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(1), 6)").as("avg_disc"),
@@ -1769,7 +1778,7 @@ object Relational {
         |  sum(l_quantity) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
         |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS avg_price,
         |  round(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*), 6) AS avg_disc,

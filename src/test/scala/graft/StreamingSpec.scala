@@ -347,4 +347,35 @@ class StreamingSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect()
     assert(streamed.sameElements(batch))
   }
+
+  test("d33 upsert sink: final table = batch aggregate, and batch 2 " +
+    "genuinely REPLACED batch-1 rows") {
+    val table = Streams.upsertWarehouse(spark, sf0001)
+      .select($"user_id", $"n_events", $"sum_value", $"last_sec")
+      .as[(Long, Long, Double, Long)].collect()
+    val batch = Tables.events(spark, sf0001)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE)")
+          .as("sum_value"),
+        max($"ts".cast("long")).as("last_sec"))
+      .orderBy($"user_id")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(table.sameElements(batch))
+    // the merge must have done UPDATE work, not just inserts: some key
+    // present in the v0 commit carries a DIFFERENT total in the final
+    // version — i.e. batch 2 refreshed (replaced) a batch-1 row
+    val root = s"spark-warehouse/graft_stream_sink/${Tables.dirTag(sf0001)}"
+    val v0 = spark.read.parquet(s"$root/table/v0")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toMap
+    val vFinal = table.map(r => r._1 -> r._2).toMap
+    assert(v0.nonEmpty)
+    val updated = v0.count { case (k, n0) =>
+      vFinal.get(k).exists(_ != n0) }
+    assert(updated > 0,
+      "no batch-1 key was refreshed by batch 2 — the merge never took " +
+        "its update path on this fixture")
+    // and the final version is a superset of keys ever written
+    assert(v0.keySet.subsetOf(vFinal.keySet))
+  }
 }
