@@ -383,28 +383,39 @@ object Ann {
   private def adcRerankTopk(s: SparkSession, d: String,
       pairs: DataFrame, cutNum: Int = 1,
       cutDen: Int = PqRerankDiv): DataFrame = {
-    val luts = (0 until PqM).map { m =>
-      pqSubDists(s, d).select(col("vec_id").as("qid"),
-        col("cw_id").as(s"code$m"),
-        (col(s"s$m") * col(s"s$m")).as(s"q$m"))
+    // The per-query LUT in the layout PQ serving engines actually use:
+    // ONE row per query carrying M arrays of Cw squared sub-distances,
+    // indexed positionally by codeword id (sort_array pins cw order).
+    // Round 9 shipped this as M separate (qid, code_m)-keyed hash joins;
+    // the sf1 rehearsal showed what that costs at scale — each of the M
+    // joins re-shuffles the whole pair table (8 × 18 GB of shuffle at
+    // 2.2·10⁸ probed pairs), and the run died on disk. One array-valued
+    // join + map-side element_at lookups is the same arithmetic in the
+    // same ((q0+q1)+…+q7) fold order — bit-identical ADC — with ONE
+    // shuffle of the pair table instead of M.
+    val lutArr = (0 until PqM).map { m =>
+      transform(array_sort(collect_list(
+        struct(col("cw_id"), (col(s"s$m") * col(s"s$m")).as(s"q$m")))),
+        x => x.getField(s"q$m")).as(s"lut$m")
     }
-    // The LUT has n_queries·Cw rows. Broadcast is right for production
-    // ANN serving (a query batch is small), but the declared leave-one-out
+    val lut = pqSubDists(s, d).groupBy(col("vec_id").as("qid"))
+      .agg(lutArr.head, lutArr.tail: _*)
+    // Broadcast is right for production ANN serving (a query batch is
+    // small: Cw·M doubles ≈ 16 KB per query). The declared leave-one-out
     // form makes EVERY corpus row a query — at 100× the broadcast is
-    // O(n·Cw·M) and becomes the scale-killer of the PQ tier. The conf
-    // flips every LUT join to a qid-keyed shuffle-hash: both sides
-    // partition by (qid, code_m), so each pair row meets exactly its own
-    // query's 256 LUT rows and nothing is replicated to every executor.
-    // Results are identical either way (same join, different exchange) —
-    // plan-asserted in AnnSpec for both branches.
+    // O(n·Cw·M) and becomes the scale-killer of the PQ tier, so the conf
+    // flips the join to a qid-keyed shuffle-hash: each pair row meets
+    // exactly its own query's LUT row and nothing is replicated to every
+    // executor. Results identical either way (same join, different
+    // exchange) — plan-asserted in AnnSpec for both branches.
     val lutBroadcast =
       !s.conf.getOption(LutBroadcastConf).contains("false")
-    val scored = (0 until PqM).foldLeft(pairs) { (df, m) =>
-      val lut = if (lutBroadcast) broadcast(luts(m))
-                else luts(m).hint("shuffle_hash")
-      df.join(lut, Seq("qid", s"code$m"))
-    }.select(col("qid"), col("cid"),
-      (0 until PqM).map(m => col(s"q$m")).reduce(_ + _).as("adc"))
+    val lutSide = if (lutBroadcast) broadcast(lut) else lut.hint("shuffle_hash")
+    val scored = pairs.join(lutSide, Seq("qid"))
+      .select(col("qid"), col("cid"),
+        (0 until PqM).map(m =>
+          element_at(col(s"lut$m"), col(s"code$m").cast("int") + 1))
+          .reduce(_ + _).as("adc"))
     val wAdc = Window.partitionBy(col("qid"))
       .orderBy(col("adc").asc, col("cid").asc)
     val rlim = Tables.embeddings(s, d).agg(
@@ -445,7 +456,7 @@ object Ann {
     * broadcast). */
   private[graft] def ivfpqTopkFrom(s: SparkSession, d: String,
       cents: DataFrame, lists: DataFrame, p: Int,
-      codes: Option[DataFrame] = None): DataFrame = {
+      codes: Option[DataFrame] = None, nLists: Int = C): DataFrame = {
     val probes = probesOf(s, d, cents, p)
       .select(col("qid"), col("cent_id"))
     val inv = lists
@@ -459,7 +470,7 @@ object Ann {
     // composed tier, where the decaying quantity is probed volume
     adcRerankTopk(s, d, cand.join(codes.getOrElse(pqCodes(s, d))
       .withColumnRenamed("vec_id", "cid"), Seq("cid")),
-      cutNum = p, cutDen = 2 * C)
+      cutNum = p, cutDen = 2 * nLists)
   }
 
   /** Probed lists for the composed IVFPQ tier. Wider than plain IVF's P
@@ -495,7 +506,8 @@ object Ann {
   private[graft] def ivfpqRecallTrainedAt(s: SparkSession, d: String,
       c: Int, p: Int): DataFrame =
     recallOf(s, d, ivfpqTopkFrom(s, d, trainedCentroidsAt(s, d, c),
-      trainedAssignmentsAt(s, d, c), p).select(col("qid"), col("cid")))
+      trainedAssignmentsAt(s, d, c), p, nLists = c)
+      .select(col("qid"), col("cid")))
 
   private[graft] def recallSeedAt(s: SparkSession, d: String,
       p: Int): DataFrame =

@@ -600,10 +600,15 @@ object Graph {
 
   // The τ=0.6 doc near-dup edge list (a_id < b_id) — same edge SQL as
   // c02's oracle; shared by the c26/s08 closure oracles and g03.
+  // t and e MATERIALIZED: e is referenced twice by every consumer (the
+  // bidirectional union) and t twice by e — inlined, DuckDB recomputed
+  // the source-blocked all-pairs Jaccard join once per reference, which
+  // the sf1 rehearsal turned from slow into >9-minute timeouts. Same
+  // barrier fix as the ADC chain and g02; results identical.
   private val docEdgeSql =
-    s"""t AS (SELECT doc_id, source,
+    s"""t AS MATERIALIZED (SELECT doc_id, source,
        |    list_distinct(string_split(text, ' ')) AS tok FROM documents),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
        |    AND len(a.tok) >= len(b.tok) * $CcTau

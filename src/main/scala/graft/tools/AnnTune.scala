@@ -49,6 +49,14 @@ object AnnTune {
           Ann.ivfpqRecallTrainedAt(spark, sfDir, Ann.C, p))
       }
     }
+    if (args.lift(1).contains("rt")) {
+      val c = args(2).toInt
+      val p = args(3).toInt
+      val t0 = System.nanoTime()
+      val r = Ann.recallTrainedAt(spark, sfDir, c, p).collect()(0)
+      println(f"[anntune] trained C=$c P=$p recall=${r.getAs[Double]("recall")}%.4f " +
+        f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
+    }
     if (args.lift(1).contains("ivfpq2")) {
       def show(tag: String, df: => org.apache.spark.sql.DataFrame): Unit = {
         val t0 = System.nanoTime()

@@ -65,19 +65,37 @@ object ScaleCheck {
       s"3 plans × ${topkWindow.length} rows identical"
     }
 
-    // --- ANN: laws + production bars vs the certified exact top-k
-    check("ann trained routing recall") {
-      val r = Ann.recallTrained(spark, sfDir).head().getAs[Double]("recall")
-      require(r >= 0.9, s"trained routing recall $r < 0.9")
-      f"recall@10 = $r%.4f"
+    // --- ANN: laws + production bars vs the certified exact top-k.
+    // (C, P) are per-corpus knobs (Ann.C scaladoc): the declared
+    // constants are tuned for the driver's 500–2000-vector tiers, and a
+    // 10× corpus re-tunes by the standard IVF rule C ≈ 4√n (same scan
+    // fraction). Both numbers are reported: the FIXED-constant recall is
+    // the decay measurement; the bar is asserted on the RETUNED index —
+    // the claim a deployment actually makes.
+    val nVec = graft.Tables.embeddings(spark, sfDir).count()
+    val cTuned = math.max(Ann.C,
+      Integer.highestOneBit((4 * math.sqrt(nVec.toDouble)).toInt))
+    val pTuned = (cTuned * 3) / 8 // P/C = 0.375, the declared fraction
+    check("ann routing recall (fixed + retuned)") {
+      val fixed = Ann.recallTrained(spark, sfDir)
+        .head().getAs[Double]("recall")
+      val tuned =
+        if (cTuned == Ann.C) fixed
+        else Ann.recallTrainedAt(spark, sfDir, cTuned, pTuned)
+          .head().getAs[Double]("recall")
+      require(tuned >= 0.9,
+        s"retuned routing recall $tuned < 0.9 (C=$cTuned P=$pTuned)")
+      f"fixed C=${Ann.C}: $fixed%.4f; retuned C=$cTuned P=$pTuned: $tuned%.4f"
     }
-    check("ann ivfpq recall + law") {
-      val pq = Ann.ivfpqRecall(spark, sfDir).head().getAs[Double]("recall")
-      val route = Ann.recallTrainedAt(spark, sfDir, Ann.C, Ann.PIvfpq)
+    check("ann ivfpq recall + law (retuned)") {
+      val pPq = (cTuned * 9) / 16 // the PIvfpq/C = 0.5625 fraction
+      val pq = Ann.ivfpqRecallTrainedAt(spark, sfDir, cTuned, pPq)
+        .head().getAs[Double]("recall")
+      val route = Ann.recallTrainedAt(spark, sfDir, cTuned, pPq)
         .head().getAs[Double]("recall")
       require(pq <= route + 1e-9, s"composed $pq > routing $route")
-      require(pq >= 0.9, s"ivfpq recall $pq < 0.9")
-      f"ivfpq = $pq%.4f ≤ routing = $route%.4f"
+      require(pq >= 0.9, s"ivfpq recall $pq < 0.9 (C=$cTuned P=$pPq)")
+      f"ivfpq = $pq%.4f ≤ routing = $route%.4f (C=$cTuned P=$pPq)"
     }
 
     // --- c17: the prefix filter must keep candidates sub-quadratic
