@@ -15,7 +15,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Knn.queries ++ ops.Relational.queries ++ ops.TextOps.queries ++
-      ops.EventOps.queries ++ ops.Ann.queries ++ ops.Multimodal.queries ++
+      ops.EventOps.queries ++ ops.Ann.queries ++ ops.Nsw.queries ++
+      ops.Multimodal.queries ++
       ops.Sampling.queries ++ ops.Pipeline.queries ++ ops.Graph.queries ++
       ops.Quality.queries
 
@@ -23,7 +24,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Knn.oracles ++ ops.Relational.oracles ++ ops.TextOps.oracles ++
-      ops.EventOps.oracles ++ ops.Ann.oracles ++ ops.Multimodal.oracles ++
+      ops.EventOps.oracles ++ ops.Ann.oracles ++ ops.Nsw.oracles ++
+      ops.Multimodal.oracles ++
       ops.Sampling.oracles ++ ops.Pipeline.oracles ++ ops.Graph.oracles ++
       ops.Quality.oracles
 }

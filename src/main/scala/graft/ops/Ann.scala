@@ -608,7 +608,7 @@ object Ann {
   /** recall@K of an approximate top-k against the exact ops.Knn top-k —
     * pure integer counts plus one division, so the quality of the
     * approximate index is itself an oracle-checked number. */
-  private def recallOf(s: SparkSession, d: String, approx: DataFrame): DataFrame = {
+  private[ops] def recallOf(s: SparkSession, d: String, approx: DataFrame): DataFrame = {
     val exact = Knn.knnTopk(s, d).select(col("qid"), col("cid"))
     val hits = approx.select(col("qid"), col("cid"))
       .join(exact, Seq("qid", "cid"))
@@ -869,7 +869,7 @@ object Ann {
        |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
 
   /** exact-vs-approx recall: `ranked` (approx) must already be in scope. */
-  private def recallSelect: String =
+  private[ops] def recallSelect: String =
     s"""ivf AS (SELECT qid, cid FROM ranked WHERE rnk <= $K),
        |pairs AS (${Knn.cosPairs}),
        |exact AS (SELECT qid, cid FROM (

@@ -606,16 +606,17 @@ object Graph {
   // the sf1 rehearsal turned from slow into >9-minute timeouts. Same
   // barrier fix as the ADC chain and g02; results identical.
   private val docEdgeSql =
-    s"""t AS MATERIALIZED (SELECT doc_id, source,
-       |    list_distinct(string_split(text, ' ')) AS tok FROM documents),
+    s"""t AS MATERIALIZED (SELECT doc_id, source, tok, len(tok) AS nt
+       |  FROM (SELECT doc_id, source,
+       |          list_distinct(string_split(text, ' ')) AS tok
+       |        FROM documents) z),
        |e AS MATERIALIZED (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-       |    AND len(a.tok) >= len(b.tok) * $CcTau
-       |    AND len(b.tok) >= len(a.tok) * $CcTau
-       |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
-       |    (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
-       |      >= $CcTau)""".stripMargin
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |      len(list_intersect(a.tok, b.tok)) AS li, a.nt AS la, b.nt AS lb
+       |    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+       |      AND a.nt >= b.nt * $CcTau AND b.nt >= a.nt * $CcTau) y
+       |  WHERE CAST(li AS DOUBLE) / (la + lb - li) >= $CcTau)""".stripMargin
 
   // Recursive-CTE oracle: reach(u,v) = transitive closure of the
   // bidirectional edge set (UNION gives set-semantics termination);

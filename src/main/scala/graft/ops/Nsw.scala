@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorExpressions
+
+/** Graph-based approximate nearest neighbors (SURVEY.md §2.C4, the
+  * recall/latency frontier above IVFPQ — VERDICT r9 "missing" #2): a
+  * navigable-small-world search rendered DETERMINISTIC and therefore
+  * oracle-able.
+  *
+  * True HNSW is construction-order dependent (greedy inserts mutate the
+  * graph that routes later inserts), which no cross-engine oracle can
+  * pin. This variant removes the order dependence while keeping the
+  * search structure the production index exists for:
+  *
+  *  1. BUILD: the graph is each vector's exact [[M]] nearest neighbors —
+  *     a pure function of the corpus (one ranked pair table, the same
+  *     computation the A-block certifies). Production builds this
+  *     incrementally/approximately; the exact build is the bit-stable
+  *     form a correctness gate can hold.
+  *  2. SEARCH: beam search from [[E]] fixed entry points, [[H]] hops
+  *     statically unrolled into one declarative plan (the Lloyd's/
+  *     pagerank discipline — no driver-side loop). Each hop grows the
+  *     beam by its out-neighbors, re-scores, and keeps the best [[B]]
+  *     per query under the (dist, cand) total order. Because the old
+  *     beam is included in the union before pruning, the beam is
+  *     monotone best-so-far — the final beam holds the best B vertices
+  *     VISITED anywhere, so hop count only ever improves recall
+  *     (law-tested in NswSpec).
+  *
+  * Scale shape: per hop, one shuffle-hash join of the (qid, cand) beam
+  * against the M-regular adjacency list plus one per-query window —
+  * n_q·B·M rows in flight, never n². The search touches
+  * E + H·B·M ≈ 1000 candidates per query regardless of corpus size —
+  * the sublinear-probe property that makes graph ANN the serving tier;
+  * at 100 TB the adjacency is bucketed by u exactly like the IVF lists
+  * by cent_id. Every query here is leave-one-out like the rest of the
+  * ANN family and carries a full DuckDB oracle (the same unrolled CTE
+  * chain, MATERIALIZED per hop).
+  */
+object Nsw {
+  /** Graph degree. 16 at the fixtures' near-isotropic 64-d embeddings —
+    * the hardest graph-search case (no cluster structure to ride);
+    * real corpora cluster and reach the same recall at lower degree. */
+  val M = 16
+  /** Beam width per query (≥ K so the final beam answers top-K). THE
+    * recall knob on isotropic data: hops saturate fast (the beam
+    * converges to a local optimum and extra hops stop adding vertices —
+    * measured 0.687/0.718/0.727/0.729 at H=4/5/6/8 with B=16 at sf0.1),
+    * while width buys diversity that escapes those optima
+    * (0.687/0.871/0.939 at B=16/32/48, H=4). 48 clears the production
+    * bar at every fixture tier; clustered real corpora need less. */
+  val B = 48
+  /** Statically unrolled hops. */
+  val H = 4
+  /** Fixed entry points: the E lowest vector ids (the IVF seed rule). */
+  val E = 8
+  val K = 10
+
+  private val cache = new graft.PersistedCache
+  def clearCache(): Unit = cache.clear()
+
+  /** (u, v): each vector's M exact nearest neighbors — the navigable
+    * graph. Session-cached like the IVF assignment table (same artifact
+    * class; a deployment would persist it beside the IVF index). */
+  private[graft] def adjacency(s: SparkSession, d: String): DataFrame =
+    cache.getOrBuild(s, s"$d#nswAdj") {
+      val e = Tables.repartitioned(Tables.embeddings(s, d), s)
+        .select(col("vec_id"), col("embedding"))
+      val c = Tables.embeddings(s, d)
+        .select(col("vec_id").as("v"), col("embedding").as("vv"))
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("dist").asc, col("v").asc)
+      e.select(col("vec_id").as("u"), col("embedding").as("uv"))
+        .join(broadcast(c), col("u") =!= col("v"))
+        .select(col("u"), col("v"),
+          VectorExpressions.cosine_distance(s, col("uv"), col("vv"))
+            .as("dist"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= M)
+        .select(col("u"), col("v"))
+    }
+
+  /** One beam-search step: grow by out-neighbors, union the old beam
+    * (monotone best-so-far), dedup, re-score, keep top-B. */
+  private def hop(s: SparkSession, d: String, beam: DataFrame,
+      b: Int = B): DataFrame = {
+    val adj = adjacency(s, d)
+    val grown = beam
+      .join(adj.hint("shuffle_hash"), beam("cand") === adj("u"))
+      .select(col("qid"), col("v").as("cand"))
+      .unionByName(beam)
+      .where(col("cand") =!= col("qid"))
+      .distinct()
+    rank(s, d, grown).where(col("rn") <= b).select(col("qid"), col("cand"))
+  }
+
+  /** Score (qid, cand) against the corpus vectors and rank per query
+    * under the (dist, cand) total order. */
+  private def rank(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = Tables.embeddings(s, d)
+      .select(col("vec_id").as("cand"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand").asc)
+    cands.join(q, "qid").join(c, "cand")
+      .select(col("qid"), col("cand"),
+        VectorExpressions.cosine_distance(s, col("qv"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  private[graft] def nswTopkAt(s: SparkSession, d: String,
+      hops: Int, b: Int = B, e: Int = E): DataFrame = {
+    val qs = Tables.repartitioned(Tables.embeddings(s, d), s)
+      .select(col("vec_id").as("qid"))
+    val entries = Tables.embeddings(s, d).where(col("vec_id") < e)
+      .select(col("vec_id").as("cand"))
+    val beam0 = qs.crossJoin(broadcast(entries))
+      .where(col("cand") =!= col("qid"))
+    val beamH = (1 to hops).foldLeft(beam0)((bm, _) => hop(s, d, bm, b))
+    rank(s, d, beamH).where(col("rn") <= K)
+      .select(col("qid"), col("rn").as("rnk"), col("cand").as("cid"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def nswTopk(s: SparkSession, d: String): DataFrame = nswTopkAt(s, d, H)
+
+  def nswRecall(s: SparkSession, d: String): DataFrame =
+    Ann.recallOf(s, d, nswTopk(s, d).select(col("qid"), col("cid")))
+
+  private[graft] def nswRecallAt(s: SparkSession, d: String,
+      hops: Int, b: Int = B, e: Int = E): DataFrame =
+    Ann.recallOf(s, d,
+      nswTopkAt(s, d, hops, b, e).select(col("qid"), col("cid")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_nsw_topk" -> (nswTopk _),
+    "ann_nsw_recall" -> (nswRecall _),
+  )
+
+  // ---------------------------------------------------------------- SQL
+
+  /** The identical unrolled chain in DuckDB: exact adjacency from the
+    * shared all-pairs CTE, then per hop grow → dedup → score (distances
+    * re-read from the SAME all-pairs CTE (named npairs: Ann.recallSelect appends its own `pairs`), so every float is the one both
+    * engines computed) → top-B, each step MATERIALIZED (the inlining
+    * lesson — g02/docEdgeSql). Leaves `ranked` (qid, cid, dist, rnk). */
+  private def nswCtes: String = {
+    val hops = (1 to H).map { h =>
+      s"""g$h AS MATERIALIZED (
+         |  SELECT DISTINCT qid, cand FROM (
+         |    SELECT qid, cand FROM b${h - 1}
+         |    UNION ALL
+         |    SELECT b.qid, a.v AS cand
+         |    FROM b${h - 1} b JOIN adj a ON b.cand = a.u) u$h
+         |  WHERE cand <> qid),
+         |s$h AS MATERIALIZED (
+         |  SELECT g.qid, g.cand,
+         |    row_number() OVER (PARTITION BY g.qid
+         |      ORDER BY p.dist ASC, g.cand ASC) AS rn
+         |  FROM g$h g JOIN npairs p ON p.qid = g.qid AND p.cid = g.cand),
+         |b$h AS MATERIALIZED (SELECT qid, cand FROM s$h WHERE rn <= $B)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""npairs AS MATERIALIZED (${Knn.cosPairs}),
+       |adj AS MATERIALIZED (
+       |  SELECT qid AS u, cid AS v FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY dist ASC, cid ASC) AS rn FROM npairs) z
+       |  WHERE rn <= $M),
+       |b0 AS (
+       |  SELECT q.vec_id AS qid, e.vec_id AS cand
+       |  FROM embeddings q CROSS JOIN embeddings e
+       |  WHERE e.vec_id < $E AND e.vec_id <> q.vec_id),
+       |$hops,
+       |ranked AS (
+       |  SELECT s.qid, s.cand AS cid, p.dist, s.rn AS rnk
+       |  FROM s$H s JOIN npairs p ON p.qid = s.qid AND p.cid = s.cand
+       |  WHERE s.rn <= $K)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ann_nsw_topk" ->
+      s"""WITH $nswCtes
+         |SELECT qid, rnk, cid, round(dist, 6) AS dist
+         |FROM ranked ORDER BY qid, rnk""".stripMargin,
+    "ann_nsw_recall" ->
+      s"""WITH $nswCtes,
+         |${Ann.recallSelect}""".stripMargin,
+  )
+}

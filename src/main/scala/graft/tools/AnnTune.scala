@@ -57,6 +57,16 @@ object AnnTune {
       println(f"[anntune] trained C=$c P=$p recall=${r.getAs[Double]("recall")}%.4f " +
         f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
     }
+    if (args.lift(1).contains("nsw")) {
+      for ((h, b, e) <- Seq((4, 16, 8), (4, 32, 8), (4, 48, 8),
+          (5, 32, 8), (4, 32, 32), (5, 48, 32))) {
+        val t0 = System.nanoTime()
+        val r = graft.ops.Nsw.nswRecallAt(spark, sfDir, h, b, e).collect()(0)
+        println(f"[anntune] nsw H=$h B=$b E=$e " +
+          f"recall=${r.getAs[Double]("recall")}%.4f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
+      }
+    }
     if (args.lift(1).contains("ivfpq2")) {
       def show(tag: String, df: => org.apache.spark.sql.DataFrame): Unit = {
         val t0 = System.nanoTime()

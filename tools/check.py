@@ -87,8 +87,12 @@ def fresh_con(sf):
     # otherwise burn the retry loop's full backoff before FAILing);
     # threads stay low because the co-loaded host refuses allocation
     # bursts, and fewer threads touch less memory at once.
-    con.execute("SET threads = 4")
-    con.execute("SET memory_limit = '12GB'")
+    # env overrides for standalone scale-evidence runs (sf1 rehearsal:
+    # the blocked-Jaccard edge oracles want real parallelism); driver
+    # behavior unchanged when the vars are unset
+    import os
+    con.execute(f"SET threads = {int(os.environ.get('GRAFT_DUCK_THREADS', 4))}")
+    con.execute(f"SET memory_limit = '{os.environ.get('GRAFT_DUCK_MEM', '12GB')}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     return con
