@@ -84,11 +84,34 @@ object Nsw {
         .select(col("u"), col("v"))
     }
 
+  /** Deterministic LONG-RANGE links (the Watts–Strogatz small-world
+    * augmentation): `far` ring edges per vertex, u → (u + k·n/(far+1))
+    * mod n. Vector ids are random with respect to geometry, so ring
+    * links are effectively uniform random long links — the rewiring
+    * that makes a neighborhood graph navigable. Pure integer arithmetic
+    * of (u, k, n) on both engines. */
+  private[graft] def farLinks(s: SparkSession, d: String,
+      far: Int): DataFrame = {
+    val nDf = Tables.embeddings(s, d).agg(count(lit(1)).as("nn"))
+    Tables.embeddings(s, d).select(col("vec_id").as("u"))
+      .crossJoin(broadcast(nDf))
+      .select(col("u"), explode(sequence(lit(1), lit(far))).as("k"),
+        col("nn"))
+      .select(col("u"),
+        pmod(col("u") + expr(s"k * nn DIV ${far + 1}"), col("nn")).as("v"))
+      .where(col("v") =!= col("u"))
+  }
+
+  private[graft] def adjacencyWithFar(s: SparkSession, d: String,
+      far: Int): DataFrame =
+    if (far == 0) adjacency(s, d)
+    else adjacency(s, d).unionByName(farLinks(s, d, far)).distinct()
+
   /** One beam-search step: grow by out-neighbors, union the old beam
     * (monotone best-so-far), dedup, re-score, keep top-B. */
   private def hop(s: SparkSession, d: String, beam: DataFrame,
-      b: Int = B): DataFrame = {
-    val adj = adjacency(s, d)
+      b: Int = B, far: Int = 0): DataFrame = {
+    val adj = adjacencyWithFar(s, d, far)
     val grown = beam
       .join(adj.hint("shuffle_hash"), beam("cand") === adj("u"))
       .select(col("qid"), col("v").as("cand"))
@@ -114,14 +137,15 @@ object Nsw {
   }
 
   private[graft] def nswTopkAt(s: SparkSession, d: String,
-      hops: Int, b: Int = B, e: Int = E): DataFrame = {
+      hops: Int, b: Int = B, e: Int = E, far: Int = 0): DataFrame = {
     val qs = Tables.repartitioned(Tables.embeddings(s, d), s)
       .select(col("vec_id").as("qid"))
     val entries = Tables.embeddings(s, d).where(col("vec_id") < e)
       .select(col("vec_id").as("cand"))
     val beam0 = qs.crossJoin(broadcast(entries))
       .where(col("cand") =!= col("qid"))
-    val beamH = (1 to hops).foldLeft(beam0)((bm, _) => hop(s, d, bm, b))
+    val beamH = (1 to hops).foldLeft(beam0)((bm, _) =>
+      hop(s, d, bm, b, far))
     rank(s, d, beamH).where(col("rn") <= K)
       .select(col("qid"), col("rn").as("rnk"), col("cand").as("cid"),
         round(col("dist"), 6).as("dist"))
@@ -134,9 +158,9 @@ object Nsw {
     Ann.recallOf(s, d, nswTopk(s, d).select(col("qid"), col("cid")))
 
   private[graft] def nswRecallAt(s: SparkSession, d: String,
-      hops: Int, b: Int = B, e: Int = E): DataFrame =
+      hops: Int, b: Int = B, e: Int = E, far: Int = 0): DataFrame =
     Ann.recallOf(s, d,
-      nswTopkAt(s, d, hops, b, e).select(col("qid"), col("cid")))
+      nswTopkAt(s, d, hops, b, e, far).select(col("qid"), col("cid")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_nsw_topk" -> (nswTopk _),

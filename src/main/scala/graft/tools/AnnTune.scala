@@ -49,6 +49,16 @@ object AnnTune {
           Ann.ivfpqRecallTrainedAt(spark, sfDir, Ann.C, p))
       }
     }
+    if (args.lift(1).contains("budget")) {
+      for (p <- Seq(16, 24, 50)) {
+        val t0 = System.nanoTime()
+        val r = Ann.recallTrainedAt(spark, sfDir, Ann.C, p).collect()(0)
+        println(f"[anntune] ivf trained C=${Ann.C} P=$p%3d " +
+          f"scan=${p.toDouble / Ann.C}%.3f " +
+          f"recall=${r.getAs[Double]("recall")}%.4f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
+      }
+    }
     if (args.lift(1).contains("rt")) {
       val c = args(2).toInt
       val p = args(3).toInt
@@ -58,11 +68,12 @@ object AnnTune {
         f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
     }
     if (args.lift(1).contains("nsw")) {
-      for ((h, b, e) <- Seq((4, 16, 8), (4, 32, 8), (4, 48, 8),
-          (5, 32, 8), (4, 32, 32), (5, 48, 32))) {
+      for ((h, b, e, f) <- Seq((4, 48, 8, 0), (4, 48, 8, 8),
+          (5, 48, 8, 8), (6, 48, 8, 8), (5, 48, 8, 16), (6, 64, 8, 16))) {
         val t0 = System.nanoTime()
-        val r = graft.ops.Nsw.nswRecallAt(spark, sfDir, h, b, e).collect()(0)
-        println(f"[anntune] nsw H=$h B=$b E=$e " +
+        val r = graft.ops.Nsw.nswRecallAt(spark, sfDir, h, b, e, f)
+          .collect()(0)
+        println(f"[anntune] nsw H=$h B=$b E=$e F=$f " +
           f"recall=${r.getAs[Double]("recall")}%.4f " +
           f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
       }
