@@ -31,6 +31,18 @@ object Relational {
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(9,2))"
   private val decDisc  = "(1 - CAST(l_discount AS DECIMAL(3,2)))"
   private val decTax   = "(1 + CAST(l_tax AS DECIMAL(3,2)))"
+  // Decimal-sum → double policy (SURVEY §8 entry 32, found at the sf1
+  // rehearsal): CAST(decimal AS DOUBLE) is exact only while the sum
+  // stays below 2^53 scale-units; past that, Spark's
+  // BigDecimal.doubleValue and DuckDB's value·10⁻ˢ double-rounding can
+  // disagree by one ulp. Every scale-4 revenue sum (price·(1−disc),
+  // the family that crosses next at ~sf10-100) and the scale-6
+  // sum_charge therefore convert through explicit integer scale-units
+  // — CAST(sum·10^s AS BIGINT) AS DOUBLE, then ONE division — the
+  // identical IEEE sequence on both engines at any magnitude, and
+  // bit-equal to the plain cast below 2^53. Scale-2 sums keep the
+  // plain cast (3 more orders of headroom); the true unbounded-scale
+  // form emits DECIMAL.
 
   /** B1/B2: scan + projection + predicate pushdown. The filter and the
     * 4-column projection both reach the parquet scan (PushedFilters /
@@ -70,7 +82,8 @@ object Relational {
       .agg(
         count(lit(1)).as("n_lines"),
         sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact
-        expr(s"CAST(sum($decPrice * $decDisc) AS DOUBLE)").as("revenue"))
+        expr(s"CAST(CAST(sum($decPrice * $decDisc) * 10000 AS BIGINT) " +
+          "AS DOUBLE) / 10000.0").as("revenue"))
       .orderBy(col("o_orderpriority"))
 
   /** B34: composed TPC-H Q5/Q9-shape flagship — the full star topology
@@ -101,7 +114,8 @@ object Relational {
       .groupBy(col("r_name"), col("n_name"), col("p_brand"))
       .agg(
         count(lit(1)).as("n_lines"),
-        expr(s"CAST(sum($decPrice * $decDisc) AS DOUBLE)").as("revenue"))
+        expr(s"CAST(CAST(sum($decPrice * $decDisc) * 10000 AS BIGINT) " +
+          "AS DOUBLE) / 10000.0").as("revenue"))
       // revenue is a cast of an exact decimal sum, so DESC order is
       // engine-stable; the group key completes the total order
       .orderBy(col("revenue").desc, col("r_name"), col("n_name"),
@@ -137,7 +151,8 @@ object Relational {
       .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_lines"),
-        expr(s"CAST(sum($decPrice * $decDisc) AS DOUBLE)").as("revenue"))
+        expr(s"CAST(CAST(sum($decPrice * $decDisc) * 10000 AS BIGINT) " +
+          "AS DOUBLE) / 10000.0").as("revenue"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -206,7 +221,8 @@ object Relational {
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
         expr(s"CAST(sum($decPrice) AS DOUBLE)").as("sum_base_price"),
-        expr(s"CAST(sum($decPrice * $decDisc) AS DOUBLE)").as("sum_disc_price"),
+        expr(s"CAST(CAST(sum($decPrice * $decDisc) * 10000 AS BIGINT) " +
+          "AS DOUBLE) / 10000.0").as("sum_disc_price"),
         // scale-6 decimal → double through EXPLICIT integer micro-units:
         // below 2^53 µ-units CAST(decimal AS DOUBLE) is exact and the
         // engines agree for free, but the sf1 rehearsal crossed it
@@ -500,7 +516,8 @@ object Relational {
     val c = Tables.customer(s, d)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
-      .agg(expr(s"CAST(sum($decPrice * $decDisc) AS DOUBLE)").as("revenue"))
+      .agg(expr(s"CAST(CAST(sum($decPrice * $decDisc) * 10000 AS BIGINT) " +
+          "AS DOUBLE) / 10000.0").as("revenue"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
@@ -1171,7 +1188,8 @@ object Relational {
           fact("salt") === dim("salt"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        expr(s"CAST(sum($decPrice * $decDisc) AS DOUBLE)").as("revenue"))
+        expr(s"CAST(CAST(sum($decPrice * $decDisc) * 10000 AS BIGINT) " +
+          "AS DOUBLE) / 10000.0").as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -1461,9 +1479,9 @@ object Relational {
     // the bloom prefilter is cost-only: the oracle is the plain semi join
     "b38_bloom_semi" ->
       """SELECT l_returnflag, count(*) AS n_lines,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) *
-        |           (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
-        |    AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(3,2)))) * 10000
+        |    AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
@@ -1657,9 +1675,9 @@ object Relational {
     // engine's salted sub-stream reassociation exact
     "b42_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) *
-        |           (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
-        |    AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(3,2)))) * 10000
+        |    AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "b29_salted_agg" ->
@@ -1736,7 +1754,7 @@ object Relational {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "b04_join_shuffle" ->
       """SELECT o_orderpriority, count(*) AS n_lines, sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "b05_join_left" ->
@@ -1777,7 +1795,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
         |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS avg_price,
@@ -1918,8 +1936,9 @@ object Relational {
     "b34_star_join" ->
       """SELECT r_name, n_name, p_brand,
         |  count(*) AS n_lines,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) *
-        |           (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(3,2)))) * 10000
+        |    AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -2034,7 +2053,7 @@ object Relational {
     "b12_topk_customers" ->
       """SELECT c_custkey, c_name, revenue FROM (
         |  SELECT o_custkey,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  GROUP BY o_custkey) r
         |JOIN customer ON o_custkey = c_custkey
