@@ -41,7 +41,12 @@ object Ann {
     * there the same index reaches the bar at far smaller P/C — C and P
     * are the two knobs a deployment retunes per corpus (index build is
     * amortized once; probe cost is per-query, so minimizing P/C is what
-    * matters at 100 TB). */
+    * matters at 100 TB). The retune doctrine carries MEASURED evidence
+    * as of r10 (SCALE_r10.md §3): at the 10× sf1 fixture the fixed
+    * C=256 index decays to 0.880 (0.980 → 0.911 → 0.880 at 500/2k/20k
+    * vectors) while the standard C ≈ 4√n retune (C=512, P=192 — the
+    * same scan fraction) restores 0.915; tools.ScaleCheck asserts the
+    * bar on the retuned index. */
   val C = 256 // coarse centroids
   val P = 96 // probed lists per query
   val K = 10
