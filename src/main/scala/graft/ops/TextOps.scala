@@ -1601,8 +1601,9 @@ object TextOps {
          |      range(1, len(tk) - 3),
          |      i -> array_to_string(list_slice(tk, i, i + 4), ' ')))) AS t
          |  FROM tok WHERE len(tk) >= 5),
-         |h AS (SELECT doc_id, ${toSigned(s"(${fnvFold(FnvOffU)})")} AS gh
-         |      FROM g),
+         |h AS MATERIALIZED (
+         |  SELECT doc_id, ${toSigned(s"(${fnvFold(FnvOffU)})")} AS gh
+         |  FROM g),
          |f AS (SELECT gh, min(doc_id) AS first_doc FROM h GROUP BY gh)
          |SELECT h.doc_id, count(*) AS n_grams,
          |  CAST(sum(CASE WHEN h.doc_id = f.first_doc THEN 1 ELSE 0 END)
