@@ -1488,7 +1488,7 @@ object TextOps {
        |sigl AS (
        |  SELECT doc_id, i // 8 AS band, list(sv ORDER BY i) AS sigs
        |  FROM sig GROUP BY doc_id, i // 8),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, band, $bandFold AS bucket FROM sigl)""".stripMargin
   }
 
@@ -1524,14 +1524,15 @@ object TextOps {
     * (doc_id, cluster_id, cluster_size). */
   private lazy val lshClosureCte: String =
     s"""$lshBandsCte,
-       |star AS (
+       |star AS MATERIALIZED (
        |  SELECT b.doc_id AS u, m.rep AS v
        |  FROM bands b JOIN (
        |    SELECT band, bucket, min(doc_id) AS rep FROM bands
        |    GROUP BY band, bucket) m
        |  USING (band, bucket)
        |  WHERE b.doc_id <> m.rep),
-       |bi AS (SELECT u, v FROM star UNION ALL SELECT v, u FROM star),
+       |bi AS MATERIALIZED (
+       |  SELECT u, v FROM star UNION ALL SELECT v, u FROM star),
        |reach(u, v) AS (
        |  SELECT u, v FROM bi
        |  UNION
@@ -1568,8 +1569,9 @@ object TextOps {
          |    array_to_string(list_slice(tk, i, i + 4), ' ') AS t
          |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
          |        FROM tok WHERE len(tk) >= 5) x),
-         |h AS (SELECT doc_id, pos, ${toSigned(s"(${fnvFold(FnvOffU)})")} AS gh
-         |      FROM pg),
+         |h AS MATERIALIZED (
+         |  SELECT doc_id, pos, ${toSigned(s"(${fnvFold(FnvOffU)})")} AS gh
+         |  FROM pg),
          |rare AS (
          |  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df
          |                  FROM h GROUP BY gh) z

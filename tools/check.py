@@ -93,6 +93,9 @@ def fresh_con(sf):
     import os
     con.execute(f"SET threads = {int(os.environ.get('GRAFT_DUCK_THREADS', 4))}")
     con.execute(f"SET memory_limit = '{os.environ.get('GRAFT_DUCK_MEM', '12GB')}'")
+    # spill OUTSIDE the repo: DuckDB's default temp dir is cwd/.tmp,
+    # which a `git add -A` can sweep into history (it did, once)
+    con.execute("SET temp_directory = '/tmp/graft_duck_tmp'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     return con
