@@ -416,11 +416,20 @@ object Ann {
     val lutBroadcast =
       !s.conf.getOption(LutBroadcastConf).contains("false")
     val lutSide = if (lutBroadcast) broadcast(lut) else lut.hint("shuffle_hash")
+    // The positional element_at assumes codeword ids are contiguous from
+    // 0 (true by construction: the codebook is `vec_id < PqCw`). If that
+    // precondition ever broke — gapped ids after a fixture change — the
+    // lookup would return null and nulls sort FIRST under the ascending
+    // ADC window, silently corrupting the candidate set. Fail loudly
+    // instead: a null ADC is always a bug, never data.
+    val adcSum = (0 until PqM).map(m =>
+        element_at(col(s"lut$m"), col(s"code$m").cast("int") + 1))
+      .reduce(_ + _)
     val scored = pairs.join(lutSide, Seq("qid"))
       .select(col("qid"), col("cid"),
-        (0 until PqM).map(m =>
-          element_at(col(s"lut$m"), col(s"code$m").cast("int") + 1))
-          .reduce(_ + _).as("adc"))
+        coalesce(adcSum, raise_error(lit(
+          "ADC LUT lookup returned null - non-contiguous codeword ids?"))
+          .cast("double")).as("adc"))
     val wAdc = Window.partitionBy(col("qid"))
       .orderBy(col("adc").asc, col("cid").asc)
     val rlim = Tables.embeddings(s, d).agg(
@@ -527,12 +536,29 @@ object Ann {
     * query session pays probe cost only. */
   val IndexDirConf = "spark.graft.ann.indexDir"
 
+  /** Cheap corpus fingerprint (row count + max vec_id), memoized per
+    * (session, dataset): folded into the index path so regenerating a
+    * fixture IN PLACE (e.g. re-running MakeSf into the same dir at a
+    * different scale) can never silently serve a stale index — the path
+    * changes with the corpus, and the old artifact is just dead weight.
+    * Count + max come from parquet footer stats, no data scan. */
+  private val fpCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusFingerprint(s: SparkSession, d: String): String =
+    fpCache.getOrElseUpdate((s, d), {
+      val r = Tables.embeddings(s, d)
+        .agg(count(lit(1)), max(col("vec_id"))).head()
+      s"n${r.getLong(0)}x${r.getLong(1)}"
+    })
+
   private def indexPath(s: SparkSession, d: String): String = {
     val root = s.conf.getOption(IndexDirConf)
       .getOrElse("spark-warehouse/graft_ann_index")
-    // the path is versioned by every constant the artifact depends on,
-    // so retuning C/P/M can never silently serve a stale index
-    s"$root/v1_C${C}_L${LloydIters}_M${PqM}_Cw${PqCw}_${graft.Tables.dirTag(d)}"
+    // the path is versioned by every constant the artifact depends on
+    // AND a corpus fingerprint, so neither retuning C/P/M nor an
+    // in-place fixture regeneration can silently serve a stale index
+    s"$root/v1_C${C}_L${LloydIters}_M${PqM}_Cw${PqCw}_" +
+      s"${corpusFingerprint(s, d)}_${graft.Tables.dirTag(d)}"
   }
 
   /** BUILD once, idempotently: trained centroids, the inverted lists
@@ -544,19 +570,40 @@ object Ann {
     * (quantized means, IEEE distances), so index-from-disk ≡
     * index-recomputed — which is what lets the indexed queries keep
     * full DuckDB oracles. */
+  /** In-JVM guard so two sessions hitting the same unbuilt path can
+    * never interleave writes; combined with build-into-temp + one atomic
+    * directory rename below, a reader either sees no index (and builds)
+    * or a fully-committed one — never a half-written lists directory.
+    * Cross-JVM writers racing on the same local warehouse dir are out of
+    * contract (a cluster deployment would build through its table
+    * catalog's transaction instead). */
+  private val buildLock = new Object
+
   private def ensureIndex(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
     val path = indexPath(s, d)
-    val marker = new org.apache.hadoop.fs.Path(path, "_BUILT")
+    val marker = new Path(path, "_BUILT")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      trainedCentroids(s, d)
-        .write.mode("overwrite").parquet(s"$path/centroids")
-      trainedAssignments(s, d)
-        .select(col("vec_id"), col("embedding"), col("cdist"), col("cent_id"))
-        .write.mode("overwrite").partitionBy("cent_id")
-        .parquet(s"$path/lists")
-      pqCodes(s, d).write.mode("overwrite").parquet(s"$path/codes")
-      fs.create(marker, true).close()
+    if (!fs.exists(marker)) buildLock.synchronized {
+      if (!fs.exists(marker)) {
+        // build into a temp sibling, commit via one atomic rename
+        val tmp = new Path(
+          s"${path}__build_${java.util.UUID.randomUUID.toString.take(8)}")
+        trainedCentroids(s, d)
+          .write.mode("overwrite").parquet(s"$tmp/centroids")
+        trainedAssignments(s, d)
+          .select(col("vec_id"), col("embedding"), col("cdist"), col("cent_id"))
+          .write.mode("overwrite").partitionBy("cent_id")
+          .parquet(s"$tmp/lists")
+        pqCodes(s, d).write.mode("overwrite").parquet(s"$tmp/codes")
+        fs.create(new Path(tmp, "_BUILT"), true).close()
+        if (!fs.rename(tmp, new Path(path))) {
+          // a racing external writer won; serve theirs if committed
+          fs.delete(tmp, true)
+          if (!fs.exists(marker)) throw new IllegalStateException(
+            s"ANN index commit failed and no committed index at $path")
+        }
+      }
     }
     path
   }

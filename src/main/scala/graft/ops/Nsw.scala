@@ -34,8 +34,10 @@ import graft.functions.VectorExpressions
   *
   * Scale shape: per hop, one shuffle-hash join of the (qid, cand) beam
   * against the M-regular adjacency list plus one per-query window —
-  * n_q·B·M rows in flight, never n². The search touches
-  * E + H·B·M ≈ 1000 candidates per query regardless of corpus size —
+  * n_q·B·M rows in flight, never n². The search touches at most
+  * E + H·B·M ≈ 3.1k candidate slots per query (8 + 4·48·16 = 3080;
+  * distinct vertices visited are well below — beams overlap) regardless
+  * of corpus size —
   * the sublinear-probe property that makes graph ANN the serving tier;
   * at 100 TB the adjacency is bucketed by u exactly like the IVF lists
   * by cent_id. Every query here is leave-one-out like the rest of the
@@ -89,7 +91,13 @@ object Nsw {
     * mod n. Vector ids are random with respect to geometry, so ring
     * links are effectively uniform random long links — the rewiring
     * that makes a neighborhood graph navigable. Pure integer arithmetic
-    * of (u, k, n) on both engines. */
+    * of (u, k, n) on both engines.
+    *
+    * PRECONDITION: vec_ids are contiguous 0..n−1 (the fixture contract,
+    * FIXTURES.md). With gapped ids the ring formula would emit edges to
+    * nonexistent vertices, silently dropped by the downstream inner
+    * joins — a gapped corpus must dense-rank its ids first. Tool/tuning
+    * path only; the declared nswTopk uses far=0. */
   private[graft] def farLinks(s: SparkSession, d: String,
       far: Int): DataFrame = {
     val nDf = Tables.embeddings(s, d).agg(count(lit(1)).as("nn"))

@@ -367,7 +367,20 @@ object Streams {
     * equals the batch GROUP BY regardless of how files land in
     * micro-batches — which is what lets this streaming WRITE carry a
     * plain batch DuckDB oracle. */
-  def upsertWarehouse(s: SparkSession, d: String): DataFrame = {
+  /** Per-dataset locks: two same-JVM invocations against one dataset
+    * serialize instead of racing the delete-at-start against the other's
+    * live checkpoint (parallel test/bench runs). Cross-JVM runs sharing
+    * one cwd are out of contract — a deployment scopes the sink root per
+    * pipeline, and the declared result is a pure function of the fixture
+    * either way. */
+  private val sinkLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  def upsertWarehouse(s: SparkSession, d: String): DataFrame =
+    sinkLocks.getOrElseUpdate(graft.Tables.dirTag(d), new Object)
+      .synchronized { upsertWarehouseLocked(s, d) }
+
+  private def upsertWarehouseLocked(s: SparkSession, d: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val root = s"spark-warehouse/graft_stream_sink/${graft.Tables.dirTag(d)}"
     val stage = s"$root/stage"
