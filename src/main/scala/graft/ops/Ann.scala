@@ -93,10 +93,17 @@ object Ann {
     * sessions also self-evict on application end. */
   def clearCache(): Unit = assignCache.clear()
 
-  /** (vec_id, cent_id) inverted-list assignment under `cents`. */
+  /** (vec_id, cent_id) inverted-list assignment under `cents`; `rows`
+    * optionally restricts WHICH vectors are assigned (the incremental-
+    * maintenance path assigns only a delta batch) — the rule itself is
+    * per-vector independent, which is exactly why incremental ≡ rebuilt
+    * holds bit-for-bit under a frozen quantizer. */
   private def buildAssignments(s: SparkSession, d: String,
-      cents: DataFrame): DataFrame = {
-    val e = Tables.repartitioned(Tables.embeddings(s, d), s)
+      cents: DataFrame, rows: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    val all = Tables.embeddings(s, d)
+    val e = Tables.repartitioned(
+        rows.map(all.where).getOrElse(all), s)
       .select(col("vec_id"), col("embedding"))
     // argmin as min_by over the unique (cdist, cent_id) order — an
     // AGGREGATE, so the n·C candidate rows collapse map-side (partial
@@ -205,7 +212,7 @@ object Ann {
     * query vector drop `qv`. Shared by the exact-within-lists IVF tier
     * and the IVFPQ composition so a tie-break or P change can never
     * drift between them. */
-  private def probesOf(s: SparkSession, d: String, cents: DataFrame,
+  private[ops] def probesOf(s: SparkSession, d: String, cents: DataFrame,
       p: Int): DataFrame = {
     val e = Tables.repartitioned(Tables.embeddings(s, d), s)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -843,7 +850,7 @@ object Ann {
   // ---------------------------------------------------------------- SQL
 
   /** Seed centroids as a CTE named `cents` (REAL[] vectors). */
-  private val seedCentsCte =
+  private[ops] val seedCentsCte =
     s"""cents0 AS (
        |  SELECT vec_id AS cent_id, embedding AS cent_vec
        |  FROM embeddings WHERE vec_id < $C)""".stripMargin
@@ -880,7 +887,7 @@ object Ann {
   /** assignment + probe CTEs against centroid CTE `from` — the IVF
     * routing half, shared by the exact-within-lists chain ([[ivfCtes]])
     * and the IVFPQ composition. */
-  private def assignProbeCtes(from: String, p: Int = P): String =
+  private[ops] def assignProbeCtes(from: String, p: Int = P): String =
     s"""assign AS (
        |  SELECT vec_id, embedding, cent_id FROM (
        |    SELECT e.vec_id, e.embedding, c.cent_id,

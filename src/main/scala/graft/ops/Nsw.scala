@@ -17,11 +17,22 @@ import graft.functions.VectorExpressions
   * pin. This variant removes the order dependence while keeping the
   * search structure the production index exists for:
   *
-  *  1. BUILD: the graph is each vector's exact [[M]] nearest neighbors —
-  *     a pure function of the corpus (one ranked pair table, the same
-  *     computation the A-block certifies). Production builds this
-  *     incrementally/approximately; the exact build is the bit-stable
-  *     form a correctness gate can hold.
+  *  1. BUILD (sub-quadratic as of round 11): the graph is each vector's
+  *     approximate [[M]] nearest neighbors from a deterministic
+  *     NN-descent — seed candidates from the IVF cell assignment (each
+  *     vector meets the members of its [[PAdj]] nearest seed cells — the
+  *     c38 SemDeDup pair-space trick applied to graph construction) plus
+  *     a [[RingD]]-wide id-ring (connectivity floor; ids are random wrt
+  *     geometry), then [[DescentRounds]] fixed rounds of
+  *     neighbors-of-neighbors refinement (Dong et al.'s NN-descent with
+  *     the sampling removed: symmetrize, 2-hop expand, keep best M).
+  *     Every step is a pure function of the corpus (fixed seed rule,
+  *     fixed rounds, total-order tie-breaks), so the built graph — and
+  *     therefore the whole search — still carries a DuckDB oracle. The
+  *     round-10 exact build (O(n²) distance evaluations, 85.7 s at 20 k
+  *     vectors) survives as [[exactAdjacency]] for the
+  *     approximation-quality law only; nothing on a query path is
+  *     all-pairs anymore.
   *  2. SEARCH: beam search from [[E]] fixed entry points, [[H]] hops
   *     statically unrolled into one declarative plan (the Lloyd's/
   *     pagerank discipline — no driver-side loop). Each hop grows the
@@ -62,15 +73,97 @@ object Nsw {
   /** Fixed entry points: the E lowest vector ids (the IVF seed rule). */
   val E = 8
   val K = 10
+  /** Probed seed cells per vector in the approximate build: candidates
+    * from a vector's PAdj nearest IVF cells ≈ PAdj·n/C per vector — the
+    * n²·PAdj/C seeding term that replaces the n² exact build, and the
+    * term the C ≈ 4√n retune turns into O(n^1.5) at 100 TB. */
+  val PAdj = 8
+  /** Id-ring half-width: u ↔ (u±δ) mod n, δ ≤ RingD, as extra seed
+    * candidates — a connectivity floor (2·RingD geometry-random links)
+    * so no vector can start with fewer candidates than M even in a
+    * near-empty cell neighborhood. O(n·RingD).
+    * PRECONDITION: contiguous vec_ids 0..n−1 (the fixture contract). */
+  val RingD = 8
+  /** Fixed NN-descent refinement rounds — fixed (not convergence-tested)
+    * so the build is a pure function of the data on both engines (the
+    * Lloyd's-iteration discipline). Each round is O(n·(2M)²). */
+  val DescentRounds = 2
 
   private val cache = new graft.PersistedCache
   def clearCache(): Unit = cache.clear()
 
-  /** (u, v): each vector's M exact nearest neighbors — the navigable
-    * graph. Session-cached like the IVF assignment table (same artifact
-    * class; a deployment would persist it beside the IVF index). */
+  /** Seed candidate edges (u, v), u ≠ v, deduped: IVF-cell-local pairs
+    * (u meets every member of its PAdj nearest seed cells — one keyed
+    * join against the assignment table the IVF tier already maintains)
+    * ∪ the id-ring. */
+  private[graft] def seedCandidates(s: SparkSession, d: String): DataFrame = {
+    val probes = Ann.probesOf(s, d, Ann.centroids(s, d), PAdj)
+      .select(col("qid").as("u"), col("cent_id"))
+    val inv = Ann.assignments(s, d)
+      .select(col("cent_id"), col("vec_id").as("v"))
+    val cell = probes.join(inv.hint("shuffle_hash"), Seq("cent_id"))
+      .select(col("u"), col("v"))
+    val nDf = Tables.embeddings(s, d).agg(count(lit(1)).as("nn"))
+    val ring = Tables.embeddings(s, d).select(col("vec_id").as("u"))
+      .crossJoin(broadcast(nDf))
+      .select(col("u"),
+        explode(sequence(lit(-RingD), lit(RingD))).as("dlt"), col("nn"))
+      .where(col("dlt") =!= 0)
+      .select(col("u"), pmod(col("u") + col("dlt"), col("nn")).as("v"))
+    cell.unionByName(ring).where(col("u") =!= col("v")).distinct()
+  }
+
+  /** Score candidate edges and keep each u's best M under the (dist, v)
+    * total order — the one definition of "keep best M" shared by the
+    * seed cut and every descent round. */
+  private def bestM(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
+    val eu = Tables.embeddings(s, d)
+      .select(col("vec_id").as("u"), col("embedding").as("uv"))
+    val ev = Tables.embeddings(s, d)
+      .select(col("vec_id").as("v"), col("embedding").as("vv"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("dist").asc, col("v").asc)
+    cands.join(eu, Seq("u")).join(ev, Seq("v"))
+      .select(col("u"), col("v"),
+        VectorExpressions.cosine_distance(s, col("uv"), col("vv"))
+          .as("dist"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= M)
+      .select(col("u"), col("v"))
+  }
+
+  /** One NN-descent round: symmetrize, expand to 2-hop neighbors (a
+    * neighbor of my neighbor is my candidate), keep each u's best M of
+    * old ∪ expanded. Candidate volume ≤ n·(2M)² — linear in n at fixed
+    * degree, the property that makes the build sub-quadratic. */
+  private def descend(s: SparkSession, d: String, g: DataFrame): DataFrame = {
+    val sym = g.unionByName(
+      g.select(col("v").as("u"), col("u").as("v"))).distinct()
+    val hop2 = sym.as("a").join(sym.as("b"), col("a.v") === col("b.u"))
+      .select(col("a.u").as("u"), col("b.v").as("v"))
+    val cands = g.unionByName(hop2)
+      .where(col("u") =!= col("v")).distinct()
+    bestM(s, d, cands)
+  }
+
+  /** (u, v): each vector's approximate M nearest neighbors — the
+    * navigable graph, built sub-quadratically (see object scaladoc §1).
+    * Session-cached like the IVF assignment table (same artifact class;
+    * a deployment would persist it beside the IVF index). Per-round
+    * localCheckpoint = the iterative-plan barrier (the Lloyd's/
+    * star-contraction discipline). */
   private[graft] def adjacency(s: SparkSession, d: String): DataFrame =
     cache.getOrBuild(s, s"$d#nswAdj") {
+      val g0 = bestM(s, d, seedCandidates(s, d)).localCheckpoint(true)
+      (1 to DescentRounds).foldLeft(g0)((g, _) =>
+        descend(s, d, g).localCheckpoint(true))
+    }
+
+  /** The round-10 exact M-NN graph (O(n²) broadcast cross join) — kept
+    * ONLY as the reference for the approximation-quality law (NswSpec:
+    * the approximate graph must recover ≥90% of the exact edges) and
+    * for tuning sweeps. Not reachable from any declared query. */
+  private[graft] def exactAdjacency(s: SparkSession, d: String): DataFrame =
+    cache.getOrBuild(s, s"$d#nswAdjExact") {
       val e = Tables.repartitioned(Tables.embeddings(s, d), s)
         .select(col("vec_id"), col("embedding"))
       val c = Tables.embeddings(s, d)
@@ -111,15 +204,18 @@ object Nsw {
   }
 
   private[graft] def adjacencyWithFar(s: SparkSession, d: String,
-      far: Int): DataFrame =
-    if (far == 0) adjacency(s, d)
-    else adjacency(s, d).unionByName(farLinks(s, d, far)).distinct()
+      far: Int, adjOverride: Option[DataFrame] = None): DataFrame = {
+    val base = adjOverride.getOrElse(adjacency(s, d))
+    if (far == 0) base
+    else base.unionByName(farLinks(s, d, far)).distinct()
+  }
 
   /** One beam-search step: grow by out-neighbors, union the old beam
     * (monotone best-so-far), dedup, re-score, keep top-B. */
   private def hop(s: SparkSession, d: String, beam: DataFrame,
-      b: Int = B, far: Int = 0): DataFrame = {
-    val adj = adjacencyWithFar(s, d, far)
+      b: Int = B, far: Int = 0,
+      adjOverride: Option[DataFrame] = None): DataFrame = {
+    val adj = adjacencyWithFar(s, d, far, adjOverride)
     val grown = beam
       .join(adj.hint("shuffle_hash"), beam("cand") === adj("u"))
       .select(col("qid"), col("v").as("cand"))
@@ -145,7 +241,8 @@ object Nsw {
   }
 
   private[graft] def nswTopkAt(s: SparkSession, d: String,
-      hops: Int, b: Int = B, e: Int = E, far: Int = 0): DataFrame = {
+      hops: Int, b: Int = B, e: Int = E, far: Int = 0,
+      adjOverride: Option[DataFrame] = None): DataFrame = {
     val qs = Tables.repartitioned(Tables.embeddings(s, d), s)
       .select(col("vec_id").as("qid"))
     val entries = Tables.embeddings(s, d).where(col("vec_id") < e)
@@ -153,7 +250,7 @@ object Nsw {
     val beam0 = qs.crossJoin(broadcast(entries))
       .where(col("cand") =!= col("qid"))
     val beamH = (1 to hops).foldLeft(beam0)((bm, _) =>
-      hop(s, d, bm, b, far))
+      hop(s, d, bm, b, far, adjOverride))
     rank(s, d, beamH).where(col("rn") <= K)
       .select(col("qid"), col("rn").as("rnk"), col("cand").as("cid"),
         round(col("dist"), 6).as("dist"))
@@ -166,9 +263,11 @@ object Nsw {
     Ann.recallOf(s, d, nswTopk(s, d).select(col("qid"), col("cid")))
 
   private[graft] def nswRecallAt(s: SparkSession, d: String,
-      hops: Int, b: Int = B, e: Int = E, far: Int = 0): DataFrame =
+      hops: Int, b: Int = B, e: Int = E, far: Int = 0,
+      adjOverride: Option[DataFrame] = None): DataFrame =
     Ann.recallOf(s, d,
-      nswTopkAt(s, d, hops, b, e, far).select(col("qid"), col("cid")))
+      nswTopkAt(s, d, hops, b, e, far, adjOverride)
+        .select(col("qid"), col("cid")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_nsw_topk" -> (nswTopk _),
@@ -177,12 +276,38 @@ object Nsw {
 
   // ---------------------------------------------------------------- SQL
 
-  /** The identical unrolled chain in DuckDB: exact adjacency from the
-    * shared all-pairs CTE, then per hop grow → dedup → score (distances
-    * re-read from the SAME all-pairs CTE (named npairs: Ann.recallSelect appends its own `pairs`), so every float is the one both
-    * engines computed) → top-B, each step MATERIALIZED (the inlining
-    * lesson — g02/docEdgeSql). Leaves `ranked` (qid, cid, dist, rnk). */
+  /** The identical unrolled chain in DuckDB: the sub-quadratic BUILD
+    * mirrored step for step (IVF seed assignment + PAdj probes — the
+    * same CTE bodies the certified ann_* oracles use — the id-ring,
+    * best-M seed cut, then DescentRounds symmetrize/2-hop/best-M
+    * rounds), then per search hop grow → dedup → score → top-B. Every
+    * distance is re-read from the shared all-pairs CTE (named npairs:
+    * Ann.recallSelect appends its own `pairs`), so every float is the
+    * one both engines computed; the oracle may afford the O(n²) npairs
+    * table at the graded tiers — the ENGINE never builds it. Each step
+    * MATERIALIZED (the inlining lesson — g02/docEdgeSql). Leaves
+    * `ranked` (qid, cid, dist, rnk). */
   private def nswCtes: String = {
+    // one best-M cut: candidates cte -> graph cte
+    def bestMCte(name: String, from: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT u, v FROM (
+         |    SELECT c.u, c.v, row_number() OVER (PARTITION BY c.u
+         |      ORDER BY p.dist ASC, c.v ASC) AS rn
+         |    FROM $from c JOIN npairs p ON p.qid = c.u AND p.cid = c.v) z
+         |  WHERE rn <= $M)""".stripMargin
+    val rounds = (1 to DescentRounds).map { r =>
+      s"""asym$r AS MATERIALIZED (
+         |  SELECT u, v FROM ag${r - 1}
+         |  UNION SELECT v AS u, u AS v FROM ag${r - 1}),
+         |acnd$r AS MATERIALIZED (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT u, v FROM ag${r - 1}
+         |    UNION ALL
+         |    SELECT a.u, b.v FROM asym$r a JOIN asym$r b ON a.v = b.u) x
+         |  WHERE u <> v),
+         |${bestMCte(s"ag$r", s"acnd$r")}""".stripMargin
+    }.mkString(",\n")
     val hops = (1 to H).map { h =>
       s"""g$h AS MATERIALIZED (
          |  SELECT DISTINCT qid, cand FROM (
@@ -200,11 +325,23 @@ object Nsw {
         .stripMargin
     }.mkString(",\n")
     s"""npairs AS MATERIALIZED (${Knn.cosPairs}),
-       |adj AS MATERIALIZED (
-       |  SELECT qid AS u, cid AS v FROM (
-       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-       |      ORDER BY dist ASC, cid ASC) AS rn FROM npairs) z
-       |  WHERE rn <= $M),
+       |${Ann.seedCentsCte},
+       |${Ann.assignProbeCtes("cents0", PAdj)},
+       |nn1 AS (SELECT count(*) AS n FROM embeddings),
+       |aseed AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT p.qid AS u, a.vec_id AS v
+       |    FROM probes p JOIN assign a USING (cent_id)
+       |    UNION ALL
+       |    SELECT e.vec_id AS u,
+       |      ((e.vec_id + dd.d) % nn1.n + nn1.n) % nn1.n AS v
+       |    FROM embeddings e CROSS JOIN nn1
+       |      CROSS JOIN (SELECT unnest(range(-$RingD, ${RingD + 1})) AS d) dd
+       |    WHERE dd.d <> 0) x
+       |  WHERE u <> v),
+       |${bestMCte("ag0", "aseed")},
+       |$rounds,
+       |adj AS (SELECT u, v FROM ag$DescentRounds),
        |b0 AS (
        |  SELECT q.vec_id AS qid, e.vec_id AS cand
        |  FROM embeddings q CROSS JOIN embeddings e

@@ -78,6 +78,29 @@ object AnnTune {
           f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
       }
     }
+    if (args.lift(1).contains("nswbuild")) {
+      import graft.ops.Nsw
+      val t0 = System.nanoTime()
+      val approx = Nsw.adjacency(spark, sfDir)
+      val nEdges = approx.count()
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val exact = Nsw.exactAdjacency(spark, sfDir)
+      val nExact = exact.count()
+      val tExact = (System.nanoTime() - t1) / 1e9
+      val hit = approx.join(exact, Seq("u", "v")).count()
+      println(f"[anntune] nsw build: approx $nEdges edges in $tBuild%.1f s, " +
+        f"exact $nExact in $tExact%.1f s, graph recall=${hit.toDouble / nExact}%.4f")
+      for (exactG <- Seq(false, true)) {
+        val t2 = System.nanoTime()
+        val adjO = if (exactG) Some(Nsw.exactAdjacency(spark, sfDir)) else None
+        val r = Nsw.nswRecallAt(spark, sfDir, graft.ops.Nsw.H,
+          adjOverride = adjO).collect()(0)
+        println(f"[anntune] nsw search exactGraph=$exactG " +
+          f"recall=${r.getAs[Double]("recall")}%.4f " +
+          f"(${(System.nanoTime() - t2) / 1e9}%5.1f s)")
+      }
+    }
     if (args.lift(1).contains("ivfpq2")) {
       def show(tag: String, df: => org.apache.spark.sql.DataFrame): Unit = {
         val t0 = System.nanoTime()

@@ -21,12 +21,21 @@ import org.apache.spark.sql.functions._
   * region/nation don't scale (5/25 rows) and are copied from the seed
   * fixture byte-for-byte semantics by re-writing their rows.
   *
-  * Usage: runMain graft.tools.MakeSf [outDir] [scale vs sf0.1]
+  * Usage: runMain graft.tools.MakeSf [outDir] [scale vs sf0.1] [clustered]
+  *
+  * With the third arg `clustered`, ONLY the embeddings table is written,
+  * and it carries a deterministic Gaussian-mixture structure (64 planted
+  * clusters) instead of the default near-isotropic vectors — the
+  * realistic-corpus case every ANN tier's production claim is about. The
+  * default fixtures stay isotropic on purpose (ANN's no-free-lunch
+  * bounding case); this variant exists to MEASURE the separation
+  * (ScaleCheck's clustered rows, SCALE_r11.md).
   */
 object MakeSf {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("localdata/sf1")
     val scale = args.lift(1).map(_.toDouble).getOrElse(10.0)
+    val clustered = args.lift(2).contains("clustered")
     val seed = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -65,6 +74,14 @@ object MakeSf {
       fs.rename(part, dst)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       println(s"[makesf] $table: written")
+    }
+
+    // clustered mode: embeddings only (the ANN tools read nothing else)
+    if (clustered) {
+      writeClusteredEmbeddings(spark, writeOne, nVecs)
+      println(s"[makesf] done (clustered embeddings only): $out")
+      spark.stop()
+      return
     }
 
     // -------- region / nation: copied (they don't scale)
@@ -232,5 +249,43 @@ object MakeSf {
 
     println(s"[makesf] done: $out at scale=$scale")
     spark.stop()
+  }
+
+  /** Deterministic Gaussian-mixture embeddings: 64 hashed cluster
+    * centers (standard-normal 64-d), every vector = center(cluster(id))
+    * + σ·hashed noise, unit-normalized — pure xxhash64 functions of
+    * (cluster, j) and (id, j) like everything else MakeSf emits. With
+    * σ = 0.5, within-cluster cosine ≈ 1/√(1+σ²) ≈ 0.89 and the centers
+    * are near-orthogonal in 64-d (between-cluster cos ≈ 0): the
+    * structure real embedding corpora have and the isotropic default
+    * deliberately lacks. label = cluster mod 10 keeps the fixture's
+    * 10-label shape. */
+  private def writeClusteredEmbeddings(spark: SparkSession,
+      writeOne: (DataFrame, String) => Unit, nVecs: Long): Unit = {
+    val dim = 64
+    val nClusters = 64L
+    val sigma = 0.5
+    def uu(key: Column, j: Column, salt: String): Column =
+      pmod(xxhash64(key, j, lit(salt)), lit(1000000000L)) / 1e9
+    def gaussOf(key: Column, saltA: String, saltB: String): Column =
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        sqrt(lit(-2.0) * log(lit(1.0) - uu(key, j, saltA)))
+          * cos(lit(2.0 * math.Pi) * uu(key, j, saltB)))
+    def unit(v: Column): Column = {
+      val n = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+      transform(v, x => (x / n).cast("float"))
+    }
+    val df = spark.range(nVecs)
+      .select(col("id"),
+        pmod(xxhash64(col("id"), lit("vclu")), lit(nClusters)).as("cl"))
+      .select(col("id"), col("cl"),
+        zip_with(gaussOf(col("cl"), "cca", "ccb"),
+          gaussOf(col("id"), "cva", "cvb"),
+          (c, g) => c + g * sigma).as("v"))
+    writeOne(df.select(
+      col("id").as("vec_id"),
+      unit(col("v")).as("embedding"),
+      pmod(col("cl"), lit(10L)).cast("int").as("label"))
+      .orderBy("vec_id"), "embeddings")
   }
 }

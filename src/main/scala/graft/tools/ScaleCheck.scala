@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ann, Knn, TextOps}
+import graft.ops.{Ann, Knn, Nsw, TextOps}
 
 /** The sf1 dress-rehearsal half that DuckDB cannot gate (VERDICT r9
   * item 1): the vector/pair families whose oracles are all-pairs SQL —
@@ -96,6 +96,42 @@ object ScaleCheck {
       require(pq <= route + 1e-9, s"composed $pq > routing $route")
       require(pq >= 0.9, s"ivfpq recall $pq < 0.9 (C=$cTuned P=$pPq)")
       f"ivfpq = $pq%.4f ≤ routing = $route%.4f (C=$cTuned P=$pPq)"
+    }
+
+    // --- NSW: the r11 sub-quadratic build (VERDICT r10 item 1). The
+    // seeding term is the measured count; the NN-descent rounds are
+    // bounded by n·(2M)² candidates each by construction — together
+    // they must stay a small fraction of the n² pair space the r10
+    // exact build evaluated (and with the C≈4√n retune the seeding
+    // term is O(n^1.5), so the fraction vanishes as n grows).
+    check("nsw build sub-quadratic") {
+      val t0 = System.nanoTime()
+      val adj = Nsw.adjacency(spark, sfDir)
+      val edges = adj.count()
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      require(edges == nVec * Nsw.M,
+        s"adjacency not M-regular: $edges != ${nVec * Nsw.M}")
+      val seeds = Nsw.seedCandidates(spark, sfDir).count()
+      val roundVol =
+        Nsw.DescentRounds.toLong * nVec * (2 * Nsw.M) * (2 * Nsw.M)
+      val frac = (seeds + roundVol).toDouble / (nVec.toDouble * nVec)
+      require(frac < 0.2,
+        s"build volume $seeds + $roundVol of ${nVec}^2 pairs ($frac)")
+      f"${edges} edges in $tBuild%.1f s; volume ≤ ${frac * 100}%.1f%% " +
+        f"of n² ($seeds seeds + $roundVol descent bound)"
+    }
+    // the approximation-quality law at the 10× tier: searching on the
+    // NN-descent graph must stay within eps of the exact-graph search
+    check("nsw approx-graph search law") {
+      val approx = Nsw.nswRecall(spark, sfDir)
+        .head().getAs[Double]("recall")
+      val exact = Nsw.nswRecallAt(spark, sfDir, Nsw.H,
+        adjOverride = Some(Nsw.exactAdjacency(spark, sfDir)))
+        .head().getAs[Double]("recall")
+      require(approx >= exact - 0.05,
+        s"approx-graph recall $approx < exact-graph $exact - 0.05")
+      f"approx $approx%.4f vs exact-graph $exact%.4f (both decayed at " +
+        "fixed constants - the documented per-corpus retune case)"
     }
 
     // --- c17: the prefix filter must keep candidates sub-quadratic
