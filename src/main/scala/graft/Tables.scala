@@ -106,4 +106,24 @@ object Tables {
   /** Rebalance a (possibly single-partition) scan across the cluster. */
   def repartitioned(df: DataFrame, s: SparkSession): DataFrame =
     df.repartition(parallelism(s))
+
+  /** Total row count of a parquet file from its footer — a driver-side
+    * METADATA read (no Spark job, no data pages touched), for sizing
+    * decisions that only need an upper bound (e.g. b38's bloom-filter
+    * capacity). Directories sum their part files' footers. */
+  def footerRowCount(s: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.globStatus(new Path(p, "part-*.parquet")).map(_.getPath)
+      else Array(p)
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

@@ -136,18 +136,32 @@ object Relational {
     * the ~selectivity fraction that can possibly match: the sketch
     * build moves ~KBs to the driver (the same movement as a broadcast
     * build, just lossy-compressed), and the probe is a stateless
-    * per-row predicate. The udf probe sits OUTSIDE whole-stage codegen
-    * — the documented cost of the explicit form; Spark's own
-    * InjectRuntimeFilter does the same rewrite natively once the
-    * creation-side thresholds are met. */
+    * per-row predicate INSIDE whole-stage codegen: the sketch bytes ride
+    * as a binary literal into Spark's native `BloomFilterMightContain`
+    * expression (the exact probe InjectRuntimeFilter plants when its
+    * creation-side thresholds are met), deserialized once per codegen'd
+    * task, so the hot path stays vectorized (plan-asserted in
+    * RelationalSpec). The sketch is sized from the orders footer row
+    * count — a driver-side metadata read, not a second filtered scan —
+    * an upper bound on the inserted keys, so the realized FPP only ever
+    * beats the 1% target. */
   def bloomSemi(s: SparkSession, d: String): DataFrame = {
     val keys = Tables.orders(s, d).where(col("o_totalprice") > 400000)
       .select(col("o_orderkey"))
-    val expected = math.max(1000L, keys.count())
+    val expected =
+      math.max(1000L, Tables.footerRowCount(s, s"$d/orders.parquet"))
     val bf = keys.stat.bloomFilter("o_orderkey", expected, 0.01)
-    val might = udf((k: java.lang.Long) => k != null && bf.mightContain(k.longValue))
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    graft.functions.Registry.ensure(s, "graft_bloom_might_contain")(exprs =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)))
     Tables.lineitem(s, d)
-      .where(might(col("l_orderkey")))
+      .where(call_function("graft_bloom_might_contain",
+        lit(bytes), col("l_orderkey")))
       .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_lines"),

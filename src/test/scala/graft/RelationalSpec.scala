@@ -89,6 +89,17 @@ class RelationalSpec extends SparkSpec {
     val kept = Tables.lineitem(spark, sf0001)
       .filter(r => bf.mightContain(r.getAs[Long]("l_orderkey"))).count()
     assert(kept < total, s"prefilter kept $kept of $total — no pruning")
+    // and the probe runs INSIDE whole-stage codegen (r11: the native
+    // BloomFilterMightContain expression replaced the JVM udf): in the
+    // EXECUTED adaptive plan (codegen spans exist only after stage
+    // materialization) the filter carrying the probe must print with a
+    // `*(n)` codegen id, not as a standalone interpreted Filter
+    withBloom.collect()
+    val exec = withBloom.queryExecution.executedPlan.toString
+    val codegenned =
+      raw"\*\(\d+\) Filter .*might_contain".r.findFirstIn(exec).isDefined
+    assert(codegenned,
+      s"bloom probe filter is outside WholeStageCodegen:\n$exec")
   }
 
   test("b36: the sketch aggregates the stream directly — no join, no" +
