@@ -162,6 +162,31 @@ class GraphSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("two independent labeling engines agree (star vs min-propagation)") {
+    // The engine-side correctness gate for the components family where
+    // the DuckDB oracle is infeasible (sf1): star contraction and plain
+    // min-label propagation share no code, so their fixed points
+    // agreeing certifies the labels the way triple agreement certifies
+    // exact KNN. Asserted here on the real near-dup graph at the graded
+    // tier and on an adversarial path; at sf1 by tools.ScaleCheck.
+    val edges = ops.Graph.nearDupEdges(spark, sf0001)
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    val star = ops.Graph.componentMapOf(spark, edges, "star")
+    val prop = ops.Graph.componentMapOf(spark, edges, "minprop")
+    assert(star.except(prop).count() == 0 && prop.except(star).count() == 0,
+      "star-contraction and min-propagation labels disagree")
+
+    // the path graph: min propagation's worst case still converges to
+    // the same (all-zero) labels
+    val n = 48L
+    val path = spark.range(n - 1)
+      .select(col("id").as("u"), (col("id") + 1).as("v"))
+    val propPath = ops.Graph.minPropagationLabels(spark, path)
+    assert(propPath.count() == n)
+    assert(propPath.where(col("label") =!= 0L).count() == 0,
+      "every path vertex must label to the minimum id")
+  }
+
   test("pagerank law: a vertex with no in-edges keeps its teleport mass") {
     // Directed toy graph: 3-cycle plus a source vertex 4 that points in
     // but receives nothing. Before the round-9 guard, 4 silently fell
