@@ -643,6 +643,138 @@ object Ann {
   def ivfTopkIndexed(s: SparkSession, d: String): DataFrame =
     ivfTopkFrom(s, d, storedCentroids(s, d), storedLists(s, d), P)
 
+  // -------------------------------------------- incremental maintenance
+
+  /** Incremental index maintenance (VERDICT r10 item 5): the upsert
+    * split point — the first [[UpsertNum]]/[[UpsertDen]] of the corpus
+    * is the BASE the index was built on; the tail is the arriving batch
+    * the maintainer appends WITHOUT a rebuild. From the parquet footer
+    * (vec_ids are contiguous 0..n−1, the fixture contract). */
+  val UpsertNum = 9
+  val UpsertDen = 10
+  private[graft] def upsertCut(s: SparkSession, d: String): Long = {
+    val cut = Tables.footerRowCount(s, s"$d/embeddings.parquet") *
+      UpsertNum / UpsertDen
+    // the frozen quantizer must be fully trainable from the base alone
+    require(cut >= C && cut >= PqCw,
+      s"upsert base of $cut vectors cannot seed C=$C/Cw=$PqCw quantizers")
+    cut
+  }
+
+  /** Lloyd's-trained centroids over the BASE slice only — the frozen
+    * coarse quantizer an incremental maintainer keeps serving while
+    * batches arrive (retraining is a separate, rarer lifecycle event).
+    * Same seed rule and quantized arithmetic as [[trainedCentroidsAt]];
+    * the seed pick (vec_id < C) is inside the base by the [[upsertCut]]
+    * guard. */
+  private[graft] def baseTrainedCentroids(s: SparkSession, d: String)
+      : DataFrame =
+    assignCache.getOrBuild(s, s"$d#baseTrainedCents#$C") {
+      val cut = upsertCut(s, d)
+      val e = Tables.repartitioned(
+          Tables.embeddings(s, d).where(col("vec_id") < cut), s)
+        .select(col("vec_id"), col("embedding"))
+      val barrier =
+        !s.conf.getOption(IterativeCheckpointConf).contains("false")
+      (1 to LloydIters).foldLeft(centroidsAt(s, d, C)) { (cs, _) =>
+        val next = refineOnce(s, e, cs)
+        if (barrier) next.localCheckpoint(true) else next
+      }
+    }
+
+  /** BUILD the base index, then APPEND the delta batch as a new file
+    * set — the LSM shape every table format gives a streaming MERGE
+    * (d33's version rule applied to the ANN artifact). The base phase
+    * persists centroids trained on the base slice plus its lists/codes;
+    * the INCREMENTAL phase assigns ONLY the delta rows against the
+    * centroids READ BACK FROM DISK (proving maintenance needs the
+    * stored artifact, not the training lineage) and writes them under
+    * `delta/` — the base files are never rewritten. Because assignment
+    * and PQ encoding are per-row pure functions of (vector, frozen
+    * quantizer), incrementally-maintained ≡ rebuilt-from-scratch
+    * BIT-EXACT (the b40 monoid-merge story for the index; law-tested in
+    * AnnSpec, ScaleCheck-gated at sf1) — which is what lets the
+    * upserted queries keep full DuckDB oracles. Same atomic
+    * temp-dir + rename + `_BUILT` commit as [[ensureIndex]]. */
+  private def ensureUpsertedIndex(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val path = s"${indexPath(s, d)}_upsert"
+    val marker = new Path(path, "_BUILT")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) buildLock.synchronized {
+      if (!fs.exists(marker)) {
+        val cut = upsertCut(s, d)
+        val tmp = new Path(
+          s"${path}__build_${java.util.UUID.randomUUID.toString.take(8)}")
+        baseTrainedCentroids(s, d)
+          .write.mode("overwrite").parquet(s"$tmp/base/centroids")
+        val stored = s.read.parquet(s"$tmp/base/centroids")
+        def writeSlice(rows: org.apache.spark.sql.Column, dir: String)
+            : Unit = {
+          buildAssignments(s, d, stored, Some(rows))
+            .select(col("vec_id"), col("embedding"), col("cdist"),
+              col("cent_id"))
+            .write.mode("overwrite").partitionBy("cent_id")
+            .parquet(s"$tmp/$dir/lists")
+          pqCodes(s, d).where(rows)
+            .write.mode("overwrite").parquet(s"$tmp/$dir/codes")
+        }
+        writeSlice(col("vec_id") < cut, "base")
+        // the incremental phase: ONLY the arriving batch is scored
+        writeSlice(col("vec_id") >= cut, "delta")
+        fs.create(new Path(tmp, "_BUILT"), true).close()
+        if (!fs.rename(tmp, new Path(path))) {
+          fs.delete(tmp, true)
+          if (!fs.exists(marker)) throw new IllegalStateException(
+            s"ANN upsert-index commit failed and no committed index at $path")
+        }
+      }
+    }
+    path
+  }
+
+  private def listsAt(s: SparkSession, p: String): DataFrame =
+    s.read.parquet(p)
+      .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
+        col("embedding"), col("cdist"))
+
+  /** The maintained inverted lists: base file set ∪ appended delta file
+    * set (never a rewrite — reading both IS the merge). */
+  private[graft] def upsertedLists(s: SparkSession, d: String): DataFrame = {
+    val p = ensureUpsertedIndex(s, d)
+    listsAt(s, s"$p/base/lists").unionByName(listsAt(s, s"$p/delta/lists"))
+  }
+
+  private[graft] def upsertedCentroids(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensureUpsertedIndex(s, d)}/base/centroids")
+
+  private[graft] def upsertedCodes(s: SparkSession, d: String): DataFrame = {
+    val p = ensureUpsertedIndex(s, d)
+    s.read.parquet(s"$p/base/codes")
+      .unionByName(s.read.parquet(s"$p/delta/codes"))
+  }
+
+  /** The rebuilt-from-scratch twin: every row assigned against the same
+    * frozen base quantizer in one pass — the reference side of the
+    * incremental ≡ rebuilt law (AnnSpec / ScaleCheck). */
+  private[graft] def rebuiltLists(s: SparkSession, d: String): DataFrame =
+    buildAssignments(s, d, upsertedCentroids(s, d))
+
+  /** ann_index_upsert: the incrementally-maintained list census — the
+    * declared fact about the post-upsert artifact (every row of base ∪
+    * delta, keyed by the frozen quantizer's cells). */
+  def indexUpsert(s: SparkSession, d: String): DataFrame =
+    upsertedLists(s, d).groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("list_size"))
+      .orderBy(col("cent_id"))
+
+  /** ann_ivf_topk_upserted: IVF search over the maintained index —
+    * probes route through the FROZEN base-trained centroids into the
+    * base ∪ delta lists, so arriving vectors are immediately
+    * searchable without a rebuild. */
+  def ivfTopkUpserted(s: SparkSession, d: String): DataFrame =
+    ivfTopkFrom(s, d, upsertedCentroids(s, d), upsertedLists(s, d), P)
+
   /** recall@K of the PQ→re-rank pipeline vs the exact top-k. */
   def pqRecall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, pqRerankTopk(s, d).select(col("qid"), col("cid")))
@@ -845,6 +977,8 @@ object Ann {
     "ann_ivfpq_recall" -> (ivfpqRecall _),
     "ann_index_build" -> (indexBuild _),
     "ann_ivf_topk_indexed" -> (ivfTopkIndexed _),
+    "ann_index_upsert" -> (indexUpsert _),
+    "ann_ivf_topk_upserted" -> (ivfTopkUpserted _),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -857,8 +991,11 @@ object Ann {
 
   /** `LloydIters` unrolled refinement rounds, mirroring refineOnce():
     * argmin assignment, then list(mean) per cluster where the mean is the
-    * same quantized-integer arithmetic (exact on both engines). */
-  private def lloydCtes: String =
+    * same quantized-integer arithmetic (exact on both engines). `src` is
+    * the training corpus — `embeddings` for the full-corpus index, the
+    * `base` CTE for the upsert family's frozen base quantizer. */
+  private def lloydCtes: String = lloydCtesOver("embeddings")
+  private def lloydCtesOver(src: String): String =
     (1 to LloydIters).map { t =>
       s"""a$t AS (
          |  SELECT vec_id, embedding, cent_id FROM (
@@ -867,7 +1004,7 @@ object Ann {
          |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
          |                                     CAST(c.cent_vec AS DOUBLE[])) ASC,
          |        c.cent_id ASC) AS crn
-         |    FROM embeddings e CROSS JOIN cents${t - 1} c) z WHERE crn = 1),
+         |    FROM $src e CROSS JOIN cents${t - 1} c) z WHERE crn = 1),
          |m$t AS (
          |  SELECT cent_id, i AS pos,
          |    CAST(CAST(sum(CAST(floor(
@@ -883,6 +1020,22 @@ object Ann {
          |    (SELECT cent_id, list(mval ORDER BY pos) AS vec
          |     FROM m$t GROUP BY cent_id) v USING (cent_id))""".stripMargin
     }.mkString(",\n")
+
+  /** The upsert family's training corpus: the base slice (vec_id below
+    * the [[UpsertNum]]/[[UpsertDen]] cut — `//` is DuckDB integer
+    * division, matching the engine's Long arithmetic) with the seed
+    * pick and Lloyd's rounds run over it. The downstream assignment
+    * CTEs still range over ALL of `embeddings` — base rows and the
+    * appended delta batch under one frozen quantizer. */
+  private def upsertBaseCtes: String =
+    s"""base AS (
+       |  SELECT * FROM embeddings
+       |  WHERE vec_id < (SELECT (count(*) * $UpsertNum) // $UpsertDen
+       |                  FROM embeddings)),
+       |cents0 AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_vec
+       |  FROM base WHERE vec_id < $C),
+       |${lloydCtesOver("base")}""".stripMargin
 
   /** assignment + probe CTEs against centroid CTE `from` — the IVF
     * routing half, shared by the exact-within-lists chain ([[ivfCtes]])
@@ -1231,6 +1384,22 @@ object Ann {
     "ann_ivf_topk_indexed" ->
       s"""WITH $seedCentsCte,
          |$lloydCtes,
+         |${ivfCtes(s"cents$LloydIters")}
+         |$topkSelect""".stripMargin,
+    // the upsert family: the quantizer is trained over the BASE slice
+    // only (the first 9/10 of the corpus — the frozen index arriving
+    // batches append under), then EVERY row is assigned against it.
+    // Because assignment is a per-row pure function of (vector, frozen
+    // quantizer), this rebuilt-form SQL is bit-identical to the
+    // engine's incremental base ∪ delta artifact (the law AnnSpec and
+    // ScaleCheck assert engine-side).
+    "ann_index_upsert" ->
+      s"""WITH $upsertBaseCtes,
+         |${assignProbeCtes(s"cents$LloydIters")}
+         |SELECT cent_id, count(*) AS list_size FROM assign
+         |GROUP BY cent_id ORDER BY cent_id""".stripMargin,
+    "ann_ivf_topk_upserted" ->
+      s"""WITH $upsertBaseCtes,
          |${ivfCtes(s"cents$LloydIters")}
          |$topkSelect""".stripMargin,
   )

@@ -78,6 +78,40 @@ object AnnTune {
           f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
       }
     }
+    if (args.lift(1).contains("nswat")) {
+      // parametric single-point NSW measurement: nswat H B F
+      val h = args(2).toInt
+      val b = args(3).toInt
+      val f = args(4).toInt
+      val t0 = System.nanoTime()
+      val r = graft.ops.Nsw.nswRecallAt(spark, sfDir, h, b, graft.ops.Nsw.E, f)
+        .collect()(0)
+      println(f"[anntune] nswat H=$h B=$b F=$f " +
+        f"recall=${r.getAs[Double]("recall")}%.4f " +
+        f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
+    }
+    if (args.lift(1).contains("tiers")) {
+      // recall-vs-touch separation across ANN tiers on one corpus —
+      // the clustered-vs-isotropic measurement (VERDICT r10 item 6)
+      def show(tag: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val r = df.collect()(0)
+        println(f"[anntune] $tag recall=${r.getAs[Double]("recall")}%.4f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
+      }
+      val n = graft.Tables.embeddings(spark, sfDir).count()
+      println(s"[anntune] tiers on $sfDir (n=$n)")
+      for (p <- Seq(24, 50, 96)) {
+        show(f"ivf trained C=${Ann.C} P=$p%3d touch=${p.toDouble / Ann.C}%.3f",
+          Ann.recallTrainedAt(spark, sfDir, Ann.C, p))
+      }
+      show(f"ivfpq trained P=${Ann.PIvfpq}",
+        Ann.ivfpqRecallTrainedAt(spark, sfDir, Ann.C, Ann.PIvfpq))
+      for ((h, b, f) <- Seq((4, 48, 0), (4, 16, 0))) {
+        show(f"nsw H=$h B=$b F=$f",
+          graft.ops.Nsw.nswRecallAt(spark, sfDir, h, b, graft.ops.Nsw.E, f))
+      }
+    }
     if (args.lift(1).contains("nswbuild")) {
       import graft.ops.Nsw
       val t0 = System.nanoTime()

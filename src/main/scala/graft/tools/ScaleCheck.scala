@@ -134,6 +134,47 @@ object ScaleCheck {
         "fixed constants - the documented per-corpus retune case)"
     }
 
+    // --- incremental index maintenance: appending the delta batch
+    // under the frozen base quantizer must equal the one-pass rebuild
+    // bit-for-bit at the 10× tier too (the per-row-pure-function
+    // argument is scale-free; this check proves the PERSISTED artifact
+    // honors it through the partitioned write/read round-trip)
+    check("ann upsert incremental law") {
+      val up = Ann.upsertedLists(spark, sfDir)
+        .select(col("vec_id"), col("cent_id"), col("cdist")).persist()
+      val rebuilt = Ann.rebuiltLists(spark, sfDir)
+        .select(col("vec_id"), col("cent_id"), col("cdist")).persist()
+      val nUp = up.count()
+      val d1 = up.except(rebuilt).count()
+      val d2 = rebuilt.except(up).count()
+      require(d1 == 0 && d2 == 0,
+        s"incremental != rebuilt: up\\rb=$d1 rb\\up=$d2")
+      up.unpersist(); rebuilt.unpersist()
+      s"$nUp rows, incremental ≡ rebuilt bit-exact"
+    }
+
+    // --- components family (c26/c30/c31/s08): the DuckDB twin is
+    // infeasible at sf1 (VERDICT r10 "what's wrong" #4), so the gate is
+    // ENGINE-SIDE double implementation — star contraction vs plain
+    // min-label propagation (zero shared code) must reach the same
+    // fixed point, the triple-agreement pattern applied to labeling.
+    check("components double impl") {
+      val edges = graft.ops.Graph.nearDupEdges(spark, sfDir)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+        .localCheckpoint(true)
+      val star =
+        graft.ops.Graph.componentMapOf(spark, edges, "star").persist()
+      val prop =
+        graft.ops.Graph.componentMapOf(spark, edges, "minprop").persist()
+      val nStar = star.count()
+      val d1 = star.except(prop).count()
+      val d2 = prop.except(star).count()
+      require(d1 == 0 && d2 == 0,
+        s"labelings disagree: star\\prop=$d1 prop\\star=$d2")
+      star.unpersist(); prop.unpersist()
+      s"$nStar vertices, 2 independent fixed points identical"
+    }
+
     // --- c17: the prefix filter must keep candidates sub-quadratic
     check("c17 candidate growth") {
       val n = graft.Tables.documents(spark, sfDir).count()

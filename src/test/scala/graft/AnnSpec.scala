@@ -150,4 +150,33 @@ class AnnSpec extends SparkSpec {
       assert(lo >= b * 100000 && hi < (b + 1) * 100000, s"band $b bounds")
     }
   }
+
+  test("ann upsert: incrementally-maintained index ≡ rebuilt from scratch") {
+    // the b40 monoid-merge law for the ANN index: appending the delta
+    // batch under the frozen base quantizer must equal assigning the
+    // whole corpus in one pass, BIT-exactly (same floats, same cells)
+    val up = Ann.upsertedLists(spark, sf0001)
+      .select(col("vec_id"), col("cent_id"), col("cdist"))
+    val rebuilt = Ann.rebuiltLists(spark, sf0001)
+      .select(col("vec_id"), col("cent_id"), col("cdist"))
+    assert(up.except(rebuilt).count() == 0 &&
+           rebuilt.except(up).count() == 0,
+      "incremental base ∪ delta must equal the one-pass rebuild")
+
+    // coverage: the maintained index holds every vector exactly once,
+    // split at the declared 9/10 cut
+    val n = Tables.embeddings(spark, sf0001).count()
+    val cut = Ann.upsertCut(spark, sf0001)
+    assert(cut > 0 && cut < n)
+    assert(up.count() == n)
+    assert(up.select("vec_id").distinct().count() == n)
+
+    // and the maintained PQ code table equals the full-corpus encoding
+    // (per-row pure function of (vector, seed codebook))
+    val upCodes = Ann.upsertedCodes(spark, sf0001)
+    val fullCodes = Ann.pqCodes(spark, sf0001)
+    assert(upCodes.except(fullCodes).count() == 0 &&
+           fullCodes.except(upCodes).count() == 0,
+      "maintained codes must equal the full-corpus encoding")
+  }
 }
