@@ -304,37 +304,97 @@ object Streams {
 
   // ---------------------------------------------------- d33: write side
 
-  /** Highest committed (parquet `_SUCCESS`) version directory under
-    * `sink`, optionally restricted to versions below `below` — the MERGE
-    * sink's read point. Versions are named `v<batchId>`. */
-  private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
+  /** Key-hash buckets of the d33 serving table. Each version directory
+    * holds ONLY the buckets its batch touched, so the per-batch rewrite
+    * cost is (touched buckets + delta), not the full table — the
+    * sub-linear MERGE a bucketed Delta/Iceberg table gives (VERDICT r10
+    * item 7). Deterministic pure function of the key. */
+  val MergeBuckets = 16
+  private def bucketOf(key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(key, lit("d33bucket")), lit(MergeBuckets))
+
+  /** Committed (parquet `_SUCCESS`) version directories under `sink`
+    * below `below`, ascending by batch id. Versions are named
+    * `v<batchId>`. */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
       sink: String, below: Long = Long.MaxValue)
-      : Option[org.apache.hadoop.fs.Path] = {
+      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val glob = new org.apache.hadoop.fs.Path(sink, "v*")
     Option(fs.globStatus(glob)).getOrElse(Array.empty)
       .iterator.map(_.getPath)
       .flatMap(p => scala.util.Try(p.getName.drop(1).toLong).toOption.map(_ -> p))
       .filter { case (id, p) =>
         id < below && fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
-      .toSeq.sortBy(_._1).lastOption.map(_._2)
+      .toSeq.sortBy(_._1)
   }
 
-  /** One MERGE step of the d33 sink: upsert `delta` (refreshed per-key
-    * aggregate rows) over the previous committed version into a NEW
-    * version directory `v<batchId>`. Matched keys are replaced
-    * (anti-join base + union delta ≡ b25's merge with update+insert
-    * actions and no delete clause); a batch REPLAYED after a crash
-    * overwrites its own version instead of double-applying — the same
+  /** The read point of the bucketed sink: for every bucket, the NEWEST
+    * committed version that contains it (later versions override — the
+    * LSM/Delta "latest snapshot per file group" rule). Driver-side
+    * directory metadata only, ≤ versions × [[MergeBuckets]] entries. */
+  private[graft] def latestBucketPaths(fs: org.apache.hadoop.fs.FileSystem,
+      sink: String, below: Long = Long.MaxValue)
+      : Map[Int, org.apache.hadoop.fs.Path] =
+    committedVersions(fs, sink, below).foldLeft(
+      Map.empty[Int, org.apache.hadoop.fs.Path]) { case (acc, (_, vp)) =>
+      val bs = Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(vp, "bucket=*")))
+        .getOrElse(Array.empty)
+      acc ++ bs.map(st =>
+        st.getPath.getName.stripPrefix("bucket=").toInt -> st.getPath)
+    }
+
+  /** One bucketed MERGE step of the d33 sink: upsert `delta` (refreshed
+    * per-key aggregate rows) over the previous committed state into a
+    * NEW version directory `v<batchId>` that holds ONLY the buckets the
+    * delta touches. Within those buckets, matched keys are replaced
+    * (anti-join + union ≡ b25's merge with update+insert actions and no
+    * delete clause); untouched buckets are neither read nor rewritten —
+    * their newest older version stays the serving copy. A batch
+    * REPLAYED after a crash overwrites its own version (and reads only
+    * versions below its id) instead of double-applying — the same
     * idempotent-by-version rule a Delta/Iceberg transaction log gives a
-    * streaming MERGE. */
-  private def mergeVersion(s: SparkSession, sink: String, batchId: Long,
+    * streaming MERGE. The touched-bucket list is a ≤[[MergeBuckets]]-row
+    * driver collect — partition metadata, the same class of driver
+    * state as the version listing itself. */
+  private[graft] def mergeVersion(s: SparkSession, sink: String, batchId: Long,
+      delta: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val d = delta.withColumn("bucket", bucketOf(col("user_id"))).persist()
+    try {
+      val touched = d.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0).toInt).toSet
+      val prevPaths = latestBucketPaths(fs, sink, below = batchId)
+        .filter { case (b, _) => touched(b) }.values.map(_.toString).toSeq
+      val merged =
+        if (prevPaths.isEmpty) d
+        else {
+          // leaf bucket dirs read as plain parquet (no partition
+          // inference); the bucket column is recomputed — a pure
+          // function of the key, so it equals the stored layout
+          val prev = s.read.parquet(prevPaths: _*)
+            .withColumn("bucket", bucketOf(col("user_id")))
+          prev.join(d, Seq("user_id"), "left_anti").unionByName(d)
+        }
+      merged.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$sink/v$batchId")
+    } finally d.unpersist()
+  }
+
+  /** The pre-r11 FULL merge (every batch rewrites the whole table) —
+    * kept ONLY as the reference side of the bucketed-merge ≡ full-merge
+    * law (StreamingSpec); not reachable from the declared query. */
+  private def mergeVersionFull(s: SparkSession, sink: String, batchId: Long,
       delta: DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(sink)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val d = delta.persist()
     try {
-      val merged = latestVersion(fs, sink, below = batchId) match {
-        case Some(prev) =>
+      val merged = committedVersions(fs, sink, below = batchId)
+        .lastOption match {
+        case Some((_, prev)) =>
           s.read.parquet(prev.toString)
             .join(d, Seq("user_id"), "left_anti").unionByName(d)
         case None => d
@@ -377,12 +437,23 @@ object Streams {
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
   def upsertWarehouse(s: SparkSession, d: String): DataFrame =
-    sinkLocks.getOrElseUpdate(graft.Tables.dirTag(d), new Object)
-      .synchronized { upsertWarehouseLocked(s, d) }
+    upsertWarehouseAs(s, d, bucketed = true)
 
-  private def upsertWarehouseLocked(s: SparkSession, d: String): DataFrame = {
+  /** `bucketed = false` runs the FULL-rewrite merge into a sibling sink
+    * root — the reference side of the bucketed ≡ full law
+    * (StreamingSpec); the declared query always takes the bucketed
+    * path. */
+  private[graft] def upsertWarehouseAs(s: SparkSession, d: String,
+      bucketed: Boolean): DataFrame = {
+    val tag = s"${graft.Tables.dirTag(d)}${if (bucketed) "" else "_full"}"
+    sinkLocks.getOrElseUpdate(tag, new Object)
+      .synchronized { upsertWarehouseLocked(s, d, tag, bucketed) }
+  }
+
+  private def upsertWarehouseLocked(s: SparkSession, d: String,
+      tag: String, bucketed: Boolean): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val root = s"spark-warehouse/graft_stream_sink/${graft.Tables.dirTag(d)}"
+    val root = s"spark-warehouse/graft_stream_sink/$tag"
     val stage = s"$root/stage"
     val sink = s"$root/table"
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -413,7 +484,9 @@ object Streams {
           .as("sum_value"),
         max(col("ts").cast("long")).as("last_sec"))
     val doMerge: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, id) => mergeVersion(s, sink, id, batch.toDF())
+      (batch, id) =>
+        if (bucketed) mergeVersion(s, sink, id, batch.toDF())
+        else mergeVersionFull(s, sink, id, batch.toDF())
     val q = agg.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", s"$root/ckpt")
@@ -421,8 +494,17 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    val last = latestVersion(fs, sink).getOrElse(
-      throw new IllegalStateException("d33 sink committed no version"))
-    s.read.parquet(last.toString).orderBy(col("user_id"))
+    if (bucketed) {
+      // read point: per bucket, its newest committed version
+      val paths = latestBucketPaths(fs, sink)
+      if (paths.isEmpty)
+        throw new IllegalStateException("d33 sink committed no version")
+      s.read.parquet(paths.values.map(_.toString).toSeq: _*)
+        .orderBy(col("user_id"))
+    } else {
+      val last = committedVersions(fs, sink).lastOption.getOrElse(
+        throw new IllegalStateException("d33 sink committed no version"))
+      s.read.parquet(last._2.toString).orderBy(col("user_id"))
+    }
   }
 }

@@ -378,4 +378,45 @@ class StreamingSpec extends SparkSpec {
     // and the final version is a superset of keys ever written
     assert(v0.keySet.subsetOf(vFinal.keySet))
   }
+
+  test("d33 law: bucketed merge ≡ full-table merge") {
+    // the r11 bucketed sink (each version holds only touched buckets;
+    // read point = newest version per bucket) must serve exactly the
+    // table the pre-r11 full rewrite served
+    val bucketed = Streams.upsertWarehouse(spark, sf0001)
+      .select($"user_id", $"n_events", $"sum_value", $"last_sec")
+    val full = Streams.upsertWarehouseAs(spark, sf0001, bucketed = false)
+      .select($"user_id", $"n_events", $"sum_value", $"last_sec")
+    assert(bucketed.except(full).count() == 0 &&
+           full.except(bucketed).count() == 0,
+      "bucketed-merge table must equal the full-merge table")
+  }
+
+  test("d33 bucketed merge rewrites ONLY the buckets a delta touches") {
+    import org.apache.hadoop.fs.Path
+    val sink = "spark-warehouse/graft_stream_sink_unit/table"
+    val fs = new Path(sink).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path("spark-warehouse/graft_stream_sink_unit"), true)
+    def delta(ids: Seq[Long], n: Long): org.apache.spark.sql.DataFrame =
+      ids.toDF("user_id").withColumn("n_events", lit(n))
+    // v0: a wide delta spanning many buckets
+    Streams.mergeVersion(spark, sink, 0L, delta(0L until 200L, 1L))
+    val v0Buckets = fs.globStatus(new Path(s"$sink/v0/bucket=*")).length
+    assert(v0Buckets == Streams.MergeBuckets,
+      s"wide delta should land in all buckets, got $v0Buckets")
+    // v1: ONE key — the new version must hold exactly that key's bucket
+    Streams.mergeVersion(spark, sink, 1L, delta(Seq(7L), 99L))
+    val v1Buckets = fs.globStatus(new Path(s"$sink/v1/bucket=*")).length
+    assert(v1Buckets == 1,
+      s"narrow delta must rewrite exactly 1 bucket, got $v1Buckets")
+    // read point: key 7 from v1, everything else still served from v0
+    val table = spark.read.parquet(
+      Streams.latestBucketPaths(fs, sink).values.map(_.toString).toSeq: _*)
+    assert(table.count() == 200)
+    assert(table.where($"user_id" === 7L).head().getAs[Long]("n_events")
+      == 99L)
+    assert(table.where($"n_events" === 99L).count() == 1)
+    fs.delete(new Path("spark-warehouse/graft_stream_sink_unit"), true)
+  }
 }
