@@ -66,7 +66,25 @@ object Nsw {
     * measured 0.687/0.718/0.727/0.729 at H=4/5/6/8 with B=16 at sf0.1),
     * while width buys diversity that escapes those optima
     * (0.687/0.871/0.939 at B=16/32/48, H=4). 48 clears the production
-    * bar at every fixture tier; clustered real corpora need less. */
+    * bar at every fixture tier; clustered real corpora need less.
+    *
+    * PER-CORPUS RETUNE DOCTRINE (r11, measured — SCALE_r11.md; the
+    * (B, H, F) twin of IVF's C ≈ 4√n rule, ScaleCheck-asserted):
+    *  - F = 8 far links ([[farLinks]]) is the NAVIGABILITY FLOOR at
+    *    scale. On a clustered 20k corpus the plain M-NN graph
+    *    degenerates to per-cluster cliques the beam cannot leave —
+    *    recall 0.12 at the declared constants — and F=8 restores 0.939,
+    *    clearing the production bar at the UNCHANGED beam budget.
+    *  - B scales as B₀·(n/n₀)^0.6 on structure-free corpora (the
+    *    diversity knob; exponent fitted to the measured tiers — 0.939
+    *    at (2k, 48), 0.905 at (20k, 192); √n undershoots: 0.864 at
+    *    B=152). Isotropic 20k decay curve: 0.52 fixed → 0.59 (F=8) →
+    *    0.86 (B=152) → 0.905 (B=192) — recall tracks the touch
+    *    fraction there by design (the no-free-lunch bounding case the
+    *    default fixtures deliberately are). ScaleCheck asserts the
+    *    ≥0.9 bar BOTH ways: on the retuned beam over the isotropic
+    *    corpus and at the unretuned beam over the clustered one —
+    *    structure is worth 4× beam width. */
   val B = 48
   /** Statically unrolled hops. */
   val H = 4

@@ -122,6 +122,12 @@ object TextOps {
     * candidates 528× on this corpus (1.44 M → 2.7 k at sf0.1) for a
     * +79% posting-pair expansion — the recheck stops being the cost. */
   val PrefixK = 16
+  /** When "false", c17's document-frequency join-back runs as a
+    * sg-keyed shuffled hash join instead of broadcasting the
+    * vocabulary-sized df table — the at-scale branch once the
+    * vocabulary outgrows a broadcast (sf1's ~2M distinct shingles).
+    * Same rows either way (tools.C17Prof A/Bs the cost). */
+  val DfBroadcastConf = "spark.graft.c17.dfBroadcast"
   private val shingleCache = new graft.PersistedCache
 
   /** Drop cached shingle-index state (tests / long-lived sessions). */
@@ -139,7 +145,7 @@ object TextOps {
     * because three plan references need it (prefix postings, and the
     * full set arrays on each side of the verify) and Spark cannot reuse
     * aliased subtrees — uncached, the explode ran 3×. */
-  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingleIndex(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrBuild(s, s"$d#shingleIndex") {
       val wDoc = Window.partitionBy(col("doc_id"))
       val wOrd = Window.partitionBy(col("doc_id"))
@@ -158,7 +164,11 @@ object TextOps {
       // vocabulary too large to broadcast this degrades to a shuffled
       // equi-join by dropping the hint — same contract.
       val dfTab = post.groupBy(col("sg")).agg(count(lit(1)).as("df"))
-      post.join(broadcast(dfTab), "sg")
+      val withDf =
+        if (s.conf.getOption(DfBroadcastConf).contains("false"))
+          post.join(dfTab.hint("shuffle_hash"), "sg")
+        else post.join(broadcast(dfTab), "sg")
+      withDf
         .withColumn("n", count(lit(1)).over(wDoc))
         .withColumn("rn", row_number().over(wOrd))
         .select(col("doc_id"), col("sg"), col("df"), col("n"), col("rn"))
