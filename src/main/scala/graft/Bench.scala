@@ -37,6 +37,7 @@ object Bench {
   private def clearAllCaches(): Unit = {
     ops.Knn.clearCache()
     ops.Ann.clearCache()
+    ops.Nsw.clearCache()
     ops.Graph.clearCache()
     ops.TextOps.clearCache()
     ops.Quality.clearCache()

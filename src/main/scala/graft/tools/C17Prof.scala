@@ -35,6 +35,29 @@ object C17Prof {
     graft.ops.TextOps.clearCache()
     time("1 shingle index build")(
       graft.ops.TextOps.shingleIndex(spark, sfDir).count())
+    time("1b prefix rows")(
+      graft.ops.TextOps.shinglePrefix(spark, sfDir).count())
+    time("1c raw join pairs (pre-agg)") {
+      import org.apache.spark.sql.functions.col
+      val p = graft.ops.TextOps.shinglePrefix(spark, sfDir)
+      p.alias("a").join(p.alias("b"),
+          col("a.sg") === col("b.sg") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") >= col("b.n") * graft.ops.TextOps.ShingleTau &&
+            col("b.n") >= col("a.n") * graft.ops.TextOps.ShingleTau)
+        .count()
+    }
+    locally {
+      import org.apache.spark.sql.functions.{col, count, lit, sum, expr}
+      val buckets = graft.ops.TextOps.shinglePrefix(spark, sfDir)
+        .groupBy(col("sg")).agg(count(lit(1)).as("m"))
+      val top = buckets.orderBy(col("m").desc).limit(10)
+        .collect().map(_.getLong(1))
+      val pairs = buckets.agg(
+        sum(expr("m * (m - 1) DIV 2"))).head().getLong(0)
+      println(s"[c17prof] 1d bucket skew: top-10 m = ${top.mkString(",")}; " +
+        s"sum C(m,2) = $pairs")
+    }
     time("2 candidates (index cached)")(
       graft.ops.TextOps.shingleCandidates(spark, sfDir).count())
     time("3 full query (both cached)")(

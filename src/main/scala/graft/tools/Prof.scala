@@ -23,7 +23,7 @@ object Prof {
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
     def clear(): Unit = {
-      graft.ops.Knn.clearCache(); graft.ops.Ann.clearCache()
+      graft.ops.Knn.clearCache(); graft.ops.Ann.clearCache(); graft.ops.Nsw.clearCache()
       graft.ops.Graph.clearCache(); graft.ops.TextOps.clearCache()
     }
     def once(): Double = {

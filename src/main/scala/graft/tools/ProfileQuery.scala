@@ -30,7 +30,7 @@ object ProfileQuery {
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       if (cold) {
-        graft.ops.Knn.clearCache(); graft.ops.Ann.clearCache()
+        graft.ops.Knn.clearCache(); graft.ops.Ann.clearCache(); graft.ops.Nsw.clearCache()
         graft.ops.Graph.clearCache(); graft.ops.TextOps.clearCache()
         graft.ops.Quality.clearCache()
       }
