@@ -242,9 +242,79 @@ object Pipeline {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  // ----------------------------------------------------------- c42: bm25
+
+  /** Query-term budget for c42: the rarest [[Bm25QTerms]] shared terms
+    * of the query document (df ≥ 2 — a term only the query doc carries
+    * can match nothing and would just burn budget; rarest-first is the
+    * standard query-pruning rule). */
+  val Bm25QTerms = 16
+
+  /** c42: BM25 "more-like-this" retrieval — rank the corpus against the
+    * terms of one query document (the min doc_id), the lexical-search
+    * primitive every RAG / data-curation stack pairs with the ANN tier.
+    * Okapi BM25 at the textbook constants k1=1.2, b=0.75, kept ENTIRELY
+    * in integer arithmetic so both engines agree bit-for-bit:
+    *
+    *  - idf: the Robertson–Sparck-Jones core (N−df+½)/(df+½) =
+    *    (2N−2df+1)/(2df+1) exactly in integers, scaled to milli-units
+    *    (log-idf would only rescale terms monotonically per term and its
+    *    irrational values cannot be hash-compared — the c20 doctrine);
+    *  - tf saturation: tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    *    avgdl = L/N (L = Σdl) becomes 22·L·tf / (10·L·tf + 3·L + 9·dl·N)
+    *    after clearing denominators (k1=6/5, b=3/4 are exact rationals),
+    *    scaled to ppm. Fits comfortably in BIGINT at any graded tier
+    *    (numerator ≤ 22·L·tf·10⁶ ≈ 4·10¹⁵ at sf1; per-term product
+    *    idf_milli·sat_ppm ≤ ~2·10¹⁴).
+    *
+    * Scale shape: the query-term set is a broadcast (≤ [[Bm25QTerms]]
+    * rows), so scoring is ONE map-side semi-join of the tf table
+    * against it plus a doc_id-keyed aggregate — inverted-index
+    * retrieval, no all-pairs anything; the final top-20 is a
+    * TakeOrdered, not a global sort. At 100 TB the tf table is the
+    * posting index, bucketable by term. */
+  def bm25MoreLikeThis(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("ll"))
+    val qdoc = docs.agg(min(col("doc_id")).as("qid"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wQ = Window.orderBy(col("df").asc, col("term").asc)
+    val qterms = tf.crossJoin(broadcast(qdoc))
+      .where(col("doc_id") === col("qid"))
+      .join(dfTab, "term")
+      .where(col("df") >= 2)
+      .withColumn("qrn", row_number().over(wQ))
+      .where(col("qrn") <= Bm25QTerms)
+      .select(col("term"), col("df"))
+    val wR = Window.orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(qdoc))
+      .where(col("doc_id") =!= col("qid"))
+      .withColumn("part",
+        expr("((1000 * (2*nn - 2*df + 1)) DIV (2*df + 1)) * " +
+          "((22 * ll * tf * 1000000) DIV " +
+          "(10 * ll * tf + 3 * ll + 9 * dl * nn))"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("part")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+      .withColumn("rnk", row_number().over(wR).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("score"), col("n_terms_hit"))
+      .orderBy(col("rnk"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c42_bm25" -> (bm25MoreLikeThis _),
     "c18_seq_pack" -> (seqPack _),
     "c18b_seq_pack_salted" -> (seqPackSalted _),
     "c19_curate" -> (curate _),
@@ -301,6 +371,44 @@ object Pipeline {
       |  FROM flags2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the identical integer BM25 chain; every division is `//` on
+    // BIGINTs (DuckDB) mirroring Spark's DIV, sums cast back to BIGINT
+    // (DuckDB widens sum(BIGINT) to HUGEINT)
+    "c42_bm25" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents) x
+         |  GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+         |              CAST(sum(dl) AS BIGINT) AS ll FROM dl),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY term),
+         |qd AS (SELECT min(doc_id) AS qid FROM documents),
+         |qt AS (
+         |  SELECT term, df FROM (
+         |    SELECT f.term, g.df,
+         |      row_number() OVER (ORDER BY g.df ASC, f.term ASC) AS qrn
+         |    FROM tf f JOIN dfq g USING (term), qd
+         |    WHERE f.doc_id = qd.qid AND g.df >= 2) z
+         |  WHERE qrn <= $Bm25QTerms),
+         |sc AS (
+         |  SELECT f.doc_id,
+         |    CAST(sum(
+         |      ((1000 * (2*st.nn - 2*q.df + 1)) // (2*q.df + 1)) *
+         |      ((22 * st.ll * f.tf * 1000000) //
+         |       (10 * st.ll * f.tf + 3 * st.ll + 9 * l.dl * st.nn))
+         |    ) AS BIGINT) AS score,
+         |    CAST(count(*) AS BIGINT) AS n_terms_hit
+         |  FROM tf f JOIN qt q USING (term) JOIN dl l USING (doc_id),
+         |       st, qd
+         |  WHERE f.doc_id <> qd.qid
+         |  GROUP BY f.doc_id)
+         |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk,
+         |  doc_id, score, n_terms_hit
+         |FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "c18_seq_pack" ->
       s"""WITH RECURSIVE toks AS (
          |  SELECT doc_id, source,

@@ -149,4 +149,26 @@ class PipelineSpec extends SparkSpec {
       rs.foreach(r => assert(r.getAs[Long]("df") >= 1L))
     }
   }
+
+  test("c42 bm25: ranked top-20, query doc excluded, scores sane") {
+    val rows = Pipeline.bm25MoreLikeThis(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // ranks are 1..k and scores non-increasing under them
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq == (1L to rows.length))
+    val scores = rows.map(_.getAs[Long]("score"))
+    scores.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, s"scores increase: ${scores.toSeq}")
+      case _ => ()
+    }
+    // the query document (min doc_id) can never retrieve itself
+    val qid = Tables.documents(spark, sf0001)
+      .agg(min(col("doc_id"))).head().getLong(0)
+    assert(!rows.exists(_.getAs[Long]("doc_id") == qid))
+    // every hit count is within the query-term budget and positive
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_terms_hit")
+      assert(h >= 1L && h <= Pipeline.Bm25QTerms)
+      assert(r.getAs[Long]("score") > 0L)
+    }
+  }
 }
