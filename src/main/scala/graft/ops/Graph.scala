@@ -662,8 +662,72 @@ object Graph {
           .otherwise(lit(0.0)).as("assortativity"))
   }
 
+  /** Synchronous label-propagation rounds for g05 — FIXED at 4 so the
+    * result is a pure function of the edge set (a run-until-stable LPA
+    * is nondeterministic under asynchronous update orders and can
+    * oscillate under synchronous ones; the fixed-round form is the
+    * standard deterministic variant and 4 rounds exceed the near-dup
+    * graph's measured effective diameter at the graded tiers). */
+  val LpaRounds = 4
+
+  /** G05: label-propagation COMMUNITY detection over the near-dup graph
+    * (Raghavan et al. 2007) — the soft counterpart of c26's connected
+    * components. CC merges everything reachable; LPA keeps densely-
+    * linked cores together while weakly-bridged groups retain distinct
+    * labels, which is the grouping a curation pipeline wants when
+    * boilerplate chains would otherwise snowball one giant component
+    * (the known failure mode of pure-closure dedup at web scale).
+    *
+    * Semantics, engine-independent: labels start as own doc_id; each
+    * SYNCHRONOUS round every vertex adopts the most frequent label among
+    * its neighbors' previous-round labels, ties broken by MIN label;
+    * isolated vertices keep their own. After [[LpaRounds]] rounds the
+    * per-label rollup (size, min/max member) is emitted.
+    *
+    * Scale shape: per round ONE equi-join of the bidirectional edge list
+    * against the label table (both keyed on vertex id) + one (v,label)
+    * count + one per-vertex window argmax — all hash-shuffles on vertex
+    * id; a reused partitioning across rounds on a real cluster. Rounds
+    * are localCheckpoint'd for the same plan-growth reason as the
+    * components loop (each round references the previous labeling
+    * twice). The oracle unrolls the identical 4 rounds as CTEs. */
+  def labelPropagation(s: SparkSession, d: String): DataFrame = {
+    val e = nearDupEdges(s, d)
+    val bi = e.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(e.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint()
+    val verts = Tables.documents(s, d).select(col("doc_id").as("v"))
+    lpaLabels(bi, verts).groupBy(col("lbl"))
+      .agg(count(lit(1)).as("size"),
+        min(col("v")).as("min_doc"), max(col("v")).as("max_doc"))
+      .orderBy(col("size").desc, col("lbl").asc)
+  }
+
+  /** The [[LpaRounds]] synchronous rounds over a bidirectional edge list
+    * (cols u, v) and a vertex universe (col v) — factored out of
+    * [[labelPropagation]] so the update rule is law-testable on toy
+    * graphs. Returns (v, lbl). */
+  private[graft] def lpaLabels(bi: DataFrame, verts: DataFrame): DataFrame = {
+    var labels = verts.select(col("v"), col("v").as("lbl"))
+    val w = Window.partitionBy(col("v"))
+      .orderBy(col("cnt").desc, col("lbl").asc)
+    for (_ <- 1 to LpaRounds) {
+      val picked = bi
+        .join(labels.select(col("v").as("u"), col("lbl")), "u")
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("v"), col("lbl").as("new_lbl"))
+      labels = labels.join(picked, Seq("v"), "left")
+        .select(col("v"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c26_components" -> (components _),
+    "g05_label_propagation" -> (labelPropagation _),
     "c26_component_stats" -> (componentStats _),
     "g02_pagerank" -> (pagerank _),
     "g03_triangles" -> (triangles _),
@@ -727,6 +791,37 @@ object Graph {
        |  FROM ed JOIN $prev ON ed.u = $prev.u
        |  JOIN deg ON ed.u = deg.u CROSS JOIN tt
        |  GROUP BY ed.v, tt.tele)""".stripMargin
+
+  // g05 oracle scaffold: one synchronous LPA round — neighbor-label
+  // frequencies, per-vertex argmax (ties → min label), isolated
+  // vertices carried by the LEFT join. Each labeling is referenced
+  // twice downstream → MATERIALIZED (the docEdgeSql barrier rule).
+  private def lpaRoundSql(prev: String, next: String): String =
+    s"""f$next AS (
+       |  SELECT bi.v, l.lbl, count(*) AS cnt
+       |  FROM bi JOIN $prev l ON bi.u = l.v GROUP BY bi.v, l.lbl),
+       |p$next AS (
+       |  SELECT v, lbl FROM (
+       |    SELECT v, lbl, row_number() OVER (
+       |      PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn
+       |    FROM f$next) z WHERE rn = 1),
+       |$next AS MATERIALIZED (
+       |  SELECT p.v, coalesce(q.lbl, p.lbl) AS lbl
+       |  FROM $prev p LEFT JOIN p$next q ON p.v = q.v)""".stripMargin
+
+  private val lpaOracle: String = {
+    val rounds = (1 to LpaRounds)
+      .map(i => lpaRoundSql(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""WITH $docEdgeSql,
+       |bi AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM e
+       |       UNION ALL SELECT b_id, a_id FROM e),
+       |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
+       |$rounds
+       |SELECT lbl, CAST(count(*) AS BIGINT) AS size,
+       |  min(v) AS min_doc, max(v) AS max_doc
+       |FROM l$LpaRounds GROUP BY lbl
+       |ORDER BY size DESC, lbl ASC""".stripMargin
+  }
 
   private val pagerankOracle: String = {
     val iters = (1 to PrIters)
@@ -821,6 +916,7 @@ object Graph {
     "e06_trade_reach" ->
       tradeReachSql("lineitem", "orders", "customer", "supplier", "nation"),
     "g02_pagerank" -> pagerankOracle,
+    "g05_label_propagation" -> lpaOracle,
     "c26_components" ->
       s"""WITH RECURSIVE $edgeSql
          |SELECT doc_id, component,

@@ -274,6 +274,17 @@ object Pipeline {
     * TakeOrdered, not a global sort. At 100 TB the tf table is the
     * posting index, bucketable by term. */
   def bm25MoreLikeThis(s: SparkSession, d: String): DataFrame = {
+    val wR = Window.orderBy(col("score").desc, col("doc_id").asc)
+    bm25Top(s, d)
+      .withColumn("rnk", row_number().over(wR).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("score"), col("n_terms_hit"))
+      .orderBy(col("rnk"))
+  }
+
+  /** The c42 scoring chain up to the top-20 candidate pool
+    * (doc_id, score, n_terms_hit) — shared by c42 (which just ranks it)
+    * and c43 (which re-ranks it under the MMR diversity objective). */
+  private def bm25Top(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -291,7 +302,6 @@ object Pipeline {
       .withColumn("qrn", row_number().over(wQ))
       .where(col("qrn") <= Bm25QTerms)
       .select(col("term"), col("df"))
-    val wR = Window.orderBy(col("score").desc, col("doc_id").asc)
     tf.join(broadcast(qterms), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -306,15 +316,79 @@ object Pipeline {
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(20)
-      .withColumn("rnk", row_number().over(wR).cast("long"))
-      .select(col("rnk"), col("doc_id"), col("score"), col("n_terms_hit"))
-      .orderBy(col("rnk"))
+  }
+
+  /** MMR rounds for c43: re-rank the 20-candidate pool down to 10. */
+  val MmrK = 10
+
+  /** c43: Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) of c42's BM25 candidate pool — the diversity pass every
+    * retrieval stack runs between candidate generation and consumption:
+    * plain top-k returns near-duplicates of the best hit; MMR greedily
+    * picks argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), trading
+    * relevance against redundancy with what is already selected
+    * (λ = 0.7, the textbook setting, as exact integers 700/300).
+    *
+    * Integer doctrine: rel_pm = (1000·score) DIV max-score per-mille;
+    * sim_pm = (1000·|A∩B|) DIV |A∪B| Jaccard per-mille over the
+    * candidates' distinct-token sets; objective 700·rel_pm −
+    * 300·max_sim_pm — every value a BIGINT, ties broken by doc_id, so
+    * the greedy trajectory is a pure function of the corpus and the
+    * DuckDB oracle replays it step for step (10 unrolled CTEs).
+    *
+    * Scale shape: the SCALABLE part is candidate generation (c42's
+    * posting-index retrieval); the re-rank itself touches only the
+    * constant-size pool — pairwise sims are 20·19 rows built by one
+    * term-keyed equi-join of the pool's token lists (broadcast pool →
+    * map-side), and each greedy round is a join against the ≤10-row
+    * selected set. Per-query cost is O(C²+C·k) REGARDLESS of corpus
+    * size — exactly how a serving tier runs MMR behind an index. */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    val cand0 = bm25Top(s, d).select(col("doc_id"), col("score"))
+    val mx = cand0.agg(max(col("score")).as("mx"))
+    val cand = cand0.crossJoin(broadcast(mx))
+      .select(col("doc_id"), expr("(1000 * score) DIV mx").as("rel_pm"))
+      .localCheckpoint()
+    val tfd = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+    val ct = tfd.join(broadcast(cand.select(col("doc_id"))), "doc_id")
+    val sz = ct.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pr = ct.select(col("doc_id").as("a_id"), col("term"))
+      .join(ct.select(col("doc_id").as("b_id"), col("term")), "term")
+      .where(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        expr("(1000 * inter) DIV (na + nb - inter)").as("sim_pm"))
+      .localCheckpoint()
+    var sel = cand.limit(0).select(lit(0L).as("sel_rank"), col("doc_id"),
+      col("rel_pm"), lit(0L).as("max_sim_pm"), lit(0L).as("mmr_score"))
+    for (k <- 1 to MmrK) {
+      val pick = cand
+        .join(sel.select(col("doc_id").as("sdoc")),
+          col("doc_id") === col("sdoc"), "left_anti")
+        .join(pr.join(sel.select(col("doc_id").as("b_id")), "b_id")
+            .groupBy(col("a_id")).agg(max(col("sim_pm")).as("ms0"))
+            .select(col("a_id").as("doc_id"), col("ms0")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("rel_pm"),
+          coalesce(col("ms0"), lit(0L)).as("max_sim_pm"))
+        .withColumn("mmr_score", expr("700 * rel_pm - 300 * max_sim_pm"))
+        .orderBy(col("mmr_score").desc, col("doc_id").asc).limit(1)
+        .select(lit(k.toLong).as("sel_rank"), col("doc_id"),
+          col("rel_pm"), col("max_sim_pm"), col("mmr_score"))
+      sel = sel.unionAll(pick).localCheckpoint()
+    }
+    sel.orderBy(col("sel_rank"))
   }
 
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c42_bm25" -> (bm25MoreLikeThis _),
+    "c43_mmr_rerank" -> (mmrRerank _),
     "c18_seq_pack" -> (seqPack _),
     "c18b_seq_pack_salted" -> (seqPackSalted _),
     "c19_curate" -> (curate _),
@@ -370,45 +444,105 @@ object Pipeline {
       |      AS quality_ok
       |  FROM flags2)""".stripMargin
 
+  /** The c42 BM25 CTE chain up to the per-doc scores (`sc`) — shared by
+    * the c42 and c43 oracles exactly as [[bm25Top]] is engine-side. */
+  private val bm25CoreSql: String =
+    s"""tf AS MATERIALIZED (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents) x
+       |  GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |       FROM tf GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+       |              CAST(sum(dl) AS BIGINT) AS ll FROM dl),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |        FROM tf GROUP BY term),
+       |qd AS (SELECT min(doc_id) AS qid FROM documents),
+       |qt AS (
+       |  SELECT term, df FROM (
+       |    SELECT f.term, g.df,
+       |      row_number() OVER (ORDER BY g.df ASC, f.term ASC) AS qrn
+       |    FROM tf f JOIN dfq g USING (term), qd
+       |    WHERE f.doc_id = qd.qid AND g.df >= 2) z
+       |  WHERE qrn <= $Bm25QTerms),
+       |sc AS (
+       |  SELECT f.doc_id,
+       |    CAST(sum(
+       |      ((1000 * (2*st.nn - 2*q.df + 1)) // (2*q.df + 1)) *
+       |      ((22 * st.ll * f.tf * 1000000) //
+       |       (10 * st.ll * f.tf + 3 * st.ll + 9 * l.dl * st.nn))
+       |    ) AS BIGINT) AS score,
+       |    CAST(count(*) AS BIGINT) AS n_terms_hit
+       |  FROM tf f JOIN qt q USING (term) JOIN dl l USING (doc_id),
+       |       st, qd
+       |  WHERE f.doc_id <> qd.qid
+       |  GROUP BY f.doc_id)""".stripMargin
+
+  /** One c43 greedy MMR round: among candidates not yet in `$prev`,
+    * compute max sim to the selected set (empty → 0 via the LEFT join)
+    * and append the argmax of 700·rel − 300·maxsim (tie → min doc_id). */
+  private def mmrStepSql(prev: String, next: String, k: Int): String =
+    s"""$next AS MATERIALIZED (
+       |  SELECT * FROM $prev
+       |  UNION ALL
+       |  (SELECT CAST($k AS BIGINT) AS sel_rank, doc_id, rel_pm,
+       |     max_sim_pm, 700 * rel_pm - 300 * max_sim_pm AS mmr_score
+       |   FROM (
+       |     SELECT c.doc_id, c.rel_pm,
+       |       coalesce(max(x.sim_pm), CAST(0 AS BIGINT)) AS max_sim_pm
+       |     FROM cr c
+       |     LEFT JOIN (SELECT p.a_id, p.sim_pm FROM pr p
+       |                JOIN $prev s ON p.b_id = s.doc_id) x
+       |       ON x.a_id = c.doc_id
+       |     WHERE c.doc_id NOT IN (SELECT doc_id FROM $prev)
+       |     GROUP BY c.doc_id, c.rel_pm) y
+       |   ORDER BY mmr_score DESC, doc_id ASC LIMIT 1))""".stripMargin
+
+  private val mmrOracle: String = {
+    val steps = (1 to MmrK)
+      .map(i => mmrStepSql(s"s${i - 1}", s"s$i", i)).mkString(",\n")
+    s"""WITH $bm25CoreSql,
+       |cand AS MATERIALIZED (
+       |  SELECT doc_id, score FROM sc
+       |  ORDER BY score DESC, doc_id ASC LIMIT 20),
+       |mx AS (SELECT max(score) AS mx FROM cand),
+       |cr AS MATERIALIZED (
+       |  SELECT doc_id, (1000 * score) // mx AS rel_pm FROM cand, mx),
+       |tfd AS (SELECT doc_id,
+       |          unnest(list_distinct(string_split(text, ' '))) AS term
+       |        FROM documents),
+       |ct AS MATERIALIZED (
+       |  SELECT t.doc_id, t.term FROM tfd t JOIN cr USING (doc_id)),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |       FROM ct GROUP BY doc_id),
+       |pr AS MATERIALIZED (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    (1000 * CAST(count(*) AS BIGINT)) //
+       |      (sa.n + sb.n - CAST(count(*) AS BIGINT)) AS sim_pm
+       |  FROM ct a JOIN ct b ON a.term = b.term AND a.doc_id <> b.doc_id
+       |  JOIN sz sa ON sa.doc_id = a.doc_id
+       |  JOIN sz sb ON sb.doc_id = b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n),
+       |s0 AS (SELECT CAST(0 AS BIGINT) AS sel_rank, doc_id, rel_pm,
+       |         CAST(0 AS BIGINT) AS max_sim_pm,
+       |         CAST(0 AS BIGINT) AS mmr_score
+       |       FROM cr WHERE FALSE),
+       |$steps
+       |SELECT sel_rank, doc_id, rel_pm, max_sim_pm, mmr_score
+       |FROM s$MmrK ORDER BY sel_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // the identical integer BM25 chain; every division is `//` on
     // BIGINTs (DuckDB) mirroring Spark's DIV, sums cast back to BIGINT
     // (DuckDB widens sum(BIGINT) to HUGEINT)
     "c42_bm25" ->
-      s"""WITH tf AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |    FROM documents) x
-         |  GROUP BY doc_id, term),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-         |       FROM tf GROUP BY doc_id),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS nn,
-         |              CAST(sum(dl) AS BIGINT) AS ll FROM dl),
-         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-         |        FROM tf GROUP BY term),
-         |qd AS (SELECT min(doc_id) AS qid FROM documents),
-         |qt AS (
-         |  SELECT term, df FROM (
-         |    SELECT f.term, g.df,
-         |      row_number() OVER (ORDER BY g.df ASC, f.term ASC) AS qrn
-         |    FROM tf f JOIN dfq g USING (term), qd
-         |    WHERE f.doc_id = qd.qid AND g.df >= 2) z
-         |  WHERE qrn <= $Bm25QTerms),
-         |sc AS (
-         |  SELECT f.doc_id,
-         |    CAST(sum(
-         |      ((1000 * (2*st.nn - 2*q.df + 1)) // (2*q.df + 1)) *
-         |      ((22 * st.ll * f.tf * 1000000) //
-         |       (10 * st.ll * f.tf + 3 * st.ll + 9 * l.dl * st.nn))
-         |    ) AS BIGINT) AS score,
-         |    CAST(count(*) AS BIGINT) AS n_terms_hit
-         |  FROM tf f JOIN qt q USING (term) JOIN dl l USING (doc_id),
-         |       st, qd
-         |  WHERE f.doc_id <> qd.qid
-         |  GROUP BY f.doc_id)
+      s"""WITH $bm25CoreSql
          |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk,
          |  doc_id, score, n_terms_hit
          |FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "c43_mmr_rerank" -> mmrOracle,
     "c18_seq_pack" ->
       s"""WITH RECURSIVE toks AS (
          |  SELECT doc_id, source,

@@ -381,6 +381,57 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** B44: log-bucketed quantile sketch (the DDSketch shape, Masson et
+    * al. VLDB'19) — quantiles with a GUARANTEED relative-error bound
+    * from a tiny mergeable histogram, the production alternative to
+    * b35's KMV sample when the error bar must be a hard promise.
+    * Values (price cents, exact integers) map to bucket (e, m) where
+    * e = ⌊log₂ v⌋ via the bit-length of the binary string (exact in
+    * both engines — no floating log anywhere) and m = ⌊v·16/2^e⌋ − 16
+    * is a 4-bit mantissa refinement: every value in bucket (e, m) lies
+    * within a factor 1 + 2⁻⁴ of the bucket's lower bound
+    * (16+m)·2^(e−4), i.e. ≤ 6.25 % relative error, independent of the
+    * data distribution or scale factor.
+    *
+    * Mergeability is the 100-TB story and the query exercises it: the
+    * histogram is built as PER-MONTH partials then merged by bucket-key
+    * sum (the b40 monoid shape — at scale each partition/day/source
+    * ships its ≤ few-hundred-row histogram and the merge is a free
+    * rollup; a spec law asserts merged ≡ direct). Quantiles q ∈ {.5,
+    * .9, .99} read off the cumulative walk: the first bucket whose
+    * cumulative count reaches ⌈q·N⌉. Two keyed aggregates + one
+    * few-hundred-row window — no sort of the data, no per-value state,
+    * constant memory at any scale. */
+  def logBucketQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select(expr(s"CAST($decPrice * 100 AS BIGINT)").as("cents"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
+      .withColumn("e", (length(expr("bin(cents)")) - 1).cast("int"))
+      .withColumn("m", expr(
+        "CAST((cents * 16) DIV shiftleft(CAST(1 AS BIGINT), e) - 16 AS INT)"))
+    val part = li.groupBy(col("mon"), col("e"), col("m"))
+      .agg(count(lit(1)).as("pn"))
+    val hist = part.groupBy(col("e"), col("m")).agg(sum(col("pn")).as("n"))
+    val wcum = Window.orderBy(col("e"), col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum_n", sum(col("n")).over(wcum))
+    val tot = hist.agg(sum(col("n")).as("n_total"))
+    val wq = Window.partitionBy(col("q_pm")).orderBy(col("e"), col("m"))
+    Seq(500L, 900L, 990L).toDF("q_pm")
+      .crossJoin(cum).crossJoin(broadcast(tot))
+      .where(col("cum_n") >= expr("(q_pm * n_total + 999) DIV 1000"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") === 1)
+      .select(col("q_pm"),
+        (col("e") * 16 + col("m")).cast("long").as("bucket"),
+        col("e").cast("long").as("e"), col("m").cast("long").as("m"),
+        expr("(16 + m) * shiftleft(CAST(1 AS BIGINT), e - 4)")
+          .as("lb_cents"),
+        col("cum_n"), col("n_total"))
+      .orderBy(col("q_pm"))
+  }
+
   /** Sample size for the heavy-hitter estimate (b36); tests reference it. */
   private[graft] val HhK = 2048
 
@@ -1461,6 +1512,7 @@ object Relational {
     "b09_approx_distinct" -> (approxDistinct _),
     "b09b_kmv_distinct" -> (kmvDistinct _),
     "b35_kmv_quantiles" -> (kmvQuantiles _),
+    "b44_logbucket_quantiles" -> (logBucketQuantiles _),
     "b36_heavy_hitters" -> (sampledHeavyHitters _),
     "b39_countmin" -> (countMinTop _),
     "b10_rollup" -> (rollupAgg _),
@@ -1896,6 +1948,40 @@ object Relational {
          |  (hh.hits * tot.n_total) // ns.n_sample AS est_n, ex.exact_n
          |FROM hh JOIN ex USING (uv) CROSS JOIN tot CROSS JOIN ns
          |ORDER BY est_n DESC, user_id LIMIT 10""".stripMargin,
+    // identical exact-integer bucket chain: bit-length e via bin(),
+    // 4-bit mantissa via `//` and `<<` on BIGINTs, same per-month
+    // partial→merge grouping, same ⌈q·N⌉ rank rule
+    "b44_logbucket_quantiles" ->
+      """WITH li AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(9,2)) * 100
+        |           AS BIGINT) AS cents,
+        |    strftime(l_shipdate, '%Y-%m') AS mon FROM lineitem),
+        |b AS (
+        |  SELECT mon, length(bin(cents)) - 1 AS e,
+        |    (cents * 16) // (CAST(1 AS BIGINT) << (length(bin(cents)) - 1))
+        |      - 16 AS m
+        |  FROM li),
+        |part AS (SELECT mon, e, m, CAST(count(*) AS BIGINT) AS pn
+        |         FROM b GROUP BY 1, 2, 3),
+        |hist AS (SELECT e, m, CAST(sum(pn) AS BIGINT) AS n
+        |         FROM part GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM hist),
+        |cum AS (
+        |  SELECT e, m, CAST(sum(n) OVER (ORDER BY e, m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_n
+        |  FROM hist),
+        |q AS (SELECT CAST(unnest([500, 900, 990]) AS BIGINT) AS q_pm)
+        |SELECT q_pm, e * 16 + m AS bucket, e, m,
+        |  (16 + m) * (CAST(1 AS BIGINT) << (e - 4)) AS lb_cents,
+        |  cum_n, n_total
+        |FROM (
+        |  SELECT q.q_pm, c.e, c.m, c.cum_n, t.n_total,
+        |    row_number() OVER (PARTITION BY q.q_pm ORDER BY c.e, c.m)
+        |      AS rn
+        |  FROM q CROSS JOIN cum c CROSS JOIN tot t
+        |  WHERE c.cum_n >= (q.q_pm * t.n_total + 999) // 1000) z
+        |WHERE rn = 1 ORDER BY q_pm""".stripMargin,
     "b35_kmv_quantiles" ->
       s"""WITH dv AS (
          |  SELECT o_orderpriority, o_totalprice,

@@ -726,6 +726,60 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(30)
 
+  /** Minimum pair support for c44 — the standard noise floor of
+    * collocation mining (a pair seen < 5 times has no stable statistic
+    * to rank by; Manning & Schütze ch. 5 use the same cutoff). */
+  val CollocMinSupport = 5L
+
+  /** C44: collocation (phrase) mining — rank adjacent word pairs by
+    * LIFT, the observed/expected co-occurrence ratio
+    * p(w1w2) / (p(w1)·p(w2)), the log-free core of pointwise mutual
+    * information. This is the phrase-extraction step of tokenizer/
+    * vocabulary construction: a pair with lift ≫ 1 co-occurs far more
+    * often than its unigram frequencies predict and is a candidate
+    * multi-word token, while c15's raw counts just surface frequent
+    * words next to other frequent words.
+    *
+    * Integer doctrine: with T = total tokens, NB = total bigrams,
+    * u1/u2 = unigram counts and np = pair count, lift =
+    * np·T² / (NB·u1·u2) is evaluated as the fixed parenthesization
+    * ((np·1000·T DIV u1) · (1000·T DIV u2)) DIV NB in ppm — every
+    * intermediate a BIGINT (np ≤ u1 bounds the first factor by 1000·T
+    * ≈ 2·10⁹ at sf1, so the product stays < 2⁶³; at ≳sf30 the milli
+    * scale would need to drop a digit), bit-identical in both engines.
+    *
+    * Scale shape: two corpus-keyed aggregates (unigram + bigram counts,
+    * the same shuffles c15 already pays), two equi-joins of the pair
+    * table against the unigram table (vocabulary-keyed — at 100 TB the
+    * vocabulary is millions of rows, broadcastable or hash-joined, and
+    * the support filter prunes the pair table BEFORE the joins), scalar
+    * totals broadcast; top-50 is a TakeOrdered, not a global sort. */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("tok"))
+    val uni = toks.select(explode(col("tok")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("u"))
+    val big = toks.select(explode(transform(
+        sequence(lit(1), size(col("tok")) - 1),
+        i => concat(element_at(col("tok"), i), lit(" "),
+          element_at(col("tok"), i + 1)))).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("np"))
+    val tot = uni.agg(sum(col("u")).as("tt"))
+    val btot = big.agg(sum(col("np")).as("nb"))
+    big.where(col("np") >= CollocMinSupport)
+      .join(uni.select(col("w").as("w1"), col("u").as("u1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("u").as("u2")), "w2")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .withColumn("lift_ppm",
+        expr("(((np * 1000 * tt) DIV u1) * ((1000 * tt) DIV u2)) DIV nb"))
+      .select(col("w1"), col("w2"), col("np").as("n_pair"),
+        col("u1").as("n_w1"), col("u2").as("n_w2"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(50)
+  }
+
   /** C37: n-gram novelty scoring — per document, the fraction of its
     * distinct word 5-grams that NO earlier document (doc_id order = the
     * corpus's ingest order) already contained. This is the corpus-
@@ -1364,6 +1418,7 @@ object TextOps {
     "c16_array_ops2" -> (arrayOps2 _),
     "e03_string_kitchen" -> (stringKitchen _),
     "c15_bigrams" -> (bigramStats _),
+    "c44_collocations" -> (collocations _),
     "c14_array_hof" -> (arrayHof _),
     "c01_dedup_exact" -> (dedupExact _),
     "c01_dedup_stats" -> (dedupStats _),
@@ -1952,6 +2007,28 @@ object TextOps {
         |    i -> tok[i] || ' ' || tok[i + 1])) AS bigram
         |  FROM (SELECT string_split(text, ' ') AS tok FROM documents) t) b
         |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 30""".stripMargin,
+    // identical integer-lift chain: fixed parenthesization, `//` on
+    // BIGINTs mirroring Spark's DIV, counts cast from HUGEINT
+    "c44_collocations" ->
+      s"""WITH tk AS (SELECT string_split(text, ' ') AS tok FROM documents),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS u
+         |        FROM (SELECT unnest(tok) AS w FROM tk) x GROUP BY w),
+         |tot AS (SELECT CAST(sum(u) AS BIGINT) AS tt FROM uni),
+         |big AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |               split_part(bg, ' ', 2) AS w2,
+         |               CAST(count(*) AS BIGINT) AS np
+         |        FROM (SELECT unnest(list_transform(range(1, len(tok)),
+         |                i -> tok[i] || ' ' || tok[i + 1])) AS bg FROM tk) b
+         |        GROUP BY 1, 2),
+         |bt AS (SELECT CAST(sum(np) AS BIGINT) AS nb FROM big)
+         |SELECT big.w1, big.w2, np AS n_pair, u1.u AS n_w1, u2.u AS n_w2,
+         |  (((np * 1000 * tt) // u1.u) * ((1000 * tt) // u2.u)) // nb
+         |    AS lift_ppm
+         |FROM big JOIN uni u1 ON big.w1 = u1.w
+         |         JOIN uni u2 ON big.w2 = u2.w, tot, bt
+         |WHERE np >= ${TextOps.CollocMinSupport}
+         |ORDER BY lift_ppm DESC, big.w1 ASC, big.w2 ASC
+         |LIMIT 50""".stripMargin,
     "c14_array_hof" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |SELECT vec_id,

@@ -239,4 +239,44 @@ class GraphSpec extends SparkSpec {
     // every fold is populated at this corpus size
     assert(out.select(col("fold")).distinct().count() == ops.Graph.KFolds)
   }
+
+  test("g05 lpa: bridged triangles stay separate communities (where CC " +
+    "merges them) and isolated vertices keep their own label") {
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3–4,
+    // plus the isolated vertex 7
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("u", "v")
+    val bi = e.unionAll(e.select(col("v"), col("u")))
+    val verts = (1L to 7L).toDF("v")
+    val lbl = Graph.lpaLabels(bi, verts).collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("lbl")).toMap
+    assert(Set(1L, 2L, 3L).map(lbl) == Set(1L),
+      s"left triangle labels: $lbl")
+    assert(Set(4L, 5L, 6L).map(lbl) == Set(3L),
+      s"right triangle labels: $lbl")
+    assert(lbl(7L) == 7L, s"isolated vertex moved: $lbl")
+  }
+
+  test("g05 lpa: rollup is a partition of the corpus and every community " +
+    "stays inside one connected component") {
+    val out = Graph.labelPropagation(spark, sf0001).collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(out.map(_.getAs[Long]("size")).sum == nDocs)
+    out.foreach { r =>
+      assert(r.getAs[Long]("min_doc") <= r.getAs[Long]("max_doc"))
+      assert(r.getAs[Long]("size") >= 1L)
+    }
+    // a vertex's final label is a ≤LpaRounds-hop-reachable vertex, so
+    // each community must be contained in one connected component
+    val comp = Graph.components(spark, sf0001)
+      .select(col("doc_id"), col("component"))
+    val lbl = Graph.labelPropagation(spark, sf0001)
+      .select(col("lbl"), col("min_doc"), col("max_doc"))
+    val straddle = comp.join(lbl,
+        col("doc_id") === col("min_doc") || col("doc_id") === col("max_doc"))
+      .groupBy(col("lbl"))
+      .agg(countDistinct(col("component")).as("nc"))
+      .where(col("nc") > 1).count()
+    assert(straddle == 0, s"$straddle communities straddle components")
+  }
 }

@@ -171,4 +171,35 @@ class PipelineSpec extends SparkSpec {
       assert(r.getAs[Long]("score") > 0L)
     }
   }
+
+  test("c43 mmr: picks come from the BM25 pool without repeats, round 1 " +
+    "is pure relevance, and the greedy objective never increases") {
+    val pool = Pipeline.bm25MoreLikeThis(spark, sf0001).collect()
+    val sel = Pipeline.mmrRerank(spark, sf0001).collect()
+    assert(sel.length == math.min(Pipeline.MmrK, pool.length))
+    assert(sel.map(_.getAs[Long]("sel_rank")).toSeq ==
+      (1L to sel.length))
+    val poolIds = pool.map(_.getAs[Long]("doc_id")).toSet
+    val ids = sel.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "repeated pick")
+    assert(ids.forall(poolIds), "pick outside the candidate pool")
+    // with nothing selected yet, round 1 maximizes relevance alone:
+    // the BM25 rank-1 doc at zero similarity penalty
+    assert(sel.head.getAs[Long]("doc_id") == pool.head.getAs[Long]("doc_id"))
+    assert(sel.head.getAs[Long]("max_sim_pm") == 0L)
+    // each round's winning objective bounds the next round's: a later
+    // candidate's max-sim only grows as the selected set grows, so the
+    // greedy argmax sequence is non-increasing
+    val sc = sel.map(_.getAs[Long]("mmr_score"))
+    sc.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, s"objective rose: ${sc.toSeq}")
+      case _ => ()
+    }
+    sel.foreach { r =>
+      val s = r.getAs[Long]("max_sim_pm")
+      assert(s >= 0L && s <= 1000L, s"sim out of per-mille range: $s")
+      assert(r.getAs[Long]("rel_pm") >= 0L &&
+        r.getAs[Long]("rel_pm") <= 1000L)
+    }
+  }
 }

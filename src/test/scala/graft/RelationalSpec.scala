@@ -282,4 +282,35 @@ class RelationalSpec extends SparkSpec {
     val noOracle = Relational.queries.keySet -- Relational.oracles.keySet
     assert(noOracle.isEmpty, noOracle.toString)
   }
+
+  test("b44 log-bucket quantiles: reported buckets bracket the exact " +
+    "quantile values within the 1+2^-4 relative-error guarantee") {
+    val rows = Relational.logBucketQuantiles(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("q_pm")).toSeq == Seq(500L, 900L, 990L))
+    // driver-side exact recompute of the value CDF in cents
+    val cents = Tables.lineitem(spark, sf0001)
+      .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(9,2)) * 100 AS BIGINT)"))
+      .collect().map(_.getLong(0)).sorted
+    def bucketOf(v: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      e * 16L + ((v * 16L) >> e) - 16L
+    }
+    val n = cents.length.toLong
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_pm")
+      val target = (q * n + 999L) / 1000L
+      val v = cents((target - 1).toInt) // exact q-quantile value
+      val lb = r.getAs[Long]("lb_cents")
+      // the exact quantile value lies in the reported bucket, whose
+      // width is bounded by the 4-bit-mantissa guarantee
+      assert(r.getAs[Long]("bucket") == bucketOf(v),
+        s"q=$q: exact value $v not in reported bucket")
+      assert(lb <= v && 16L * v < 17L * lb, s"q=$q v=$v lb=$lb")
+      // cumulative counts match a full driver-side histogram replay
+      assert(r.getAs[Long]("cum_n") ==
+        cents.count(c => bucketOf(c) <= r.getAs[Long]("bucket")))
+      assert(r.getAs[Long]("cum_n") >= target)
+      assert(r.getAs[Long]("n_total") == n)
+    }
+  }
 }

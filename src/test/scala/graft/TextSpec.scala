@@ -409,4 +409,34 @@ class TextSpec extends SparkSpec {
         s"pair ($a,$b): true common run $best < reported span $span")
     }
   }
+
+  test("c44 collocations: support floor holds and every reported lift " +
+    "matches a driver-side recompute from raw token streams") {
+    val rows = TextOps.collocations(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val lifts = rows.map(_.getAs[Long]("lift_ppm"))
+    lifts.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, s"lift order broken: ${lifts.toSeq}")
+      case _ => ()
+    }
+    // independent recompute: unigram/bigram counts from the raw text
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("text")).collect().map(_.getString(0).split(" ").toSeq)
+    val uni = docs.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val big = docs.flatMap(t => t.zip(t.tail))
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val tt = uni.values.sum
+    val nb = big.values.sum
+    rows.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      val np = r.getAs[Long]("n_pair")
+      assert(np >= TextOps.CollocMinSupport)
+      assert(big((w1, w2)) == np, s"pair count mismatch for ($w1,$w2)")
+      assert(uni(w1) == r.getAs[Long]("n_w1"))
+      assert(uni(w2) == r.getAs[Long]("n_w2"))
+      val expected = (((np * 1000L * tt) / uni(w1)) * ((1000L * tt) / uni(w2))) / nb
+      assert(r.getAs[Long]("lift_ppm") == expected,
+        s"lift mismatch for ($w1,$w2)")
+    }
+  }
 }
