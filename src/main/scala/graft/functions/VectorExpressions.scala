@@ -123,6 +123,68 @@ case class EuclideanDistanceExpr(left: Expression, right: Expression)
       : Expression = copy(left = l, right = r)
 }
 
+/** Σ (a_i − b_i)² over two array<bigint> code vectors, accumulated in
+  * BIGINT — the symmetric-distance kernel of the SQ8 scalar-quantization
+  * tier (ops.Ann). Codes are bounded (0..255 per dimension), so the sum
+  * is exact integer arithmetic with no overflow anywhere near 2⁶³, and
+  * bit-reproducible on any engine by construction — no float ops at all
+  * in the scan hot path. */
+case class SquaredDiffLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq_dist_long"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) throw new IllegalArgumentException(
+      s"sq_dist_long: dimension mismatch ($n vs ${y.numElements()})")
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val dv = ctx.freshName("dv")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) throw new IllegalArgumentException(
+         |  "sq_dist_long: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $dv = $a.getLong($i) - $b.getLong($i);
+         |  $s += $dv * $dv;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** Register SQL names so the expressions are callable from any session
     * (idempotent; safe to call per-query). */
@@ -131,6 +193,8 @@ object VectorExpressions {
       exprs => CosineDistanceExpr(exprs(0), exprs(1)))
     Registry.ensure(spark, "euclidean_distance")(
       exprs => EuclideanDistanceExpr(exprs(0), exprs(1)))
+    Registry.ensure(spark, "sq_dist_long")(
+      exprs => SquaredDiffLongExpr(exprs(0), exprs(1)))
   }
 
   def cosine_distance(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
@@ -141,5 +205,10 @@ object VectorExpressions {
   def euclidean_distance(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("euclidean_distance", a, b)
+  }
+
+  def sq_dist_long(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("sq_dist_long", a, b)
   }
 }

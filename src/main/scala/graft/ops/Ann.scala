@@ -959,6 +959,114 @@ object Ann {
       .orderBy(col("band"))
   }
 
+  // ------------------------------------------------ scalar quant (SQ8)
+
+  /** Quantization levels per dimension: 8-bit codes, 0..255. */
+  val SqLevels = 256
+
+  /** C4-SQ8: the scalar-quantization tier (FAISS IndexScalarQuantizer
+    * QT_8bit shape) — the third point on the memory/recall frontier:
+    * flat float (exact, 4 B/dim) → SQ8 (1 B/dim, per-dim linear
+    * quantization, mild rank noise) → PQ (½ bit/dim here, subspace
+    * codebooks, more noise). Each dimension is quantized independently
+    * against the CORPUS per-dim [min, max] span:
+    *
+    *   code_i = (q_i − mn_i) · 255 DIV (mx_i − mn_i),  q_i = ⌊v_i·2²⁰⌋
+    *
+    * — all BIGINT (the [[Quant]] trick makes the float→integer step
+    * exact), so the codes, the symmetric code distance, and therefore
+    * the candidate ranking are bit-reproducible on any engine with NO
+    * float arithmetic anywhere in the scan hot path (the only IEEE ops
+    * in the whole query are the final exact re-rank cosines). Candidate
+    * scoring is SDC (symmetric distance): Σ(code_q − code_c)² via the
+    * codegen [[graft.functions.SquaredDiffLongExpr]] kernel — bounded by
+    * 64·255² ≈ 4.2·10⁶, nowhere near overflow.
+    *
+    * Scale shape: the code table is the compressed corpus — 64 B/vector
+    * vs 256 B float, a 4× cut in scan memory traffic with ~n/10 of the
+    * exact-distance work surviving to the re-rank (same R policy as PQ,
+    * see [[PqRerankMin]]). The declared leave-one-out form scans all
+    * pairs (the flat-index shape, like ann_pq_topk); in production the
+    * tier rides IVF routing exactly as PQ does — SQ8-within-lists is
+    * FAISS's IndexIVFScalarQuantizer, and this module's trained routing
+    * ([[ivfpqTopkFrom]]) composes with any within-list scorer. The
+    * per-dim (mn, mx) stats table is 64 rows — a broadcast, recomputed
+    * in one map-side-combined pass per index build. */
+  private def sq8Codes(s: SparkSession, d: String): DataFrame =
+    // session-cached like the IVF assignment: topk/recall/stats all
+    // consume it, and recall additionally re-runs topk's whole chain
+    assignCache.getOrBuild(s, s"$d#sq8codes") {
+      val qe = Tables.repartitioned(Tables.embeddings(s, d), s)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("vec_id"), col("i"),
+          expr(s"CAST(floor(CAST(v AS DOUBLE) * $Quant) AS BIGINT)").as("q"))
+      val st = qe.groupBy(col("i"))
+        .agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
+      // degenerate span (mx = mn) → code 0: a constant dimension carries
+      // no ranking information either way, but DIV 0 must not be reachable
+      qe.join(broadcast(st), Seq("i"))
+        .select(col("vec_id"), col("i"),
+          when(col("mx") > col("mn"),
+            expr(s"((q - mn) * ${SqLevels - 1}) DIV (mx - mn)"))
+            .otherwise(lit(0L)).as("code"))
+        .groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("code")))),
+          x => x.getField("code")).as("codes"))
+    }
+
+  /** SQ8 top-K: SDC scan over the code table, top-R cut, exact cosine
+    * re-rank — (qid, rnk, cid, dist), the ann_*_topk contract. */
+  def sq8Topk(s: SparkSession, d: String): DataFrame = {
+    val codes = sq8Codes(s, d)
+    val qside = Tables.repartitioned(
+      codes.select(col("vec_id").as("qid"), col("codes").as("qc")), s)
+    val cside = codes.select(col("vec_id").as("cid"), col("codes").as("cc"))
+    // the knn_topk shape: repartitioned queries × broadcast compressed
+    // corpus (the code table is 4× smaller than the float vectors the
+    // exact tier broadcasts); the SDC kernel runs inside codegen on the
+    // BNLJ pair stream
+    val scored = qside.join(broadcast(cside), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        VectorExpressions.sq_dist_long(s, col("qc"), col("cc")).as("sdc"))
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("sdc").asc, col("cid").asc)
+    val rlim = Tables.embeddings(s, d).agg(
+      expr(s"greatest(CAST($PqRerankMin AS BIGINT), " +
+        s"count(1) DIV $PqRerankDiv)").as("rlim"))
+    val cands = scored.withColumn("srn", row_number().over(wS))
+      .crossJoin(broadcast(rlim))
+      .where(col("srn") <= col("rlim"))
+      .select(col("qid"), col("cid"))
+    val q = Tables.embeddings(s, d).select(col("vec_id").as("qid"),
+      col("embedding").as("qv"))
+    val c = Tables.embeddings(s, d).select(col("vec_id").as("cid"),
+      col("embedding").as("cv"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    cands.join(q, Seq("qid")).join(c, Seq("cid"))
+      .select(col("qid"), col("cid"),
+        VectorExpressions.cosine_distance(s, col("qv"), col("cv")).as("dist"))
+      .withColumn("rnk", row_number().over(wTop)).where(col("rnk") <= K)
+      .select(col("qid"), col("rnk"), col("cid"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def sq8Recall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, sq8Topk(s, d).select(col("qid"), col("cid")))
+
+  /** Per-dimension code census — quantization balance (a dimension whose
+    * codes collapse onto few levels carries no ranking information; the
+    * sq8 analog of [[pqCodeStats]]). */
+  def sq8Stats(s: SparkSession, d: String): DataFrame =
+    sq8Codes(s, d)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("i", "code")))
+      .groupBy(col("i").cast("long").as("i"))
+      .agg(countDistinct(col("code")).as("n_codes"),
+        min(col("code")).as("min_code"), max(col("code")).as("max_code"),
+        sum(col("code")).as("sum_code"))
+      .orderBy(col("i"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk" -> (ivfTopk _),
     "ann_ivf_topk_trained" -> (ivfTopkTrained _),
@@ -979,6 +1087,9 @@ object Ann {
     "ann_ivf_topk_indexed" -> (ivfTopkIndexed _),
     "ann_index_upsert" -> (indexUpsert _),
     "ann_ivf_topk_upserted" -> (ivfTopkUpserted _),
+    "ann_sq8_topk" -> (sq8Topk _),
+    "ann_sq8_recall" -> (sq8Recall _),
+    "ann_sq8_stats" -> (sq8Stats _),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -1303,7 +1414,71 @@ object Ann {
            |  WHERE a.vec_id <> p.qid)""".stripMargin,
         cutNum = PIvfpq, cutDen = 2 * C)}""".stripMargin
 
+  /** SQ8 code CTEs (shared by the stats census and the search chain):
+    * quantized per-dim values → corpus spans → 8-bit codes, the same
+    * BIGINT arithmetic as the engine (`//` ≡ DIV on the non-negative
+    * operands: q − mn ≥ 0, mx − mn > 0 inside the branch). */
+  private def sq8CodeCtes: String =
+    s"""sqe AS (
+       |  SELECT vec_id, i - 1 AS i,
+       |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+       |      * $Quant) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings) x),
+       |sst AS (SELECT i, min(q) AS mn, max(q) AS mx FROM sqe GROUP BY i),
+       |scode AS (
+       |  SELECT vec_id, e.i,
+       |    CASE WHEN mx > mn THEN ((q - mn) * ${SqLevels - 1}) // (mx - mn)
+       |         ELSE 0 END AS code
+       |  FROM sqe e JOIN sst USING (i))""".stripMargin
+
+  /** SQ8 search chain: SDC scan → top-R → exact cosine re-rank; leaves
+    * `ranked` like the other ANN chains so topkSelect/recallSelect
+    * compose. The oracle ranks candidates by list_distance — the double
+    * sqrt of the same integer sum: every Σ(Δcode)² ≤ 64·255² is exactly
+    * representable in double and sqrt is strictly monotone, so the
+    * candidate order (and hence the final output) is identical to the
+    * engine's BIGINT SDC order, tie-break included. */
+  private def sq8Ctes: String =
+    s"""$sq8CodeCtes,
+       |scl AS MATERIALIZED (
+       |  SELECT vec_id, list(CAST(code AS DOUBLE) ORDER BY i) AS cl
+       |  FROM scode GROUP BY vec_id),
+       |ssd AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    list_distance(a.cl, b.cl) AS sd
+       |  FROM scl a JOIN scl b ON a.vec_id <> b.vec_id),
+       |scand AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sd ASC, cid ASC) AS srn FROM ssd) z
+       |  WHERE srn <= greatest($PqRerankMin,
+       |    (SELECT count(*) FROM embeddings) // $PqRerankDiv)),
+       |ranked AS (
+       |  SELECT qid, cid, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC)
+       |      AS rnk
+       |  FROM (
+       |    SELECT k.qid, k.cid,
+       |      1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                   CAST(c.embedding AS DOUBLE[])) AS dist
+       |    FROM scand k
+       |    JOIN embeddings q ON q.vec_id = k.qid
+       |    JOIN embeddings c ON c.vec_id = k.cid) y)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_sq8_topk" ->
+      s"""WITH $sq8Ctes
+         |$topkSelect""".stripMargin,
+    "ann_sq8_recall" ->
+      s"""WITH $sq8Ctes,
+         |$recallSelect""".stripMargin,
+    "ann_sq8_stats" ->
+      s"""WITH $sq8CodeCtes
+         |SELECT i, count(DISTINCT code) AS n_codes, min(code) AS min_code,
+         |  max(code) AS max_code, CAST(sum(code) AS BIGINT) AS sum_code
+         |FROM scode GROUP BY i ORDER BY i""".stripMargin,
     "ann_ivfpq_topk" ->
       s"""WITH $ivfpqCtes
          |$topkSelect""".stripMargin,

@@ -179,4 +179,43 @@ class AnnSpec extends SparkSpec {
            fullCodes.except(upCodes).count() == 0,
       "maintained codes must equal the full-corpus encoding")
   }
+
+  test("sq8: every dimension's codes hit the full 0..255 span") {
+    // by construction the per-dim min quantum maps to code 0 and the max
+    // to SqLevels-1 — a dimension missing either end means the span
+    // arithmetic broke (and the quantizer silently lost resolution)
+    val stats = Ann.sq8Stats(spark, sf0001).collect()
+    assert(stats.length == 64, s"expected 64 dims, got ${stats.length}")
+    stats.foreach { r =>
+      assert(r.getAs[Long]("min_code") == 0L,
+        s"dim ${r.getAs[Long]("i")} min_code ${r.getAs[Long]("min_code")}")
+      assert(r.getAs[Long]("max_code") == (Ann.SqLevels - 1).toLong,
+        s"dim ${r.getAs[Long]("i")} max_code ${r.getAs[Long]("max_code")}")
+      assert(r.getAs[Long]("n_codes") > 1)
+    }
+  }
+
+  test("sq8 re-rank recall clears the production bar") {
+    val rec = Ann.sq8Recall(spark, sf0001)
+      .select($"recall").as[Double].head()
+    // 8-bit per-dim quantization is mild rank noise: with the n/10
+    // re-rank the tier should sit at the top of the frontier (PQ at the
+    // same cut measures 0.938 here)
+    assert(rec >= 0.9, s"SQ8 recall@10 $rec")
+    info(s"SQ8 recall@10 = $rec")
+  }
+
+  test("sq_dist_long kernel agrees with the declarative HOF fold") {
+    // the codegen kernel is an optimization, not semantics: Σ(Δcode)²
+    // computed by zip_with+aggregate over the same arrays must match
+    import graft.functions.VectorExpressions
+    val df = spark.range(100).select(
+      expr("transform(sequence(0, 63), j -> CAST((id * 7 + j * 13) % 256 AS BIGINT))").as("a"),
+      expr("transform(sequence(0, 63), j -> CAST((id * 11 + j * 5) % 256 AS BIGINT))").as("b"))
+    val both = df.select(
+      VectorExpressions.sq_dist_long(spark, col("a"), col("b")).as("kernel"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+        .as("fold"))
+    assert(both.where($"kernel" =!= $"fold").count() == 0)
+  }
 }
