@@ -725,9 +725,80 @@ object Graph {
     labels
   }
 
+  /** g06 core threshold (the 2-core: strip trees and chains, keep
+    * everything cyclic/dense) and the fixed number of synchronous peel
+    * rounds — fixed for the same determinism reason as [[LpaRounds]]:
+    * peel-until-stable would make the output depend on a convergence
+    * test, while the fixed-round form is a pure function of the edge
+    * set and the oracle unrolls it step for step. */
+  val KcoreK = 2
+  val KcorePeels = 4
+
+  /** G06: k-core decomposition by synchronous peeling (Matula–Beck /
+    * Batagelj–Zaveršnik shape) over the τ=0.6 near-dup graph — the
+    * density audit beside c26 (reachability) and g05 (communities): a
+    * vertex's peel round is a robustness measure of its neighborhood
+    * (boilerplate families form deep cores; chains of coincidental
+    * near-dups peel immediately), and "which round did it peel" is the
+    * standard coreness proxy a curation dashboard tracks.
+    *
+    * Semantics: round r removes EVERY vertex whose degree among
+    * still-alive vertices is < [[KcoreK]] (synchronous — all removals
+    * of a round see the same previous-round graph); after
+    * [[KcorePeels]] rounds, each vertex that started with ≥1 edge is
+    * emitted with its initial degree and the round it peeled (0 =
+    * survived every round, the ≥k-core members plus any not-yet-peeled
+    * boundary — the fixed-round semantic, exactly like g05).
+    *
+    * Scale shape: per round ONE vertex-keyed count over the surviving
+    * edge list + two semi-joins restricting the edges — all hash
+    * exchanges on vertex id, the partitioning reusable across rounds;
+    * rounds localCheckpoint'd (the components plan-growth rule). At
+    * 100 TB this is the same per-round cost envelope as c26's star
+    * contraction, with the round count a small constant. */
+  def kcore(s: SparkSession, d: String): DataFrame = {
+    val e = nearDupEdges(s, d)
+    val bi = e.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(e.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint()
+    kcoreAudit(bi).orderBy(col("doc_id"))
+  }
+
+  /** The [[KcorePeels]] synchronous peel rounds over a bidirectional
+    * edge list (cols u, v) — factored out of [[kcore]] so the peel rule
+    * is law-testable on toy graphs. Returns (doc_id, deg0, peel_round)
+    * for every vertex with at least one edge. */
+  private[graft] def kcoreAudit(bi: DataFrame): DataFrame = {
+    val deg0 = bi.groupBy(col("u")).agg(count(lit(1)).as("deg0"))
+      .select(col("u").as("v"), col("deg0"))
+    var verts = deg0.select(col("v"))
+    var alive = bi
+    var peeled = verts.limit(0)
+      .select(col("v"), lit(0L).as("peel_round"))
+    for (r <- 1 to KcorePeels) {
+      val deg = verts.join(
+        alive.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+          .select(col("u").as("v"), col("dg")), Seq("v"), "left")
+        .select(col("v"), coalesce(col("dg"), lit(0L)).as("dg"))
+      val rm = deg.where(col("dg") < KcoreK)
+        .select(col("v"), lit(r.toLong).as("peel_round"))
+      peeled = peeled.unionAll(rm).localCheckpoint()
+      verts = verts.join(rm.select(col("v")), Seq("v"), "left_anti")
+        .localCheckpoint()
+      alive = alive
+        .join(verts.select(col("v").as("u")), Seq("u"))
+        .join(verts, Seq("v"))
+        .localCheckpoint()
+    }
+    deg0.join(peeled, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("deg0"),
+        coalesce(col("peel_round"), lit(0L)).as("peel_round"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c26_components" -> (components _),
     "g05_label_propagation" -> (labelPropagation _),
+    "g06_kcore" -> (kcore _),
     "c26_component_stats" -> (componentStats _),
     "g02_pagerank" -> (pagerank _),
     "g03_triangles" -> (triangles _),
@@ -821,6 +892,47 @@ object Graph {
        |  min(v) AS min_doc, max(v) AS max_doc
        |FROM l$LpaRounds GROUP BY lbl
        |ORDER BY size DESC, lbl ASC""".stripMargin
+  }
+
+  // g06 oracle scaffold: one synchronous peel round — alive-degree with
+  // the zero-degree LEFT-join floor, the sub-k removal set, then the
+  // restricted vertex and edge tables. kv/ke MATERIALIZED (each is
+  // referenced by two CTEs of the next round — the docEdgeSql barrier
+  // rule).
+  private def kcoreRoundSql(r: Int): String = {
+    val pv = s"kv${r - 1}"
+    val pe = s"ke${r - 1}"
+    s"""kd$r AS (
+       |  SELECT t.v, coalesce(g.dg, 0) AS dg
+       |  FROM $pv t LEFT JOIN (SELECT u AS v, count(*) AS dg FROM $pe
+       |                        GROUP BY u) g USING (v)),
+       |krm$r AS (SELECT v FROM kd$r WHERE dg < $KcoreK),
+       |kv$r AS MATERIALIZED (
+       |  SELECT v FROM $pv WHERE v NOT IN (SELECT v FROM krm$r)),
+       |ke$r AS MATERIALIZED (
+       |  SELECT u, v FROM $pe
+       |  WHERE u IN (SELECT v FROM kv$r)
+       |    AND v IN (SELECT v FROM kv$r))""".stripMargin
+  }
+
+  private val kcoreOracle: String = {
+    val rounds = (1 to KcorePeels).map(kcoreRoundSql).mkString(",\n")
+    val peeled = (1 to KcorePeels)
+      .map(r => s"SELECT v, $r AS peel_round FROM krm$r")
+      .mkString("\n       UNION ALL ")
+    s"""WITH $docEdgeSql,
+       |bi AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM e
+       |       UNION ALL SELECT b_id, a_id FROM e),
+       |kdv AS (SELECT u AS v, CAST(count(*) AS BIGINT) AS deg0
+       |        FROM bi GROUP BY u),
+       |kv0 AS (SELECT v FROM kdv),
+       |ke0 AS (SELECT u, v FROM bi),
+       |$rounds,
+       |peeled AS ($peeled)
+       |SELECT d.v AS doc_id, d.deg0,
+       |  CAST(coalesce(p.peel_round, 0) AS BIGINT) AS peel_round
+       |FROM kdv d LEFT JOIN peeled p USING (v)
+       |ORDER BY doc_id""".stripMargin
   }
 
   private val pagerankOracle: String = {
@@ -917,6 +1029,7 @@ object Graph {
       tradeReachSql("lineitem", "orders", "customer", "supplier", "nation"),
     "g02_pagerank" -> pagerankOracle,
     "g05_label_propagation" -> lpaOracle,
+    "g06_kcore" -> kcoreOracle,
     "c26_components" ->
       s"""WITH RECURSIVE $edgeSql
          |SELECT doc_id, component,

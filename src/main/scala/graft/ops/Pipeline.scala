@@ -384,11 +384,70 @@ object Pipeline {
     sel.orderBy(col("sel_rank"))
   }
 
+  /** RRF rank constant (Cormack, Clarke & Buettcher, SIGIR'09): 60 is
+    * the near-universal production default — large enough that a #1 vs
+    * #3 disagreement between arms doesn't dominate, small enough that
+    * rank still matters. */
+  val RrfK = 60
+  /** Per-arm candidate pool depth (matches c42's BM25 pool). */
+  val RrfPool = 20
+
+  /** c45: Reciprocal-Rank-Fusion hybrid retrieval — the standard
+    * combiner behind every production "hybrid search" (Elasticsearch,
+    * Vespa, pgvector): fuse a LEXICAL ranking (c42's BM25 top-20) with a
+    * VECTOR ranking (exact cosine top-20 of the same query document over
+    * the aligned embeddings table) by summing 1/(k + rank) per arm —
+    * score-scale-free, so the two arms need no calibration against each
+    * other, which is exactly why RRF won over score interpolation in
+    * practice. Kept integer: contribution = 10⁶ DIV (k + rank) — exact
+    * BIGINTs on both engines; a document missing from one arm
+    * contributes 0 from it (its rank column stays NULL in the output —
+    * the fusion's provenance view).
+    *
+    * Scale shape: each arm is already sublinear serving-tier machinery —
+    * BM25 is one broadcast-semi-join over the posting index (c42), the
+    * vector arm is one broadcast of the single query vector + a
+    * TakeOrdered top-20 (in production, the ANN tier's output slots in
+    * here unchanged); the fusion itself touches 2·[[RrfPool]] rows. No
+    * all-pairs, no global sort of anything bigger than the pools. */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    val wB = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val lex = bm25Top(s, d)
+      .withColumn("bm25_rnk", row_number().over(wB).cast("long"))
+      .select(col("doc_id"), col("bm25_rnk"))
+    val qdoc = Tables.documents(s, d).agg(min(col("doc_id")).as("qid"))
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.join(broadcast(qdoc), col("vec_id") === col("qid"))
+      .select(col("embedding").as("qvec"))
+    val wV = Window.orderBy(col("dist").asc, col("doc_id").asc)
+    val vec = Tables.repartitioned(emb, s)
+      .crossJoin(broadcast(qv)).crossJoin(broadcast(qdoc))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.VectorExpressions.cosine_distance(s,
+          col("embedding"), col("qvec")).as("dist"))
+      .orderBy(col("dist").asc, col("doc_id").asc).limit(RrfPool)
+      .withColumn("vec_rnk", row_number().over(wV).cast("long"))
+      .select(col("doc_id"), col("vec_rnk"))
+    val wR = Window.orderBy(col("rrf_pm").desc, col("doc_id").asc)
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rnk"), col("vec_rnk"),
+        (coalesce(expr(s"1000000 DIV ($RrfK + bm25_rnk)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($RrfK + vec_rnk)"), lit(0L)))
+          .as("rrf_pm"))
+      .withColumn("rnk", row_number().over(wR).cast("long"))
+      .where(col("rnk") <= MmrK)
+      .select(col("rnk"), col("doc_id"), col("rrf_pm"),
+        col("bm25_rnk"), col("vec_rnk"))
+      .orderBy(col("rnk"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c42_bm25" -> (bm25MoreLikeThis _),
     "c43_mmr_rerank" -> (mmrRerank _),
+    "c45_rrf_fusion" -> (rrfFusion _),
     "c18_seq_pack" -> (seqPack _),
     "c18b_seq_pack_salted" -> (seqPackSalted _),
     "c19_curate" -> (curate _),
@@ -543,6 +602,40 @@ object Pipeline {
          |  doc_id, score, n_terms_hit
          |FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "c43_mmr_rerank" -> mmrOracle,
+    // the same two arms: the shared BM25 chain's top-20 re-ranked, plus
+    // the exact-cosine top-20 of the query doc over embeddings (doc_id =
+    // vec_id, the fixture's aligned-id contract) — fused by the exact
+    // integer 10^6 // (60 + rank) contributions
+    "c45_rrf_fusion" ->
+      s"""WITH $bm25CoreSql,
+         |lex AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         |      AS bm25_rnk
+         |  FROM (SELECT doc_id, score FROM sc
+         |        ORDER BY score DESC, doc_id ASC LIMIT 20) p),
+         |vd AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |            CAST(q.embedding AS DOUBLE[])) AS dist
+         |  FROM embeddings e, embeddings q, qd
+         |  WHERE q.vec_id = qd.qid AND e.vec_id <> qd.qid),
+         |vec AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS vec_rnk
+         |  FROM (SELECT doc_id, dist FROM vd
+         |        ORDER BY dist ASC, doc_id ASC LIMIT $RrfPool) p),
+         |fused AS (
+         |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    l.bm25_rnk, v.vec_rnk,
+         |    coalesce(1000000 // ($RrfK + l.bm25_rnk), 0) +
+         |      coalesce(1000000 // ($RrfK + v.vec_rnk), 0) AS rrf_pm
+         |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+         |SELECT row_number() OVER (ORDER BY rrf_pm DESC, doc_id ASC)
+         |    AS rnk,
+         |  doc_id, rrf_pm, bm25_rnk, vec_rnk
+         |FROM fused ORDER BY rrf_pm DESC, doc_id ASC
+         |LIMIT $MmrK""".stripMargin,
     "c18_seq_pack" ->
       s"""WITH RECURSIVE toks AS (
          |  SELECT doc_id, source,

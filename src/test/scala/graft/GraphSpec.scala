@@ -279,4 +279,42 @@ class GraphSpec extends SparkSpec {
       .where(col("nc") > 1).count()
     assert(straddle == 0, s"$straddle communities straddle components")
   }
+
+  test("g06 kcore: the tail peels outward-in, the triangle survives, " +
+    "and peeling is monotone in the round number") {
+    // triangle {1,2,3} with the tail 3–4–5: the 2-core is exactly the
+    // triangle; 5 (degree 1) peels in round 1, which drops 4 to degree
+    // 1 so it peels in round 2
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val bi = e.unionAll(e.select(col("v"), col("u")))
+    val out = Graph.kcoreAudit(bi).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("deg0"), r.getAs[Long]("peel_round"))).toMap
+    assert(out(5L) == (1L, 1L), s"tail end: $out")
+    assert(out(4L) == (2L, 2L), s"tail middle: $out")
+    assert(Set(1L, 2L).map(v => out(v)._2) == Set(0L), s"triangle: $out")
+    assert(out(3L) == (3L, 0L), s"junction: $out")
+  }
+
+  test("g06 kcore: survivors of a converged peel all keep degree >= k " +
+    "within the surviving set") {
+    val out = Graph.kcore(spark, sf0001)
+    val survivors = out.where(col("peel_round") === 0L)
+      .select(col("doc_id").as("sv"))
+    // if the peel converged before the round budget, every survivor is
+    // a true >=k-core member: recompute each survivor's degree within
+    // the surviving subgraph
+    val lastRound = out.agg(max(col("peel_round"))).head().getLong(0)
+    if (lastRound < ops.Graph.KcorePeels) {
+      val ed = Graph.nearDupEdges(spark, sf0001)
+      val bi = ed.select(col("a_id").as("u"), col("b_id").as("v"))
+        .unionAll(ed.select(col("b_id").as("u"), col("a_id").as("v")))
+      val alive = bi.join(survivors.select(col("sv").as("u")), Seq("u"))
+        .join(survivors.select(col("sv").as("v")), Seq("v"))
+      val bad = alive.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .where(col("dg") < ops.Graph.KcoreK).count()
+      assert(bad == 0, s"$bad survivors below k after convergence")
+    } else info("peel budget exhausted before convergence — law vacuous")
+  }
 }

@@ -202,4 +202,31 @@ class PipelineSpec extends SparkSpec {
         r.getAs[Long]("rel_pm") <= 1000L)
     }
   }
+
+  test("c45 rrf: fused scores are exactly the per-arm contributions, " +
+    "ranks stay in pool range, and the order is a strict descent") {
+    val rows = Pipeline.rrfFusion(spark, sf0001).collect()
+    assert(rows.length == Pipeline.MmrK)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq == (1L to rows.length))
+    def contrib(rnk: java.lang.Long): Long =
+      if (rnk == null) 0L else 1000000L / (Pipeline.RrfK + rnk)
+    rows.foreach { r =>
+      val b = r.getAs[java.lang.Long]("bm25_rnk")
+      val v = r.getAs[java.lang.Long]("vec_rnk")
+      // provenance: a fused doc must come from at least one arm, with
+      // its rank inside that arm's declared pool depth
+      assert(b != null || v != null, s"orphan doc ${r.getAs[Long]("doc_id")}")
+      Seq(b, v).filter(_ != null).foreach(x =>
+        assert(x >= 1L && x <= Pipeline.RrfPool, s"rank $x out of pool"))
+      // the fused score is nothing but the sum of the two reciprocal
+      // contributions — recomputed here from the rank columns
+      assert(r.getAs[Long]("rrf_pm") == contrib(b) + contrib(v),
+        s"rrf_pm mismatch on doc ${r.getAs[Long]("doc_id")}")
+    }
+    val sc = rows.map(_.getAs[Long]("rrf_pm"))
+    sc.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, s"fused order rose: ${sc.toSeq}")
+      case _ => ()
+    }
+  }
 }
