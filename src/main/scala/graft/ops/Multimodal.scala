@@ -234,7 +234,95 @@ object Multimodal {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** m07 Hamming radius (≤3 bit flips counts as a near-dup) and the band
+    * count. 4 bands of 16 bits make the LSH EXACT at this radius: a pair
+    * differing in ≤3 bits can dirty at most 3 of the 4 bands, so some
+    * band always matches (pigeonhole) — candidates are a superset of
+    * every true pair and the verify step loses nothing. */
+  val PhashHamTau = 3
+  val PhashBands = 4
+
+  /** m07: perceptual-hash near-dup over the binary corpus — the aHash
+    * shape every image-dedup pipeline runs (pHash/aHash over pixels;
+    * here over the codec-free byte distribution, same machinery): each
+    * asset compresses to a 64-BIT SIGNATURE, and near-duplicates are
+    * signature pairs within Hamming distance [[PhashHamTau]]. Beside
+    * m06's exact-signature tier this is the TOLERANT tier: m06 needs the
+    * whole histogram equal at count granularity 2; m07 allows any
+    * [[PhashHamTau]] bins to drift across their threshold line.
+    *
+    * Feature and bit rule: body-byte BIGRAMS hash into 64 bins
+    * (bin = ((b₁·256+b₂)·2654435761) ÷ 1024 mod 64 — Knuth's
+    * multiplicative mix, exact BIGINTs on both engines), and
+    * bit i = cnt_i·Ntot > n·Ctot_i — above the CORPUS's average share
+    * of that bin, a pure integer cross-multiply. Both choices are
+    * measured necessities, not style: single-byte bins against the
+    * UNIFORM mean left every ASCII document with the same
+    * common-letter bits (all C(n,2) pairs within τ — zero
+    * information); corpus centering alone still left 37% of pairs
+    * within τ; bigram bins + corpus centering cut that to 0.018% at
+    * sf0.01 — the same reason SimHash features are n-grams weighted
+    * against corpus frequency. The corpus profile is a 64-row
+    * broadcast.
+    *
+    * Scale shape: candidate generation is the banded-signature equi-join
+    * (the c10 MinHash band trick on Hamming space): 4×16-bit bands,
+    * candidates = pairs sharing any band — one computed-key self-join,
+    * never O(n²) — then one codegen bit_count(xor) verify per candidate.
+    * At 100 TB signatures are 8 bytes/asset, the band join is
+    * bucket-partitionable like every other sketch join here, and the
+    * cross-multiply rides DECIMAL(38,0) once cnt·Ntot nears 2⁶³. */
+  def phashNearDup(s: SparkSession, d: String): DataFrame = {
+    val hist = udf { (bytes: Array[Byte]) =>
+      val h = new Array[Long](64)
+      var i = 8 // skip header; bigrams span body bytes only
+      while (i < bytes.length - 1) {
+        val pair = ((bytes(i) & 0xff).toLong << 8) | (bytes(i + 1) & 0xff)
+        h(((pair * 2654435761L) / 1024L % 64L).toInt) += 1L
+        i += 1
+      }
+      h
+    }
+    val binned = assets(s, d)
+      .select(col("asset_id"),
+        (octet_length(col("payload")) - 9).cast("long").as("n"),
+        posexplode(hist(col("payload"))).as(Seq("bin", "cnt")))
+    val corpus = binned.groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("ctot"))
+      .crossJoin(broadcast(
+        binned.agg(sum(col("cnt")).as("ntot"))))
+    val sig = binned.join(broadcast(corpus), Seq("bin"))
+      .groupBy(col("asset_id"))
+      .agg(expr("bit_or(CASE WHEN cnt * ntot > n * ctot" +
+        " THEN shiftleft(CAST(1 AS BIGINT), bin) ELSE CAST(0 AS BIGINT)" +
+        " END)").as("sig"))
+    phashPairs(sig)
+  }
+
+  /** The banded-LSH + verify stage over a (asset_id, sig) signature
+    * table — factored out of [[phashNearDup]] so the radius-exactness
+    * law (every Hamming-≤τ pair is emitted, none beyond) is testable on
+    * handcrafted signatures. */
+  private[graft] def phashPairs(sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("asset_id"), col("sig"),
+        explode(sequence(lit(0), lit(PhashBands - 1))).as("bno"))
+      .select(col("asset_id"), col("sig"), col("bno"),
+        expr("(sig >> (16 * bno)) & 65535").as("bval"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bno") === col("b.bno") && col("a.bval") === col("b.bval") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("a_id"), col("b.asset_id").as("b_id"),
+        col("a.sig").as("asig"), col("b.sig").as("bsig"))
+      .distinct()
+    cand
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(asig ^ bsig) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= PhashHamTau)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_phash_neardup" -> (phashNearDup _),
     "m06_asset_neardup" -> (assetNearDup _),
     "m01_asset_meta" -> (assetMeta _),
     "m02_decode_meta" -> (decodeMeta _),
@@ -244,6 +332,54 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // m07: same bigram-bin histogram rebuilt from the ASCII text (the
+    // body is its UTF-8), same Knuth-mix bin formula in exact BIGINTs,
+    // same corpus-mean-centered bit rule (cnt*Ntot > n*Ctot), same
+    // 4x16-bit bands, same bit_count verify. A doc missing a bin
+    // contributes no row, matching the engine's cnt=0 -> bit 0.
+    "m07_phash_neardup" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, text, unnest(range(1, length(text))) AS i
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    ((ascii(substr(text, CAST(i AS INTEGER), 1)) * 256
+         |      + ascii(substr(text, CAST(i AS INTEGER) + 1, 1)))
+         |     * 2654435761) // 1024 % 64 AS bin
+         |  FROM pos),
+         |h AS (SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM c GROUP BY doc_id, bin),
+         |tot AS (SELECT doc_id, CAST(length(text) - 1 AS BIGINT) AS n
+         |        FROM documents),
+         |corp AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS ctot
+         |         FROM h GROUP BY bin),
+         |ntot AS (SELECT CAST(sum(cnt) AS BIGINT) AS ntot FROM h),
+         |sig AS (
+         |  SELECT h.doc_id,
+         |    bit_or(CASE WHEN cnt * ntot > n * ctot
+         |      -- bit 63: DuckDB checks 1<<63 overflow; Spark's shiftleft
+         |      -- wraps to min-long — spell that value out explicitly
+         |      THEN (CASE WHEN h.bin = 63 THEN -9223372036854775807 - 1
+         |            ELSE (CAST(1 AS BIGINT) << h.bin) END)
+         |      ELSE CAST(0 AS BIGINT) END) AS sig
+         |  FROM h JOIN tot ON h.doc_id = tot.doc_id
+         |  JOIN corp ON h.bin = corp.bin CROSS JOIN ntot
+         |  GROUP BY h.doc_id),
+         |bands AS (
+         |  SELECT doc_id, sig, unnest(range(0, $PhashBands)) AS bno
+         |  FROM sig),
+         |bv AS (SELECT doc_id, sig, bno,
+         |         (sig >> CAST(16 * bno AS INTEGER)) & 65535 AS bval
+         |       FROM bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.sig AS asig, b.sig AS bsig
+         |  FROM bv a JOIN bv b ON a.bno = b.bno AND a.bval = b.bval
+         |    AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |  CAST(bit_count(xor(asig, bsig)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(asig, bsig)) <= $PhashHamTau
+         |ORDER BY a_id, b_id""".stripMargin,
     // m06: the body is the UTF-8 of ASCII text, so the oracle rebuilds
     // each byte histogram from characters and joins on the same
     // canonical "bin:cnt,..." signature string

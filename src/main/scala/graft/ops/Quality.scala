@@ -556,7 +556,43 @@ object Quality {
       .orderBy(col("dim"))
   }
 
+  /** q12: Gini concentration audit — "does 1% of the documents carry
+    * half the characters?": the inequality coefficient of per-document
+    * length within each language, the corpus-balance number a curation
+    * dashboard tracks beside q11's Simpson diversity (q11 asks how
+    * evenly CATEGORIES are represented; q12 asks how evenly VOLUME is
+    * spread across members). Exact integer form of the rank formula
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) in ppm, ranks ascending by
+    * length.
+    *
+    * Scale shape — no global sort anywhere: n_chars has a bounded
+    * domain, so the rank sum is computed from the per-(lang, value)
+    * count table (tiny) — a value-block holding c members after cb
+    * predecessors contributes ranks cb+1..cb+c, i.e.
+    * Σ i·x = Σ_v v·(c·cb + c(c+1)/2) — the d25/s12 two-phase
+    * order-statistic trick. The only window runs over the value-domain
+    * table, and the ppm numerators ride DECIMAL(38,0) (the q09/q11
+    * overflow doctrine: Σi·x·10⁶ exits BIGINT near 10⁷ docs). */
+  def giniAudit(s: SparkSession, d: String): DataFrame = {
+    val vc = Tables.documents(s, d)
+      .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = vc.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+    cum.groupBy(col("lang")).agg(
+        sum(col("c")).as("n"),
+        sum(col("n_chars") * col("c")).as("sum_chars"),
+        sum(expr("CAST(n_chars AS DECIMAL(38,0)) * " +
+          "(c * cb + (c * (c + 1)) DIV 2)")).as("six"))
+      .select(col("lang"), col("n"), col("sum_chars"),
+        expr("CAST((2 * six - (CAST(n AS DECIMAL(38,0)) + 1) * sum_chars)" +
+          " * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * sum_chars)" +
+          " AS BIGINT)").as("gini_ppm"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_gini" -> (giniAudit _),
     "q08_benford" -> (benfordAudit _),
     "q09_ks_drift" -> (ksDrift _),
     "q10_cusum_changepoint" -> (cusumChangepoint _),
@@ -632,6 +668,28 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    // the identical bounded-domain rank-sum chain; HUGEINT is DuckDB's
+    // native wide integer (the engine's DECIMAL(38,0)), // ≡ DIV on the
+    // non-negative Gini numerator
+    "q12_gini" ->
+      """WITH vc AS (
+        |  SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY lang, n_chars),
+        |cum AS (
+        |  SELECT lang, n_chars, c,
+        |    coalesce(sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM vc),
+        |agg AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(n_chars * c) AS BIGINT) AS sum_chars,
+        |    sum(CAST(n_chars AS HUGEINT) * (c * cb + (c * (c + 1)) // 2))
+        |      AS six
+        |  FROM cum GROUP BY lang)
+        |SELECT lang, n, sum_chars,
+        |  CAST((2 * six - (CAST(n AS HUGEINT) + 1) * sum_chars) * 1000000
+        |    // (CAST(n AS HUGEINT) * sum_chars) AS BIGINT) AS gini_ppm
+        |FROM agg ORDER BY lang""".stripMargin,
     // q11: identical rational Simpson arithmetic per audited dimension;
     // // ≡ DIV on non-negative operands, same zero guard
     "q11_simpson_diversity" -> {

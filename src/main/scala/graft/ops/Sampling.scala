@@ -354,7 +354,61 @@ object Sampling {
       .orderBy(col("split"), col("event_type"))
   }
 
+  /** Greedy k-center rounds for s13 (the selected-set size). */
+  val KcenterK = 8
+
+  /** s13: greedy k-center coreset selection (Gonzalez 1985) over the
+    * embeddings — the diversity-first data-selection primitive (facility
+    * location): each round adds the vector FARTHEST from everything
+    * already selected, so the chosen set covers the corpus at the
+    * minimax radius (2-approximation, the textbook bound). Training-data
+    * pipelines run exactly this shape to pick maximally-diverse seed
+    * sets, eval probes, and annotation batches from an embedded corpus.
+    *
+    * Determinism: the seed is the min vec_id, every round's argmax
+    * breaks ties by min vec_id, and the min-distance fold is an exact
+    * double MIN over the same IEEE cosines on both engines — the greedy
+    * trajectory is a pure function of the corpus, replayed by the
+    * oracle's unrolled CTEs (the c43 MMR pattern in vector space).
+    *
+    * Scale shape: each round is ONE broadcast of the ≤k selected
+    * vectors (k·256 bytes) against the corpus — a map-side min — plus a
+    * TakeOrdered(1); no shuffle of the corpus anywhere, k rounds total.
+    * The per-round full scan is the algorithm (every candidate's
+    * distance to the NEW center must be seen); at 100 TB the standard
+    * production cut is to run the same greedy over an IVF-cell sample,
+    * which this module's assignment table supplies for free. */
+  def kcenterSelect(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val seed = emb.agg(min(col("vec_id")).as("svid"))
+    var sel = emb.join(broadcast(seed), col("vec_id") === col("svid"))
+      .select(lit(1L).as("sel_rank"), col("vec_id"), col("embedding"),
+        lit(0.0).as("maxmin_dist"))
+      .localCheckpoint()
+    for (r <- 2 to KcenterK) {
+      val cents = sel.select(col("embedding").as("cvec"))
+      val dmin = Tables.repartitioned(emb, s)
+        .join(broadcast(sel.select(col("vec_id").as("svid"))),
+          col("vec_id") === col("svid"), "left_anti")
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          graft.functions.VectorExpressions.cosine_distance(s,
+            col("embedding"), col("cvec")).as("dd"))
+        .groupBy(col("vec_id")).agg(min(col("dd")).as("dmin"))
+      val pickId = dmin.orderBy(col("dmin").desc, col("vec_id").asc)
+        .limit(1)
+      val pick = emb.join(broadcast(pickId), Seq("vec_id"))
+        .select(lit(r.toLong).as("sel_rank"), col("vec_id"),
+          col("embedding"), col("dmin").as("maxmin_dist"))
+      sel = sel.unionAll(pick).localCheckpoint()
+    }
+    sel.select(col("sel_rank"), col("vec_id"),
+      round(col("maxmin_dist"), 6).as("maxmin_dist"))
+      .orderBy(col("sel_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_kcenter_select" -> (kcenterSelect _),
     "s12_temporal_split" -> (temporalSplit _),
     "s10_distribution_match" -> (distributionMatch _),
     "s09_weighted_sample" -> (weightedSample _),
@@ -385,7 +439,40 @@ object Sampling {
   private val splitCase =
     "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
 
+  /** One s13 greedy round: min distance of each unselected vector to
+    * the selected set (via the selected ids → embeddings join), then
+    * the (dmin DESC, vec_id ASC) argmax appended. MATERIALIZED — each
+    * selection is referenced three times by the next round. */
+  private def kcenterStepSql(r: Int): String =
+    s"""kd$r AS (
+       |  SELECT e.vec_id,
+       |    min(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |          CAST(c.embedding AS DOUBLE[]))) AS dmin
+       |  FROM embeddings e
+       |  CROSS JOIN ks${r - 1} sl
+       |  JOIN embeddings c ON c.vec_id = sl.vec_id
+       |  WHERE e.vec_id NOT IN (SELECT vec_id FROM ks${r - 1})
+       |  GROUP BY e.vec_id),
+       |ks$r AS MATERIALIZED (
+       |  SELECT * FROM ks${r - 1}
+       |  UNION ALL
+       |  (SELECT CAST($r AS BIGINT) AS sel_rank, vec_id, dmin
+       |   FROM kd$r ORDER BY dmin DESC, vec_id ASC LIMIT 1))""".stripMargin
+
+  private val kcenterOracle: String = {
+    val steps = (2 to KcenterK).map(kcenterStepSql).mkString(",\n")
+    s"""WITH ks1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,
+       |    CAST(0.0 AS DOUBLE) AS dmin
+       |  FROM embeddings
+       |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+       |$steps
+       |SELECT sel_rank, vec_id, round(dmin, 6) AS maxmin_dist
+       |FROM ks$KcenterK ORDER BY sel_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s13_kcenter_select" -> kcenterOracle,
     // s12: the oracle can afford the simple one-window form — split by
     // global (sts, event_id) rank against the same lower-percentile cut
     // ranks; rank-<= is equivalent to the engine's lexicographic

@@ -1402,7 +1402,70 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashed-feature buckets and the target slice for c46. */
+  val DsirBuckets = 1024
+  val DsirTargetLang = "en"
+
+  /** Session cache for c46's hashed token stream (three consumers). */
+  private val dsirCache = new graft.PersistedCache
+
+  /** c46: hashed-n-gram importance weights (the DSIR shape — Xie et al.
+    * 2023): score every out-of-target document by how much its token
+    * distribution resembles a TARGET slice of the corpus (here
+    * lang = [[DsirTargetLang]], the paper's "high-quality reference"
+    * role), using hashed unigram features — the data-SELECTION
+    * counterpart of c33's quality score (c33 asks "is this fluent?",
+    * c46 asks "is this like the data I want more of?"). Importance
+    * sampling by these weights is how pretraining mixes are steered
+    * toward a reference domain without a trained classifier.
+    *
+    * Integer doctrine: tokens hash into [[DsirBuckets]] buckets
+    * (fnv1a64, the c08/c10 kernel); each bucket's add-one-smoothed
+    * target/corpus probability ratio becomes
+    * lift_ppm = ((ct+1)·(Nc+B)·10⁶) DIV ((cc+1)·(Nt+B)) with the
+    * numerator in DECIMAL(38,0) (the q09/q12 overflow doctrine), and a
+    * document's weight is the MEAN lift of its tokens — the arithmetic
+    * mean replacing the paper's log-likelihood sum exactly as c33
+    * traded log-perplexity for mean probability: same detector
+    * direction, no libm call, bit-identical on both engines.
+    *
+    * Scale shape: the "model" is one B-row table (two corpus-keyed
+    * counts + a broadcast total) — at 100 TB it broadcasts everywhere
+    * like any hashed-feature importance model; scoring is one map-side
+    * broadcast join of the token stream + a per-doc aggregate. The
+    * hashed stream is session-cached (three consumers — the c33
+    * shingleIndex lesson). */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val toks = dsirCache.getOrBuild(s, s"dsir-toks:$d") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), col("lang"),
+          pmod(graft.functions.HashExpressions.fnv1a64(s,
+            concat(lit("dsir:"), col("w"))), lit(DsirBuckets)).as("b"))
+    }
+    val cc = toks.groupBy(col("b")).agg(count(lit(1)).as("cc"))
+    val ct = toks.where(col("lang") === DsirTargetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val tot = toks.agg(count(lit(1)).as("nc"),
+      count(when(col("lang") === DsirTargetLang, 1)).as("nt"))
+    val model = cc.join(ct, Seq("b"), "left")
+      .select(col("b"), col("cc"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        s"CAST(ct + 1 AS DECIMAL(38,0)) * (nc + $DsirBuckets) * 1000000" +
+          s" DIV (CAST(cc + 1 AS DECIMAL(38,0)) * (nt + $DsirBuckets))")
+        .as("lift_ppm"))
+    toks.where(col("lang") =!= DsirTargetLang)
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(lift_ppm) DIV count(1)").as("score_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c46_dsir_weights" -> (dsirWeights _),
     "c33_lm_score" -> (lmScore _),
     "c37_ngram_novelty" -> (ngramNovelty _),
     "c41_shared_spans" -> (sharedSpans _),
@@ -1652,6 +1715,40 @@ object TextOps {
        |FROM sized ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // c46: identical hashed-bucket chain (fnv1a64 over 'dsir:'||token,
+    // Spark pmod = ((h%B)+B)%B), HUGEINT numerators for the DECIMAL(38,0)
+    // lift, // ≡ DIV on the non-negative operands
+    "c46_dsir_weights" -> {
+      val hb = s"((${toSigned(fnvFold(FnvOffU))} % $DsirBuckets) + " +
+        s"$DsirBuckets) % $DsirBuckets"
+      s"""WITH dt AS MATERIALIZED (
+         |  SELECT doc_id, lang, $hb AS b FROM (
+         |    SELECT doc_id, lang,
+         |      'dsir:' || unnest(string_split(text, ' ')) AS t
+         |    FROM documents) x),
+         |cc AS (SELECT b, CAST(count(*) AS BIGINT) AS cc
+         |       FROM dt GROUP BY b),
+         |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+         |       FROM dt WHERE lang = '$DsirTargetLang' GROUP BY b),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+         |    CAST(count(CASE WHEN lang = '$DsirTargetLang' THEN 1 END)
+         |      AS BIGINT) AS nt
+         |  FROM dt),
+         |model AS (
+         |  SELECT cc.b,
+         |    CAST(CAST(coalesce(ct.ct, 0) + 1 AS HUGEINT)
+         |        * (nc + $DsirBuckets) * 1000000
+         |      // (CAST(cc.cc + 1 AS HUGEINT) * (nt + $DsirBuckets))
+         |      AS BIGINT) AS lift_ppm
+         |  FROM cc LEFT JOIN ct ON cc.b = ct.b CROSS JOIN tot)
+         |SELECT dt.doc_id, dt.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(m.lift_ppm) AS HUGEINT) // count(*) AS BIGINT)
+         |    AS score_ppm
+         |FROM dt JOIN model m USING (b)
+         |WHERE dt.lang <> '$DsirTargetLang'
+         |GROUP BY dt.doc_id, dt.lang
+         |ORDER BY dt.doc_id""".stripMargin
+    },
     // identical integer nano-unit arithmetic: (10⁹·(c12+1)) // (c1+V)
     // identical 5-gram construction (list_slice windows over the space-
     // split tokens), identical FNV-1a fold; first-seen = min(doc_id) per

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.ops.Multimodal
 
 /** Binary-column pipeline: header round-trip through the opaque payload,
@@ -70,5 +72,53 @@ class MultimodalSpec extends SparkSpec {
     // same-signature relation is transitive: a~b and b~c must imply a~c
     val rel = pairs.toSet
     for ((a, b) <- rel; (b2, c) <- rel if b2 == b) assert(rel.contains((a, c)))
+  }
+
+  test("m07 phash: every emitted pair is ordered and within the radius, " +
+    "and candidates are a vanishing fraction of the pair space") {
+    val rows = Multimodal.phashNearDup(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      val h = r.getAs[Long]("hamming")
+      assert(h >= 0L && h <= Multimodal.PhashHamTau, s"hamming $h")
+    }
+    // the tier only works at scale if near-dups are rare — the measured
+    // design premise (0.018% of the pair space at sf0.01)
+    val n = Tables.documents(spark, sf0001).count()
+    assert(rows.length.toLong * 100 < n * (n - 1) / 2,
+      s"${rows.length} pairs of ${n * (n - 1) / 2} — not a vanishing fraction")
+  }
+
+  test("m07 phash: the banded LSH is EXACT at the radius — every " +
+    "hamming<=tau pair surfaces, none beyond, on adversarial signatures") {
+    // handcrafted 64-bit signatures probing every band boundary:
+    //  1 vs 2: identical (ham 0)         — must surface
+    //  1 vs 3: 3 flips all in ONE band   — must surface (other 3 match)
+    //  1 vs 4: 3 flips spread over 3 bands — must surface (band 3 matches)
+    //  1 vs 5: 4 flips, one per band     — NO band matches; ham 4 > tau:
+    //          correctly outside BOTH the radius and the candidate set
+    //  6: far from everything
+    val base = 0x0123456789ABCDEFL
+    val sigs = Seq(
+      1L -> base,
+      2L -> base,
+      3L -> (base ^ 0x7L),                                  // 3 bits, band 0
+      4L -> (base ^ 0x0000100010001L << 3 ^ 0L),            // placeholder
+      5L -> (base ^ 0x1000100010001000L),                   // 1 bit per band
+      6L -> ~base)
+    // 4 = base with one bit flipped in each of bands 0..2 (band 3 intact)
+    val fixed = sigs.map { case (id, s) =>
+      if (id == 4L) id -> (base ^ 0x0000000100010001L) else id -> s }
+    val df = fixed.toDF("asset_id", "sig")
+    val got = Multimodal.phashPairs(df).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(got.get((1L, 2L)).contains(0L), s"identical pair missing: $got")
+    assert(got.get((1L, 3L)).contains(3L), s"one-band pair missing: $got")
+    assert(got.get((1L, 4L)).contains(3L), s"spread pair missing: $got")
+    assert(!got.contains((1L, 5L)), s"ham-4 pair leaked: $got")
+    assert(got.get((2L, 3L)).contains(3L))
+    assert(!got.keys.exists { case (a, b) => b == 6L || a == 6L },
+      s"far signature matched something: $got")
   }
 }

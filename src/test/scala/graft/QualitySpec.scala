@@ -6,6 +6,7 @@ import graft.ops.Quality
 
 /** Constraint-audit suite (ops.Quality). */
 class QualitySpec extends SparkSpec {
+  import spark.implicits._
 
   test("constraint suite: consistent counts, live violation path") {
     val rows = Quality.constraintChecks(spark, sf0001).cache()
@@ -227,5 +228,29 @@ class QualitySpec extends SparkSpec {
     val got = ops.Quality.cusumChangepoint(spark, sf0001)
       .as[(String, Long, Long, String, Long, Long)].collect().toSeq
     assert(got === expected)
+  }
+
+  test("q12 gini: matches the brute-force sorted-rank formula and stays " +
+    "in [0, 1e6)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("n_chars")).as[(String, Long)].collect()
+    val expected = docs.groupBy(_._1).map { case (lang, xs0) =>
+      val xs = xs0.map(_._2).sorted // ranks ascending by length
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) =>
+        BigInt(x) * (i + 1) }.sum
+      val g = ((BigInt(2) * six - BigInt(n + 1) * sx) * 1000000 /
+        (BigInt(n) * sx)).toLong
+      lang -> (n, sx, g)
+    }
+    val got = ops.Quality.giniAudit(spark, sf0001).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_chars"),
+          r.getAs[Long]("gini_ppm"))).toMap
+    assert(got === expected)
+    got.values.foreach { case (_, _, g) =>
+      assert(g >= 0L && g < 1000000L, s"gini out of range: $g")
+    }
   }
 }

@@ -211,4 +211,25 @@ class SamplingSpec extends SparkSpec {
     assert(trMax <= vaMin, s"train max $trMax > val min $vaMin")
     assert(vaMax <= teMin, s"val max $vaMax > test min $teMin")
   }
+
+  test("s13 kcenter: seeds at the min id, never repeats, and the greedy " +
+    "maxmin radius is non-increasing") {
+    val sel = ops.Sampling.kcenterSelect(spark, sf0001).collect()
+    assert(sel.length == ops.Sampling.KcenterK)
+    assert(sel.map(_.getAs[Long]("sel_rank")).toSeq == (1L to sel.length))
+    val minId = Tables.embeddings(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.min(col("vec_id"))).head().getLong(0)
+    assert(sel.head.getAs[Long]("vec_id") == minId)
+    assert(sel.head.getAs[Double]("maxmin_dist") == 0.0)
+    val ids = sel.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length, "repeated center")
+    // adding a center can only SHRINK every candidate's min distance,
+    // so the greedy picks' radii descend — the k-center invariant
+    val radii = sel.drop(1).map(_.getAs[Double]("maxmin_dist"))
+    radii.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, s"radius rose: ${radii.toSeq}")
+      case _ => ()
+    }
+    assert(radii.forall(r => r > 0.0 && r <= 2.0))
+  }
 }

@@ -439,4 +439,24 @@ class TextSpec extends SparkSpec {
         s"lift mismatch for ($w1,$w2)")
     }
   }
+
+  test("c46 dsir: covers exactly the out-of-target corpus and a target " +
+    "doc's own tokens would score the reference ceiling") {
+    val rows = TextOps.dsirWeights(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect()
+    val nonTarget = docs.filter(_._2 != TextOps.DsirTargetLang).map(_._1).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == nonTarget,
+      "one weight row per out-of-target document")
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang") != TextOps.DsirTargetLang)
+      assert(r.getAs[Long]("n_tokens") > 0L)
+      assert(r.getAs[Long]("score_ppm") >= 0L)
+    }
+    // direction: weights separate the corpus — if every doc scored the
+    // same the model would carry no signal
+    val scores = rows.map(_.getAs[Long]("score_ppm"))
+    assert(scores.distinct.length > 1, "degenerate importance model")
+    info(s"c46 score_ppm range: ${scores.min}..${scores.max}")
+  }
 }
