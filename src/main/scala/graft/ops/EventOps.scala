@@ -782,6 +782,26 @@ object EventOps {
       .orderBy(col("wstart"), col("event_type"))
   }
 
+  /** d34: streaming per-window top-k DECLARED — the bounded-heap
+    * TypedImperativeAggregate (§2.F's combiner kernel) executed inside
+    * Structured Streaming aggregation state: "top 5 events by value per
+    * hour" with O(k) state per window instead of the O(events) a
+    * collect-and-rank would hold. Complete mode like d27; the heap's
+    * strict (−value, event_id) total order makes the streamed result
+    * hash-identical to the batch window-rank twin, which is the oracle. */
+  def streamWindowTopk(s: SparkSession, d: String): DataFrame = {
+    val name = "d34_topk_" + graft.Tables.dirTag(d)
+    graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.windowTopk(s, d), name,
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    s.table(name)
+      .select(date_format(col("wstart"), fmt).as("wstart"),
+        posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("wstart"), (col("pos") + 1).cast("long").as("rnk"),
+        col("t.id").as("event_id"), (-col("t.dist")).as("value"))
+      .orderBy(col("wstart"), col("rnk"))
+  }
+
   /** d28: the stream-stream interval join DECLARED — each click joined
     * to the same user's purchases within the following hour, both sides
     * watermarked so Spark expires buffered join state (the only way a
@@ -944,6 +964,7 @@ object EventOps {
     "d29_stream_dedup" -> (streamDedup _),
     "d26_stream_sessions" -> (streamClosedSessions _),
     "d27_stream_tumbling" -> (streamTumbling _),
+    "d34_stream_topk" -> (streamWindowTopk _),
     "d28_stream_join" -> (streamClickToPurchase _),
     "d23_hourly_profile" -> (hourlyProfile _),
     "d24_ohlc" -> (ohlcBars _),
@@ -1046,6 +1067,21 @@ object EventOps {
          |  CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1, 2 ORDER BY wstart, c_mktsegment""".stripMargin,
+    "d34_stream_topk" ->
+      s"""WITH w AS (
+         |  SELECT event_id, value,
+         |    date_trunc('hour', $duckSecTs) AS ws
+         |  FROM events),
+         |r AS (
+         |  SELECT ws, event_id, value, row_number() OVER (
+         |    PARTITION BY ws ORDER BY value DESC, event_id ASC) AS rnk
+         |  FROM w)
+         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart,
+         |  CAST(rnk AS BIGINT) AS rnk, event_id, value
+         |FROM r WHERE rnk <= 5 ORDER BY wstart, rnk""".stripMargin,
+    // d34's streamed heap is oracle'd by the batch window-rank twin
+    // (value passes through unchanged; the engine negation is an exact
+    // IEEE bit flip, so DOUBLE equality holds)
     "d27_stream_tumbling" ->
       s"""SELECT strftime(date_trunc('hour', $duckSecTs), '%Y-%m-%d %H:%M:%S') AS wstart,
          |  event_type, count(*) AS n,

@@ -69,6 +69,24 @@ object Streams {
         col("n"), col("sum_value"))
 
   /** D4-stream: stateful dedup bounded by the watermark. */
+  /** D34: per-window top-k through the bounded-heap
+    * TypedImperativeAggregate ([[graft.functions.TopKByAggregate]])
+    * running INSIDE streaming aggregation state — the §2.F kernel's
+    * streaming form: partial heaps merge map-side within a micro-batch
+    * and across batches via the state store's serialized buffers, so
+    * state per window is O(k) regardless of event volume (a collect_list
+    * + sort would hold every event). dist = −value makes the heap's
+    * (dist asc, id asc) order the (value desc, event_id asc) business
+    * order; negation is an exact IEEE bit flip, so the batch twin
+    * hash-matches. */
+  def windowTopk(s: SparkSession, d: String): DataFrame =
+    eventStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.TopKAgg.top_k_by(s, -col("value"),
+        col("event_id"), lit(0), 5).as("topk"))
+      .select(col("window.start").as("wstart"), col("topk"))
+
   def dedup(s: SparkSession, d: String): DataFrame =
     eventStream(s, d)
       .withWatermark("ts", "10 minutes")

@@ -250,6 +250,75 @@ object ScaleCheck {
       s"$out near-dup pairs"
     }
 
+    // --- SQ8 tier: production recall bar at 10x vs the exact top-k the
+    // triple agreement certified (DuckDB's oracle is the all-pairs SDC
+    // scan — graded-tier-only, so the sf1 gate is the law, like IVFPQ)
+    check("sq8 recall bar") {
+      val r = Ann.sq8Recall(spark, sfDir)
+        .select(col("recall")).head().getDouble(0)
+      require(r >= 0.9, s"SQ8 recall@10 $r < 0.9 at sf1")
+      f"recall@10 = $r%.4f (n/10 re-rank)"
+    }
+
+    // --- m07: the banded perceptual-hash join must stay sub-quadratic
+    // (the c17 candidate-growth bound applied to Hamming space)
+    check("m07 pair growth") {
+      val n = graft.Tables.documents(spark, sfDir).count()
+      val pairs = graft.ops.Multimodal.phashNearDup(spark, sfDir).count()
+      val allPairs = n * (n - 1) / 2
+      val frac = pairs.toDouble / allPairs
+      require(frac < 0.01, s"$pairs of $allPairs pairs ($frac)")
+      f"$pairs of $allPairs pairs (${frac * 100}%.4f%%)"
+    }
+
+    // --- g06: engine-side independent gate (DuckDB shares the
+    // components family's infeasible edge SQL at sf1): survivors of a
+    // CONVERGED peel must all keep degree >= k within the surviving
+    // set — the invariant re-derived from the raw edges, not the query
+    check("g06 kcore survivor law") {
+      val out = graft.ops.Graph.kcore(spark, sfDir).persist()
+      val nOut = out.count()
+      val lastRound = out.agg(max(col("peel_round"))).head().getLong(0)
+      val msg = if (lastRound < graft.ops.Graph.KcorePeels) {
+        val ed = graft.ops.Graph.nearDupEdges(spark, sfDir)
+        val bi = ed.select(col("a_id").as("u"), col("b_id").as("v"))
+          .unionAll(ed.select(col("b_id").as("u"), col("a_id").as("v")))
+        val sv = out.where(col("peel_round") === 0L)
+          .select(col("doc_id"))
+        val alive = bi.join(sv.select(col("doc_id").as("u")), Seq("u"))
+          .join(sv.select(col("doc_id").as("v")), Seq("v"))
+        val bad = alive.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+          .where(col("dg") < graft.ops.Graph.KcoreK).count()
+        require(bad == 0, s"$bad survivors below k after convergence")
+        s"$nOut vertices, converged (last peel round $lastRound), law holds"
+      } else s"$nOut vertices, peel budget exhausted (fixed-round semantic)"
+      out.unpersist()
+      msg
+    }
+
+    // --- s13: the greedy k-center radii must descend at scale too (the
+    // selection invariant), and the run must stay in the seconds class
+    // (k broadcast scans, no corpus shuffle)
+    check("s13 kcenter radii") {
+      val sel = graft.ops.Sampling.kcenterSelect(spark, sfDir).collect()
+      val radii = sel.drop(1).map(_.getAs[Double]("maxmin_dist"))
+      radii.sliding(2).foreach {
+        case Array(a, b) => require(a >= b, s"radius rose: ${radii.toSeq}")
+        case _ => ()
+      }
+      f"k=${sel.length}, radius ${radii.head}%.4f -> ${radii.last}%.4f"
+    }
+
+    // --- serving/audit tier at sf1: end-to-end completion counts (each
+    // is constant-pool or single-aggregate work; a timing regression
+    // here would mean a plan went quadratic)
+    check("r11 audit tier end-to-end") {
+      val rrf = graft.ops.Pipeline.rrfFusion(spark, sfDir).count()
+      val dsir = TextOps.dsirWeights(spark, sfDir).count()
+      val gini = graft.ops.Quality.giniAudit(spark, sfDir).count()
+      s"c45=$rrf rows, c46=$dsir rows, q12=$gini rows"
+    }
+
     spark.stop()
     if (failures > 0) {
       println(s"[scale] $failures FAILED")

@@ -419,4 +419,35 @@ class StreamingSpec extends SparkSpec {
     assert(table.where($"n_events" === 99L).count() == 1)
     fs.delete(new Path("spark-warehouse/graft_stream_sink_unit"), true)
   }
+
+  test("d34 heap state merges ACROSS micro-batches: a later batch's " +
+    "better value displaces an earlier batch's heap member") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val topk = input.toDF().toDF("sec", "event_id", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.TopKAgg.top_k_by(spark, -col("value"),
+        col("event_id"), lit(0), 3).as("topk"))
+      .select(col("window.start").cast("long").as("wstart"), col("topk"))
+    val q = topk.writeStream.format("memory").queryName("d34_merge")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // batch 1: heap for window [0,3600) holds ids 1,2,3 (values 5,4,3)
+      input.addData((10L, 1L, 5.0), (20L, 2L, 4.0), (30L, 3L, 3.0))
+      q.processAllAvailable()
+      def ids(): Seq[Long] = spark.table("d34_merge")
+        .selectExpr("explode(topk) AS t").select($"t.id").as[Long]
+        .collect().toSeq
+      assert(ids() == Seq(1L, 2L, 3L), s"batch-1 heap: ${ids()}")
+      // batch 2: id 4 (value 10) arrives in the SAME window through a
+      // NEW micro-batch — it must displace id 3 from the restored state
+      input.addData((40L, 4L, 10.0))
+      q.processAllAvailable()
+      assert(ids() == Seq(4L, 1L, 2L),
+        s"cross-batch merge failed: ${ids()}")
+    } finally q.stop()
+  }
 }
