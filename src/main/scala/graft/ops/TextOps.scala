@@ -1464,7 +1464,69 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** c47: corpus-derived stop list size and output depth. */
+  val RakeStops = 20
+  val RakeTopK = 30
+
+  /** c47: RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    * keyphrase miner between c15's raw bigrams and c44's lift-ranked
+    * collocations: candidate phrases are maximal runs of non-stopword
+    * tokens, each word scores deg/freq (degree = Σ length of phrases
+    * containing it — co-occurrence reach; freq = its candidate count),
+    * and a phrase scores the sum of its words. The stop list is the
+    * corpus's [[RakeStops]] most frequent tokens (ties → lexicographic)
+    * — deterministic and language-free where classic RAKE ships a static
+    * English list; word scores ride integer ppm (deg·10⁶ DIV freq), so
+    * the whole ranking is BIGINT-exact on both engines.
+    *
+    * Phrase segmentation is the d18 gaps-and-islands trick: phrase_id =
+    * running count of stopwords before the token (one per-doc window
+    * over positions), so "split on stopwords" is a window + filter, no
+    * UDF, no per-row state.
+    *
+    * Scale shape: the stop list is a [[RakeStops]]-row broadcast; the
+    * segmentation window partitions by doc_id (each document is one
+    * partition-local run, never a global sort); word stats are two
+    * vocabulary-keyed aggregates; the output is a TakeOrdered top-30. */
+  def rakeKeywords(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "w")))
+    val stop = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(RakeStops)
+      .select(col("w"), lit(1).as("isstop"))
+    val wP = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cand = toks.join(broadcast(stop), Seq("w"), "left")
+      .withColumn("pid",
+        coalesce(sum(col("isstop")).over(wP), lit(0L)))
+      .where(col("isstop").isNull)
+      .select(col("doc_id"), col("pid"), col("pos"), col("w"))
+    val plen = cand.groupBy(col("doc_id"), col("pid"))
+      .agg(count(lit(1)).as("plen"))
+    val wsc = cand.join(plen, Seq("doc_id", "pid"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"), expr("deg * 1000000 DIV freq").as("wscore"))
+    val wR = Window.orderBy(col("score_ppm").desc, col("phrase").asc,
+      col("doc_id").asc, col("pid").asc)
+    cand.join(wsc, Seq("w"))
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w"))).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("wscore")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase").asc,
+        col("doc_id").asc, col("pid").asc)
+      .limit(RakeTopK)
+      .withColumn("rnk", row_number().over(wR).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("phrase"),
+        col("n_words"), col("score_ppm"))
+      .orderBy(col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c47_rake_keywords" -> (rakeKeywords _),
     "c46_dsir_weights" -> (dsirWeights _),
     "c33_lm_score" -> (lmScore _),
     "c37_ngram_novelty" -> (ngramNovelty _),
@@ -1715,6 +1777,51 @@ object TextOps {
        |FROM sized ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // c47: identical chain — positioned tokens, corpus-top-20 stop list,
+    // gaps-and-islands phrase ids (inclusive running sum), deg/freq in
+    // integer ppm, the same 4-way tie order on the top-30
+    "c47_rake_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    string_split(text, ' ')[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+         |        FROM documents) x),
+         |stop AS (
+         |  SELECT w FROM (
+         |    SELECT w, count(*) AS c FROM toks GROUP BY w
+         |    ORDER BY c DESC, w ASC LIMIT $RakeStops) z),
+         |fl AS (
+         |  SELECT t.doc_id, t.pos, t.w,
+         |    CASE WHEN s.w IS NULL THEN 0 ELSE 1 END AS isstop
+         |  FROM toks t LEFT JOIN stop s ON t.w = s.w),
+         |pp AS (
+         |  SELECT doc_id, pos, w, isstop,
+         |    sum(isstop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+         |  FROM fl),
+         |cand AS MATERIALIZED (
+         |  SELECT doc_id, pid, pos, w FROM pp WHERE isstop = 0),
+         |plen AS (
+         |  SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+         |  FROM cand GROUP BY doc_id, pid),
+         |wsc AS (
+         |  SELECT w,
+         |    (CAST(sum(plen) AS BIGINT) * 1000000)
+         |      // CAST(count(*) AS BIGINT) AS wscore
+         |  FROM cand JOIN plen USING (doc_id, pid) GROUP BY w),
+         |ph AS (
+         |  SELECT doc_id, pid,
+         |    string_agg(c.w, ' ' ORDER BY pos) AS phrase,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(wscore) AS BIGINT) AS score_ppm
+         |  FROM cand c JOIN wsc ON c.w = wsc.w
+         |  GROUP BY doc_id, pid)
+         |SELECT row_number() OVER (ORDER BY score_ppm DESC, phrase ASC,
+         |    doc_id ASC, pid ASC) AS rnk,
+         |  doc_id, phrase, n_words, score_ppm
+         |FROM ph
+         |ORDER BY score_ppm DESC, phrase ASC, doc_id ASC, pid ASC
+         |LIMIT $RakeTopK""".stripMargin,
     // c46: identical hashed-bucket chain (fnv1a64 over 'dsir:'||token,
     // Spark pmod = ((h%B)+B)%B), HUGEINT numerators for the DECIMAL(38,0)
     // lift, // ≡ DIV on the non-negative operands

@@ -459,4 +459,40 @@ class TextSpec extends SparkSpec {
     assert(scores.distinct.length > 1, "degenerate importance model")
     info(s"c46 score_ppm range: ${scores.min}..${scores.max}")
   }
+
+  test("c47 rake: matches a full in-memory recompute of the RAKE chain") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val toks = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).zipWithIndex.map { case (w, p) => (id, p, w) } }
+    val stop = toks.groupBy(_._3).view.mapValues(_.length).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(TextOps.RakeStops)
+      .map(_._1).toSet
+    // gaps-and-islands: phrase id = stops at positions <= pos
+    val cand = docs.flatMap { case (id, t) =>
+      var pid = 0L
+      t.split(" ", -1).zipWithIndex.flatMap { case (w, p) =>
+        if (stop(w)) { pid += 1; None } else Some((id, pid, p, w))
+      }
+    }
+    val plen = cand.groupBy(c => (c._1, c._2)).view.mapValues(_.length.toLong)
+    val wsc = cand.groupBy(_._4).view.mapValues { ws =>
+      val freq = ws.length.toLong
+      val deg = ws.map(c => plen((c._1, c._2))).sum
+      deg * 1000000L / freq
+    }.toMap
+    val phrases = cand.groupBy(c => (c._1, c._2)).map { case ((id, pid), ws) =>
+      val ordered = ws.sortBy(_._3)
+      (id, pid, ordered.map(_._4).mkString(" "), ordered.length.toLong,
+        ordered.map(c => wsc(c._4)).sum)
+    }.toSeq
+    val expected = phrases
+      .sortBy { case (id, pid, ph, _, sc) => (-sc, ph, id, pid) }
+      .take(TextOps.RakeTopK)
+      .map { case (id, _, ph, nw, sc) => (id, ph, nw, sc) }
+    val got = TextOps.rakeKeywords(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("phrase"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("score_ppm"))).toSeq
+    assert(got == expected)
+  }
 }
