@@ -1028,11 +1028,19 @@ object Ann {
     val scored = qside.join(broadcast(cside), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         VectorExpressions.sq_dist_long(s, col("qc"), col("cc")).as("sdc"))
+    sq8RerankTopk(s, d, scored)
+  }
+
+  /** SDC-ranked cut + exact cosine re-rank over scored (qid, cid, sdc)
+    * pairs — shared by the flat scan (cut n/10) and the IVF×SQ8
+    * composition (cut scaled to the PROBED volume, the ivfpq lesson). */
+  private def sq8RerankTopk(s: SparkSession, d: String, scored: DataFrame,
+      cutNum: Int = 1, cutDen: Int = PqRerankDiv): DataFrame = {
     val wS = Window.partitionBy(col("qid"))
       .orderBy(col("sdc").asc, col("cid").asc)
     val rlim = Tables.embeddings(s, d).agg(
       expr(s"greatest(CAST($PqRerankMin AS BIGINT), " +
-        s"count(1) DIV $PqRerankDiv)").as("rlim"))
+        s"count(1) * $cutNum DIV $cutDen)").as("rlim"))
     val cands = scored.withColumn("srn", row_number().over(wS))
       .crossJoin(broadcast(rlim))
       .where(col("srn") <= col("rlim"))
@@ -1054,6 +1062,41 @@ object Ann {
 
   def sq8Recall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, sq8Topk(s, d).select(col("qid"), col("cid")))
+
+  /** The IVF×SQ8 composition (FAISS IndexIVFScalarQuantizer): the
+    * TRAINED coarse quantizer routes each query into [[P]] of the
+    * persisted inverted lists (the stored-index artifact ivfpq already
+    * consumes), SQ8's integer SDC scores only the probed candidates
+    * (1 B/dim scanned instead of 4), and the exact re-rank — cut scaled
+    * to the PROBED volume, the ivfpq lesson — restores true distances.
+    * Beside ann_ivfpq_topk this is the second composed production tier:
+    * same routing, milder compression (SQ8's rank noise is far below
+    * PQ's — flat recall 1.0 at the graded tiers — so composed recall
+    * tracks the routing tier's almost exactly; law-tested ≤ routing in
+    * AnnSpec). Candidates route by cent_id exactly as in ivfTopk
+    * (shuffle-hash, lists never broadcast); the code table joins
+    * qid-/cid-keyed (shuffle-hash — corpus-sized, never broadcast). */
+  def ivfsqTopk(s: SparkSession, d: String): DataFrame = {
+    val probes = probesOf(s, d, storedCentroids(s, d), P)
+      .select(col("qid"), col("cent_id"))
+    val inv = storedLists(s, d)
+      .select(col("cent_id"), col("vec_id").as("cid"))
+    val cand = probes.join(inv.hint("shuffle_hash"), Seq("cent_id"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+    val codes = sq8Codes(s, d)
+    val scored = cand
+      .join(codes.select(col("vec_id").as("qid"), col("codes").as("qc"))
+        .hint("shuffle_hash"), Seq("qid"))
+      .join(codes.select(col("vec_id").as("cid"), col("codes").as("cc"))
+        .hint("shuffle_hash"), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        VectorExpressions.sq_dist_long(s, col("qc"), col("cc")).as("sdc"))
+    sq8RerankTopk(s, d, scored, cutNum = P, cutDen = 2 * C)
+  }
+
+  def ivfsqRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, ivfsqTopk(s, d).select(col("qid"), col("cid")))
 
   /** Per-dimension code census — quantization balance (a dimension whose
     * codes collapse onto few levels carries no ranking information; the
@@ -1090,6 +1133,8 @@ object Ann {
     "ann_sq8_topk" -> (sq8Topk _),
     "ann_sq8_recall" -> (sq8Recall _),
     "ann_sq8_stats" -> (sq8Stats _),
+    "ann_ivfsq_topk" -> (ivfsqTopk _),
+    "ann_ivfsq_recall" -> (ivfsqRecall _),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -1440,21 +1485,30 @@ object Ann {
     * representable in double and sqrt is strictly monotone, so the
     * candidate order (and hence the final output) is identical to the
     * engine's BIGINT SDC order, tie-break included. */
-  private def sq8Ctes: String =
+  private def sq8Ctes: String = sq8CtesWith(
+    s"""ssd AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    list_distance(a.cl, b.cl) AS sd
+       |  FROM scl a JOIN scl b ON a.vec_id <> b.vec_id)""".stripMargin)
+
+  /** SQ8 chain with the SDC pair CTE injected (must leave `ssd` with
+    * (qid, cid, sd)): the flat scan pairs every code row with every
+    * other; the IVF×SQ8 composition pairs only within probed inverted
+    * lists. (cutNum, cutDen) mirror the engine's probed-volume-scaled
+    * re-rank cut. */
+  private def sq8CtesWith(ssdCte: String, cutNum: Int = 1,
+      cutDen: Int = PqRerankDiv): String =
     s"""$sq8CodeCtes,
        |scl AS MATERIALIZED (
        |  SELECT vec_id, list(CAST(code AS DOUBLE) ORDER BY i) AS cl
        |  FROM scode GROUP BY vec_id),
-       |ssd AS (
-       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
-       |    list_distance(a.cl, b.cl) AS sd
-       |  FROM scl a JOIN scl b ON a.vec_id <> b.vec_id),
+       |$ssdCte,
        |scand AS (
        |  SELECT qid, cid FROM (
        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
        |      ORDER BY sd ASC, cid ASC) AS srn FROM ssd) z
        |  WHERE srn <= greatest($PqRerankMin,
-       |    (SELECT count(*) FROM embeddings) // $PqRerankDiv)),
+       |    (SELECT count(*) FROM embeddings) * $cutNum // $cutDen)),
        |ranked AS (
        |  SELECT qid, cid, dist,
        |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC)
@@ -1466,6 +1520,23 @@ object Ann {
        |    FROM scand k
        |    JOIN embeddings q ON q.vec_id = k.qid
        |    JOIN embeddings c ON c.vec_id = k.cid) y)""".stripMargin
+
+  /** IVF×SQ8: the TRAINED routing CTEs (Lloyd's unrolled, P probes) +
+    * the SQ8 chain with its pair CTE restricted to probed inverted
+    * lists — the oracle recomputes what the stored index holds (the
+    * artifact is bit-exact arithmetic, the ivfpq precedent). */
+  private def ivfsqCtes: String =
+    s"""$seedCentsCte,
+       |$lloydCtes,
+       |${assignProbeCtes(s"cents$LloydIters", P)},
+       |${sq8CtesWith(
+        s"""ssd AS MATERIALIZED (
+           |  SELECT p.qid, a.vec_id AS cid, list_distance(q.cl, c.cl) AS sd
+           |  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+           |  JOIN scl q ON q.vec_id = p.qid
+           |  JOIN scl c ON c.vec_id = a.vec_id
+           |  WHERE a.vec_id <> p.qid)""".stripMargin,
+        cutNum = P, cutDen = 2 * C)}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_sq8_topk" ->
@@ -1479,6 +1550,12 @@ object Ann {
          |SELECT i, count(DISTINCT code) AS n_codes, min(code) AS min_code,
          |  max(code) AS max_code, CAST(sum(code) AS BIGINT) AS sum_code
          |FROM scode GROUP BY i ORDER BY i""".stripMargin,
+    "ann_ivfsq_topk" ->
+      s"""WITH $ivfsqCtes
+         |$topkSelect""".stripMargin,
+    "ann_ivfsq_recall" ->
+      s"""WITH $ivfsqCtes,
+         |$recallSelect""".stripMargin,
     "ann_ivfpq_topk" ->
       s"""WITH $ivfpqCtes
          |$topkSelect""".stripMargin,

@@ -260,6 +260,21 @@ object ScaleCheck {
       f"recall@10 = $r%.4f (n/10 re-rank)"
     }
 
+    // --- IVF×SQ8 composed tier: the law (composed ≤ routing) at 10x —
+    // SQ8's rank noise is mild, so composed must TRACK routing, unlike
+    // the fixed-constant decay IVFPQ shows before its retune
+    check("ivfsq composed law") {
+      val composed = Ann.ivfsqRecall(spark, sfDir)
+        .select(col("recall")).head().getDouble(0)
+      val routing = Ann.recallTrained(spark, sfDir)
+        .select(col("recall")).head().getDouble(0)
+      require(composed <= routing + 1e-9,
+        s"composed $composed > routing $routing")
+      require(composed >= routing - 0.02,
+        s"composed $composed fell behind routing $routing - SDC noise grew")
+      f"composed $composed%.4f tracks routing $routing%.4f"
+    }
+
     // --- m07: the banded perceptual-hash join must stay sub-quadratic
     // (the c17 candidate-growth bound applied to Hamming space)
     check("m07 pair growth") {

@@ -205,6 +205,21 @@ class AnnSpec extends SparkSpec {
     info(s"SQ8 recall@10 = $rec")
   }
 
+  test("ivfsq: composed recall is bounded by its routing tier and " +
+    "clears the production bar") {
+    val composed = Ann.ivfsqRecall(spark, sf0001)
+      .select($"recall").as[Double].head()
+    val routing = Ann.recallTrained(spark, sf0001)
+      .select($"recall").as[Double].head()
+    // two error sources multiply: routing recall x SDC rank noise —
+    // composed can never beat the lists it probes (the ivfpq law);
+    // SQ8's noise is mild enough that it should track routing closely
+    assert(composed <= routing + 1e-9,
+      s"composed $composed > routing $routing")
+    assert(composed >= 0.9, s"IVFSQ recall@10 $composed")
+    info(s"IVFSQ recall@10 = $composed (routing $routing)")
+  }
+
   test("sq_dist_long kernel agrees with the declarative HOF fold") {
     // the codegen kernel is an optimization, not semantics: Σ(Δcode)²
     // computed by zip_with+aggregate over the same arrays must match
