@@ -802,6 +802,28 @@ object EventOps {
       .orderBy(col("wstart"), col("rnk"))
   }
 
+  /** d35: streaming approx-distinct DECLARED — b09b's KMV sketch run as
+    * streaming aggregation state (see [[graft.streaming.Streams
+    * .kmvDistinct]]): distinct users per 7-day window, ≤k longs of state
+    * per window, the estimate derived from the k-th hash by the same
+    * three-IEEE-op formula as b09b so the streamed number is
+    * hash-identical to the batch twin (windows with < k distinct users
+    * report NULL — the sketch's honest "not enough evidence" value). */
+  def streamKmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val name = "d35_kmv_" + graft.Tables.dirTag(d)
+    graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.kmvDistinct(s, d), name,
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val k = graft.streaming.Streams.StreamKmvK
+    s.table(name)
+      .select(date_format(col("wstart"), fmt).as("wstart"),
+        col("n_events"), col("f"),
+        round(lit((k - 1).toDouble) /
+          (col("f").cast("double") * lit(math.pow(2, -64)) + lit(0.5)), 6)
+          .as("kmv_est"))
+      .orderBy(col("wstart"))
+  }
+
   /** d28: the stream-stream interval join DECLARED — each click joined
     * to the same user's purchases within the following hour, both sides
     * watermarked so Spark expires buffered join state (the only way a
@@ -965,6 +987,7 @@ object EventOps {
     "d26_stream_sessions" -> (streamClosedSessions _),
     "d27_stream_tumbling" -> (streamTumbling _),
     "d34_stream_topk" -> (streamWindowTopk _),
+    "d35_stream_kmv" -> (streamKmvDistinct _),
     "d28_stream_join" -> (streamClickToPurchase _),
     "d23_hourly_profile" -> (hourlyProfile _),
     "d24_ohlc" -> (ohlcBars _),
@@ -1067,6 +1090,37 @@ object EventOps {
          |  CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1, 2 ORDER BY wstart, c_mktsegment""".stripMargin,
+    "d35_stream_kmv" ->
+      s"""WITH e AS (
+         |  SELECT user_id,
+         |    ((epoch_ns(ts) // 1000000000) // 604800) * 604800 AS ws
+         |  FROM events),
+         |cnt AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_events
+         |        FROM e GROUP BY ws),
+         |dv AS (SELECT DISTINCT ws, CAST(user_id AS VARCHAR) AS t FROM e),
+         |fv AS (SELECT ws, (${TextOps.fnvFold(TextOps.FnvOffU)}) AS h0
+         |       FROM dv),
+         |m1 AS (SELECT ws, ${TextOps.mix64Xs33("h0")} AS h1 FROM fv),
+         |m2 AS (SELECT ws, ${TextOps.mix64MulMod("h1",
+                  TextOps.Mix64C1._1, TextOps.Mix64C1._2)} AS h2 FROM m1),
+         |m3 AS (SELECT ws, ${TextOps.mix64Xs33("h2")} AS h3 FROM m2),
+         |m4 AS (SELECT ws, ${TextOps.mix64MulMod("h3",
+                  TextOps.Mix64C2._1, TextOps.Mix64C2._2)} AS h4 FROM m3),
+         |hv AS (SELECT ws, ${TextOps.mix64Xs33("h4")} AS u FROM m4),
+         |du AS (SELECT DISTINCT ws, u FROM hv),
+         |rk AS (SELECT ws, u,
+         |    row_number() OVER (PARTITION BY ws ORDER BY u) AS rn
+         |  FROM du),
+         |kth AS (
+         |  SELECT ws, CAST(u - ${TextOps.H63} AS BIGINT) AS f
+         |  FROM rk WHERE rn = ${graft.streaming.Streams.StreamKmvK})
+         |SELECT strftime(make_timestamp(cnt.ws * 1000000),
+         |    '%Y-%m-%d %H:%M:%S') AS wstart,
+         |  cnt.n_events, kth.f,
+         |  round(CAST(${graft.streaming.Streams.StreamKmvK - 1} AS DOUBLE) /
+         |    (CAST(f AS DOUBLE) * power(2.0, -64) + 0.5), 6) AS kmv_est
+         |FROM cnt LEFT JOIN kth USING (ws)
+         |ORDER BY wstart""".stripMargin,
     "d34_stream_topk" ->
       s"""WITH w AS (
          |  SELECT event_id, value,

@@ -87,6 +87,32 @@ object Streams {
         col("event_id"), lit(0), 5).as("topk"))
       .select(col("window.start").as("wstart"), col("topk"))
 
+  /** d35 sketch size — small enough that weekly windows reach k distinct
+    * users at every fixture tier, so the sketch actually fires. */
+  val StreamKmvK = 8
+
+  /** D35: the mergeable KMV distinct sketch ([[graft.functions
+    * .KmvKthAggregate]]) INSIDE streaming aggregation state — approx
+    * distinct users per 7-day window with ≤k longs of state per window.
+    * This is the production shape for streaming cardinality (theta/KMV
+    * sketches in Druid/Pinot rollups): exact distinct needs per-key
+    * state (and count(DISTINCT) is unsupported in streaming aggs);
+    * HLL's sketch layout is engine-private; KMV's "k smallest distinct
+    * hashes" is order-insensitive and merge-associative, so cross-batch
+    * state restore composes exactly like d34's heap — and the k-th hash
+    * is a VALUE the batch twin reproduces bit-for-bit. */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val h = graft.functions.HashExpressions.mix64(s,
+      graft.functions.HashExpressions.fnv1a64(
+        s, col("user_id").cast("string")))
+    eventStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "7 days"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.KmvAgg.kmv_kth(s, h, StreamKmvK).as("f"))
+      .select(col("window.start").as("wstart"), col("n_events"), col("f"))
+  }
+
   def dedup(s: SparkSession, d: String): DataFrame =
     eventStream(s, d)
       .withWatermark("ts", "10 minutes")

@@ -450,4 +450,40 @@ class StreamingSpec extends SparkSpec {
         s"cross-batch merge failed: ${ids()}")
     } finally q.stop()
   }
+
+  test("d35 kmv state is monotone across micro-batches: growing the " +
+    "distinct set can only lower the k-th smallest hash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val h = graft.functions.HashExpressions.mix64(spark,
+      graft.functions.HashExpressions.fnv1a64(
+        spark, col("user_id").cast("string")))
+    val sketch = input.toDF().toDF("sec", "user_id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "7 days"))
+      .agg(graft.functions.KmvAgg.kmv_kth(spark, h, 8).as("f"))
+      .select(col("window.start").cast("long").as("wstart"), col("f"))
+    val q = sketch.writeStream.format("memory").queryName("d35_merge")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      def kth(): Option[Long] = spark.table("d35_merge")
+        .select($"f").as[Option[Long]].head()
+      // batch 1: exactly k distinct users -> the sketch just fills
+      input.addData((1L to 8L).map(u => (u * 10L, u)): _*)
+      q.processAllAvailable()
+      val f1 = kth()
+      assert(f1.isDefined, "sketch should be full at k distinct users")
+      // batch 2: 50 NEW users into the restored state; the k-th
+      // smallest distinct hash is non-increasing under set growth
+      input.addData((9L to 58L).map(u => (u * 10L, u)): _*)
+      q.processAllAvailable()
+      val f2 = kth()
+      assert(f2.isDefined && f2.get <= f1.get,
+        s"kth hash rose across batches: $f1 -> $f2")
+      assert(f2.get < f1.get,
+        "50 new users left the 8-minima untouched - merge likely dropped state")
+    } finally q.stop()
+  }
 }
