@@ -591,7 +591,62 @@ object Quality {
       .orderBy(col("lang"))
   }
 
+  /** q13: Spearman rank agreement between two shipped quality signals —
+    * c33's bigram-LM fluency score and c46's DSIR importance weight,
+    * over their common domain (non-target docs with ≥2 tokens). The
+    * audit every multi-signal curation pipeline needs: if two scorers
+    * rank the corpus near-independently (ρ ≈ 0) they are complementary
+    * filters; ρ ≈ 1 means one is redundant; ρ < 0 means they fight.
+    * Spearman over Pearson deliberately: rank correlation is invariant
+    * to each signal's arbitrary monotone scaling (nano vs ppm units),
+    * which is exactly the comparison one wants between heterogeneous
+    * scores.
+    *
+    * Exactness: tie-averaged ranks are kept as exact integers by
+    * DOUBLING them (r2 = 2·cb + c + 1 for a value with c members after
+    * cb predecessors — the doubling cancels in Pearson), moments ride
+    * DECIMAL(38,0) (the g04 overflow lesson: each variance factor is
+    * guarded positive separately), and the only IEEE arithmetic is the
+    * one final cast/divide/sqrt sequence, written in the same order in
+    * both engines.
+    *
+    * Scale shape: the rank windows run over the per-VALUE count tables
+    * (the q12 two-phase order-statistic trick), never over the corpus;
+    * everything else is two equi-joins and one global moment aggregate
+    * (map-side partials, six numbers per partition). */
+  def spearmanAudit(s: SparkSession, d: String): DataFrame = {
+    val j = TextOps.lmScore(s, d).select(col("doc_id"), col("score_nano"))
+      .join(TextOps.dsirWeights(s, d).select(col("doc_id"), col("score_ppm")),
+        "doc_id")
+    def ranked2(vcol: String, out: String): DataFrame = {
+      val vc = j.groupBy(col(vcol)).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col(vcol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      vc.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+        .select(col(vcol), (lit(2L) * col("cb") + col("c") + 1).as(out))
+    }
+    j.join(ranked2("score_nano", "rx"), "score_nano")
+      .join(ranked2("score_ppm", "ry"), "score_ppm")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx").cast("decimal(38,0)")).as("sx"),
+        sum(col("ry").cast("decimal(38,0)")).as("sy"),
+        sum(col("rx").cast("decimal(38,0)") * col("ry")).as("sxy"),
+        sum(col("rx").cast("decimal(38,0)") * col("rx")).as("sxx"),
+        sum(col("ry").cast("decimal(38,0)") * col("ry")).as("syy"))
+      .select(col("n").as("n_docs"),
+        when(expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx") > 0 &&
+             expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy") > 0,
+          round(expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy" +
+              " AS DOUBLE)") /
+            sqrt(expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx" +
+                " AS DOUBLE)") *
+              expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy" +
+                " AS DOUBLE)")), 6))
+          .otherwise(lit(0.0)).as("spearman_rho"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_spearman" -> (spearmanAudit _),
     "q12_gini" -> (giniAudit _),
     "q08_benford" -> (benfordAudit _),
     "q09_ks_drift" -> (ksDrift _),
@@ -668,6 +723,98 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    // q13: the c33 chain (score_nano per doc) + the c46 chain (score_ppm
+    // per out-of-target doc) joined on their common domain, tie-averaged
+    // DOUBLED ranks from the per-value count tables, HUGEINT moments
+    // (the engine's DECIMAL(38,0)), and the identical single IEEE
+    // cast/divide/sqrt tail
+    "q13_spearman" -> {
+      val hb = s"((${TextOps.toSigned(TextOps.fnvFold(TextOps.FnvOffU))}" +
+        s" % ${TextOps.DsirBuckets}) + ${TextOps.DsirBuckets})" +
+        s" % ${TextOps.DsirBuckets}"
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |c1 AS (SELECT w, count(*) AS c1
+         |       FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+         |vv AS (SELECT count(*) AS v FROM c1),
+         |sp AS (
+         |  SELECT doc_id, split_part(bgm, ' ', 1) AS w1,
+         |         split_part(bgm, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |          i -> t[i] || ' ' || t[i+1])) AS bgm FROM tk)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM sp GROUP BY w1, w2),
+         |qq AS (
+         |  SELECT sp.doc_id,
+         |    (1000000000 * (c12.c12 + 1)) // (c1.c1 + vv.v) AS q
+         |  FROM sp JOIN c12 USING (w1, w2)
+         |  JOIN c1 ON sp.w1 = c1.w CROSS JOIN vv),
+         |lm AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT)
+         |      AS score_nano
+         |  FROM qq GROUP BY doc_id),
+         |dt AS MATERIALIZED (
+         |  SELECT doc_id, lang, $hb AS b FROM (
+         |    SELECT doc_id, lang,
+         |      'dsir:' || unnest(string_split(text, ' ')) AS t
+         |    FROM documents) x),
+         |cc AS (SELECT b, CAST(count(*) AS BIGINT) AS cc
+         |       FROM dt GROUP BY b),
+         |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+         |       FROM dt WHERE lang = '${TextOps.DsirTargetLang}' GROUP BY b),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+         |    CAST(count(CASE WHEN lang = '${TextOps.DsirTargetLang}'
+         |      THEN 1 END) AS BIGINT) AS nt
+         |  FROM dt),
+         |model AS (
+         |  SELECT cc.b,
+         |    CAST(CAST(coalesce(ct.ct, 0) + 1 AS HUGEINT)
+         |        * (nc + ${TextOps.DsirBuckets}) * 1000000
+         |      // (CAST(cc.cc + 1 AS HUGEINT) * (nt + ${TextOps.DsirBuckets}))
+         |      AS BIGINT) AS lift_ppm
+         |  FROM cc LEFT JOIN ct ON cc.b = ct.b CROSS JOIN tot),
+         |ds AS (
+         |  SELECT dt.doc_id,
+         |    CAST(CAST(sum(m.lift_ppm) AS HUGEINT) // count(*) AS BIGINT)
+         |      AS score_ppm
+         |  FROM dt JOIN model m USING (b)
+         |  WHERE dt.lang <> '${TextOps.DsirTargetLang}'
+         |  GROUP BY dt.doc_id),
+         |j AS MATERIALIZED (
+         |  SELECT lm.doc_id, lm.score_nano, ds.score_ppm
+         |  FROM lm JOIN ds ON lm.doc_id = ds.doc_id),
+         |vx AS (
+         |  SELECT score_nano, count(*) AS c,
+         |    coalesce(sum(count(*)) OVER (ORDER BY score_nano
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM j GROUP BY score_nano),
+         |vy AS (
+         |  SELECT score_ppm, count(*) AS c,
+         |    coalesce(sum(count(*)) OVER (ORDER BY score_ppm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM j GROUP BY score_ppm),
+         |rr AS (
+         |  SELECT j.doc_id,
+         |    CAST(2 * vx.cb + vx.c + 1 AS BIGINT) AS rx,
+         |    CAST(2 * vy.cb + vy.c + 1 AS BIGINT) AS ry
+         |  FROM j JOIN vx USING (score_nano) JOIN vy USING (score_ppm)),
+         |mo AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+         |    CAST(sum(rx * ry) AS HUGEINT) AS sxy,
+         |    CAST(sum(rx * rx) AS HUGEINT) AS sxx,
+         |    CAST(sum(ry * ry) AS HUGEINT) AS syy
+         |  FROM rr)
+         |SELECT n AS n_docs,
+         |  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+         |        AND CAST(n AS HUGEINT) * syy - sy * sy > 0
+         |    THEN round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+         |           * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6)
+         |    ELSE 0.0 END AS spearman_rho
+         |FROM mo""".stripMargin
+    },
     // the identical bounded-domain rank-sum chain; HUGEINT is DuckDB's
     // native wide integer (the engine's DECIMAL(38,0)), // ≡ DIV on the
     // non-negative Gini numerator

@@ -230,6 +230,48 @@ class QualitySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q13 spearman: matches a brute-force tie-averaged-rank recompute " +
+    "and is exactly 1 on a self-join") {
+    import graft.ops.TextOps
+    val lm = TextOps.lmScore(spark, sf0001)
+      .select(col("doc_id"), col("score_nano")).as[(Long, Long)]
+      .collect().toMap
+    val ds = TextOps.dsirWeights(spark, sf0001)
+      .select(col("doc_id"), col("score_ppm")).as[(Long, Long)]
+      .collect().toMap
+    val common = (lm.keySet & ds.keySet).toSeq.sorted
+    def ranks2(xs: Seq[Long]): Map[Long, Long] = {
+      // doubled tie-averaged ranks: 2*cb + c + 1 per distinct value
+      val grouped = xs.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      var cb = 0L
+      grouped.map { case (v, c) =>
+        val r = 2 * cb + c + 1; cb += c; v -> r
+      }.toMap
+    }
+    val rx = ranks2(common.map(lm))
+    val ry = ranks2(common.map(ds))
+    def pearson(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val n = BigInt(xs.length)
+      val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+      val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+      val sxx = xs.map(a => BigInt(a) * a).sum
+      val syy = ys.map(a => BigInt(a) * a).sum
+      (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    }
+    val expected = BigDecimal(pearson(common.map(d => rx(lm(d))),
+        common.map(d => ry(ds(d)))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = ops.Quality.spearmanAudit(spark, sf0001).head()
+    assert(row.getAs[Long]("n_docs") == common.length.toLong)
+    assert(math.abs(row.getAs[Double]("spearman_rho") - expected) <= 1e-6,
+      s"got ${row.getAs[Double]("spearman_rho")}, expected $expected")
+    // sanity on the estimator itself: a signal against its own ranks is 1
+    val self = pearson(common.map(d => rx(lm(d))), common.map(d => rx(lm(d))))
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
   test("q12 gini: matches the brute-force sorted-rank formula and stays " +
     "in [0, 1e6)") {
     val docs = Tables.documents(spark, sf0001)
