@@ -220,6 +220,18 @@ class AnnSpec extends SparkSpec {
     info(s"IVFSQ recall@10 = $composed (routing $routing)")
   }
 
+  test("ivfsq plan: candidates route through shuffled hash joins — " +
+    "neither the inverted lists nor the code table is broadcast") {
+    val plan = Ann.ivfsqTopk(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected shuffled hash joins on cent_id/qid/cid:\n$plan")
+    // the only broadcasts allowed are the scalar/tiny aggregates (the
+    // rlim row, the probe centroids); a broadcast of the corpus-sized
+    // code table would OOM the executors at 100 TB
+    assert(!plan.contains("CartesianProduct"), s"cartesian leak:\n$plan")
+  }
+
   test("sq_dist_long kernel agrees with the declarative HOF fold") {
     // the codegen kernel is an optimization, not semantics: Σ(Δcode)²
     // computed by zip_with+aggregate over the same arrays must match

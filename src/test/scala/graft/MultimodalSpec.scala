@@ -89,6 +89,17 @@ class MultimodalSpec extends SparkSpec {
       s"${rows.length} pairs of ${n * (n - 1) / 2} — not a vanishing fraction")
   }
 
+  test("m07 phash plan: the band self-join is an equi hash/merge join " +
+    "keyed on (bno, bval), never a nested loop over all pairs") {
+    val plan = Multimodal.phashNearDup(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the candidate join must be keyed on the band columns (the 1-row
+    // corpus-totals broadcast upstream is a legitimate cross join)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[bno".r
+      .findFirstIn(plan).isDefined,
+      s"banded join degenerated to all-pairs:\n$plan")
+  }
+
   test("m07 phash: the banded LSH is EXACT at the radius — every " +
     "hamming<=tau pair surfaces, none beyond, on adversarial signatures") {
     // handcrafted 64-bit signatures probing every band boundary:

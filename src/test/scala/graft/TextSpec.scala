@@ -460,6 +460,14 @@ class TextSpec extends SparkSpec {
     info(s"c46 score_ppm range: ${scores.min}..${scores.max}")
   }
 
+  test("c46 dsir plan: the importance model is BROADCAST to the scoring " +
+    "join (one map-side pass over the token stream)") {
+    val plan = TextOps.dsirWeights(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join must be broadcast (B-row table):\n$plan")
+  }
+
   test("c47 rake: matches a full in-memory recompute of the RAKE chain") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
