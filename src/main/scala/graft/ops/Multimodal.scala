@@ -287,10 +287,11 @@ object Multimodal {
       .select(col("asset_id"),
         (octet_length(col("payload")) - 9).cast("long").as("n"),
         posexplode(hist(col("payload"))).as(Seq("bin", "cnt")))
-    val corpus = binned.groupBy(col("bin"))
-      .agg(sum(col("cnt")).as("ctot"))
-      .crossJoin(broadcast(
-        binned.agg(sum(col("cnt")).as("ntot"))))
+    // ntot derives from the 64-row per-bin table — NOT a second scan of
+    // the asset table (sum of sums is the same exact integer)
+    val perBin = binned.groupBy(col("bin")).agg(sum(col("cnt")).as("ctot"))
+    val corpus = perBin.crossJoin(broadcast(
+      perBin.agg(sum(col("ctot")).as("ntot"))))
     val sig = binned.join(broadcast(corpus), Seq("bin"))
       .groupBy(col("asset_id"))
       .agg(expr("bit_or(CASE WHEN cnt * ntot > n * ctot" +

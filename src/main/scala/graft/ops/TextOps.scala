@@ -1496,11 +1496,15 @@ object TextOps {
       .orderBy(col("c").desc, col("w").asc).limit(RakeStops)
       .select(col("w"), lit(1).as("isstop"))
     val wP = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // localCheckpoint: three consumers (phrase lengths, word scores, the
+    // phrase rollup) would each re-run the tokenize+window chain — the
+    // shingleIndex aliased-subtree lesson
     val cand = toks.join(broadcast(stop), Seq("w"), "left")
       .withColumn("pid",
         coalesce(sum(col("isstop")).over(wP), lit(0L)))
       .where(col("isstop").isNull)
       .select(col("doc_id"), col("pid"), col("pos"), col("w"))
+      .localCheckpoint()
     val plen = cand.groupBy(col("doc_id"), col("pid"))
       .agg(count(lit(1)).as("plen"))
     val wsc = cand.join(plen, Seq("doc_id", "pid"))
