@@ -407,7 +407,60 @@ object Sampling {
       .orderBy(col("sel_rank"))
   }
 
+  /** Fixed IPF rounds for s14 (row step then column step per round). */
+  val IpfRounds = 4
+
+  /** s14: iterative proportional fitting (raking) of the (lang, source)
+    * mixture — the 2-D completion of this module's mixing ladder: s04
+    * caps one dimension, s07 temperature-scales one, s10 accepts to ONE
+    * target marginal; IPF finds per-cell weights hitting language AND
+    * source targets SIMULTANEOUSLY (Deming–Stephan 1940, the survey
+    * raking every stats office runs), here toward uniform marginals on
+    * both axes — the balanced-corpus goal. Each round rescales rows to
+    * the lang target then columns to the source target; 4 FIXED rounds
+    * (the Lloyd/LPA determinism rule).
+    *
+    * Integer doctrine: weights live in ppm, each rescale is
+    * w·T DIV M(axis) with T = (N·10⁶) DIV axis-cardinality — pure
+    * BIGINT (products stay ≤ ~10¹⁸ at every fixture tier; a corpus
+    * with deeper skew rides DECIMAL(38,0), the q09 doctrine). The
+    * column step runs LAST, so final source masses match their target
+    * exactly up to per-cell integer floors — a law the spec asserts
+    * with the Σn-bounded error the floor analysis gives.
+    *
+    * Scale shape: ONE groupBy of the corpus builds the cell table
+    * (|langs|·|sources| rows); every iteration is arithmetic on that
+    * tiny table (axis masses are 5- and 20-row aggregates, joined back
+    * broadcast); the weights then broadcast to whatever applies them —
+    * the s09/s10 application path. Nothing rescans the corpus. */
+  def ipfRaking(s: SparkSession, d: String): DataFrame = {
+    var cells = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", lit(1000000L))
+      .localCheckpoint()
+    val tot = cells.agg(sum(col("n")).as("ntot"),
+      countDistinct(col("lang")).as("nl"),
+      countDistinct(col("source")).as("ns"))
+    for (_ <- 1 to IpfRounds) {
+      val lm = cells.groupBy(col("lang")).agg(sum(col("n") * col("w")).as("m"))
+      cells = cells.join(broadcast(lm), "lang").crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n"),
+          expr("w * ((ntot * 1000000) DIV nl) DIV m").as("w"))
+        .localCheckpoint()
+      val sm = cells.groupBy(col("source")).agg(sum(col("n") * col("w")).as("m"))
+      cells = cells.join(broadcast(sm), "source").crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n"),
+          expr("w * ((ntot * 1000000) DIV ns) DIV m").as("w"))
+        .localCheckpoint()
+    }
+    cells.select(col("lang"), col("source"), col("n").as("n_docs"),
+      col("w").as("weight_ppm"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_ipf_raking" -> (ipfRaking _),
     "s13_kcenter_select" -> (kcenterSelect _),
     "s12_temporal_split" -> (temporalSplit _),
     "s10_distribution_match" -> (distributionMatch _),
@@ -471,7 +524,39 @@ object Sampling {
        |FROM ks$KcenterK ORDER BY sel_rank""".stripMargin
   }
 
+  /** One s14 rescale step over axis `ax` from cell CTE `prev` to `next`:
+    * axis masses, then w·T DIV M — `//` ≡ DIV on the positive operands,
+    * sums CAST from HUGEINT back to BIGINT to match the engine's longs. */
+  private def ipfStepSql(prev: String, next: String, ax: String,
+      card: String): String =
+    s"""${next}m AS (
+       |  SELECT $ax, CAST(sum(n * w) AS BIGINT) AS m
+       |  FROM $prev GROUP BY $ax),
+       |$next AS MATERIALIZED (
+       |  SELECT c.lang, c.source, c.n,
+       |    CAST(c.w * ((t.ntot * 1000000) // t.$card) // z.m AS BIGINT) AS w
+       |  FROM $prev c JOIN ${next}m z USING ($ax) CROSS JOIN t)""".stripMargin
+
+  private val ipfOracle: String = {
+    val steps = (1 to IpfRounds).flatMap { r =>
+      Seq(ipfStepSql(if (r == 1) "ic0" else s"ic${2 * r - 2}",
+            s"ic${2 * r - 1}", "lang", "nl"),
+        ipfStepSql(s"ic${2 * r - 1}", s"ic${2 * r}", "source", "ns"))
+    }.mkString(",\n")
+    s"""WITH ic0 AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(1000000 AS BIGINT) AS w
+       |  FROM documents GROUP BY lang, source),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot,
+       |        count(DISTINCT lang) AS nl, count(DISTINCT source) AS ns
+       |      FROM ic0),
+       |$steps
+       |SELECT lang, source, n AS n_docs, w AS weight_ppm
+       |FROM ic${2 * IpfRounds} ORDER BY lang, source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s14_ipf_raking" -> ipfOracle,
     "s13_kcenter_select" -> kcenterOracle,
     // s12: the oracle can afford the simple one-window form — split by
     // global (sts, event_id) rank against the same lower-percentile cut

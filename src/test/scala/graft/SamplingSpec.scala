@@ -212,6 +212,33 @@ class SamplingSpec extends SparkSpec {
     assert(vaMax <= teMin, s"val max $vaMax > test min $teMin")
   }
 
+  test("s14 ipf: final source masses hit their target within the " +
+    "integer-floor bound, and lang masses contract toward theirs") {
+    val rows = ops.Sampling.ipfRaking(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("weight_ppm")))
+    assert(rows.forall(_._4 > 0L), "non-positive weight")
+    val ntot = rows.map(_._3).sum
+    // the column (source) step runs LAST: each source's weighted mass is
+    // T − Σ(per-cell floor remainders), so |mass − T| ≤ Σn of the source
+    val ts = ntot * 1000000L / rows.map(_._2).distinct.length
+    rows.groupBy(_._2).foreach { case (src, cs) =>
+      val mass = cs.map(c => c._3 * c._4).sum
+      val bound = cs.map(_._3).sum
+      assert(math.abs(mass - ts) <= bound,
+        s"source $src mass $mass vs target $ts (bound $bound)")
+    }
+    // the row step converges too: every lang mass must now sit closer to
+    // its target than the unweighted corpus started (IPF contraction)
+    val tl = ntot * 1000000L / rows.map(_._1).distinct.length
+    rows.groupBy(_._1).foreach { case (lang, cs) =>
+      val mass = cs.map(c => c._3 * c._4).sum
+      val start = cs.map(_._3).sum * 1000000L
+      assert(math.abs(mass - tl) <= math.abs(start - tl),
+        s"lang $lang diverged: $start -> $mass (target $tl)")
+    }
+  }
+
   test("s13 kcenter: seeds at the min id, never repeats, and the greedy " +
     "maxmin radius is non-increasing") {
     val sel = ops.Sampling.kcenterSelect(spark, sf0001).collect()
