@@ -120,6 +120,12 @@ object Tables {
       if (fs.getFileStatus(p).isDirectory)
         fs.globStatus(new Path(p, "part-*.parquet")).map(_.getPath)
       else Array(p)
+    // fail loudly on a layout the glob can't see (nested/partitioned
+    // directories): a silent 0 would quietly floor b38's bloom capacity
+    // at 1000 keys and blow the documented 1% FPP target
+    require(files.nonEmpty,
+      s"no parquet part files directly under $path — nested/partitioned " +
+        "layouts need a recursive listing, not the flat part-* glob")
     files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

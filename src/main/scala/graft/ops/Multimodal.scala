@@ -273,20 +273,28 @@ object Multimodal {
     * bucket-partitionable like every other sketch join here, and the
     * cross-multiply rides DECIMAL(38,0) once cnt·Ntot nears 2⁶³. */
   def phashNearDup(s: SparkSession, d: String): DataFrame = {
-    val hist = udf { (bytes: Array[Byte]) =>
-      val h = new Array[Long](64)
-      var i = 8 // skip header; bigrams span body bytes only
-      while (i < bytes.length - 1) {
-        val pair = ((bytes(i) & 0xff).toLong << 8) | (bytes(i + 1) & 0xff)
-        h(((pair * 2654435761L) / 1024L % 64L).toInt) += 1L
-        i += 1
-      }
-      h
-    }
+    // bigram bins built from BUILTIN expressions only (the module rule —
+    // no JVM udf in a declared query's input): explode the 1-based body
+    // bigram start positions 9..len-1, recover each byte as an exact
+    // integer via conv(hex(substring)) (byte-value-exact for ANY byte,
+    // not just ASCII), bin with the Knuth mix in BIGINTs, and count by
+    // (asset, bin) — a scan + map-side-combinable aggregate instead of a
+    // per-row interpreted histogram loop. Absent (cnt=0) bins produce no
+    // row; downstream the bit rule treats absent and 0 identically.
+    // Guard len ≥ 10: sequence(9, 8) would DESCEND, not return empty.
+    def byteAt(pos: String) =
+      s"CAST(conv(hex(substring(payload, $pos, 1)), 16, 10) AS BIGINT)"
     val binned = assets(s, d)
-      .select(col("asset_id"),
-        (octet_length(col("payload")) - 9).cast("long").as("n"),
-        posexplode(hist(col("payload"))).as(Seq("bin", "cnt")))
+      .where(octet_length(col("payload")) >= 10)
+      .select(col("asset_id"), col("payload"),
+        (octet_length(col("payload")) - 9).cast("long").as("n"))
+      .select(col("asset_id"), col("n"), col("payload"),
+        explode(sequence(lit(9), octet_length(col("payload")) - 1)).as("i"))
+      .select(col("asset_id"), col("n"),
+        expr(s"(${byteAt("i")} * 256 + ${byteAt("i + 1")})" +
+          " * 2654435761 DIV 1024 % 64").cast("int").as("bin"))
+      .groupBy(col("asset_id"), col("n"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
     // ntot derives from the 64-row per-bin table — NOT a second scan of
     // the asset table (sum of sums is the same exact integer)
     val perBin = binned.groupBy(col("bin")).agg(sum(col("cnt")).as("ctot"))

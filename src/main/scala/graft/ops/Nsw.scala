@@ -44,11 +44,11 @@ import graft.functions.VectorExpressions
   *     (law-tested in NswSpec).
   *
   * Scale shape: per hop, one shuffle-hash join of the (qid, cand) beam
-  * against the M-regular adjacency list plus one per-query window —
-  * n_q·B·M rows in flight, never n². The search touches at most
-  * E + H·B·M ≈ 3.1k candidate slots per query (8 + 4·48·16 = 3080;
-  * distinct vertices visited are well below — beams overlap) regardless
-  * of corpus size —
+  * against the (M+F)-out-degree adjacency list plus one per-query
+  * window — n_q·B·(M+F) rows in flight, never n². The search touches at
+  * most E + H·B·(M+F) ≈ 4.6k candidate slots per query
+  * (8 + 4·48·24 = 4616; distinct vertices visited are well below —
+  * beams overlap) regardless of corpus size —
   * the sublinear-probe property that makes graph ANN the serving tier;
   * at 100 TB the adjacency is bucketed by u exactly like the IVF lists
   * by cent_id. Every query here is leave-one-out like the rest of the
@@ -88,6 +88,22 @@ object Nsw {
   val B = 48
   /** Statically unrolled hops. */
   val H = 4
+  /** Far (long-range) links per vertex in the DECLARED graph — the
+    * Watts–Strogatz rewiring that makes the M-NN neighborhood graph
+    * navigable. Declared default as of round 12 (the r11 verdict's one
+    * `weak`): on a clustered corpus the plain M-NN graph degenerates to
+    * per-cluster cliques the beam cannot leave (recall 0.116 at sf1c)
+    * while F=8 restores 0.939 at the UNCHANGED beam budget, and it also
+    * helps the isotropic case (0.497 → 0.59 before beam retune). Cost is
+    * O(n·F) integer-arithmetic edges — strictly better on both measured
+    * corpus shapes, so it ships as part of the declared graph. */
+  val F = 8
+  /** Fitted beam-growth exponent for the per-corpus retune rule
+    * B = B₀·(n/n₀)^BExp on structure-free corpora (SCALE_r11 §3; the
+    * doctrine prose rounds it to 0.6 — this fitted value is the ONE
+    * constant both the scaladoc rule and the ScaleCheck gate use, so the
+    * check and the documented rule cannot drift apart). */
+  val BExp = 0.602
   /** Fixed entry points: the E lowest vector ids (the IVF seed rule). */
   val E = 8
   val K = 10
@@ -207,8 +223,9 @@ object Nsw {
     * PRECONDITION: vec_ids are contiguous 0..n−1 (the fixture contract,
     * FIXTURES.md). With gapped ids the ring formula would emit edges to
     * nonexistent vertices, silently dropped by the downstream inner
-    * joins — a gapped corpus must dense-rank its ids first. Tool/tuning
-    * path only; the declared nswTopk uses far=0. */
+    * joins — a gapped corpus must dense-rank its ids first. As of round
+    * 12 this IS part of the declared graph: nswTopk searches over
+    * adjacency ∪ farLinks(F=8) (see [[F]]). */
   private[graft] def farLinks(s: SparkSession, d: String,
       far: Int): DataFrame = {
     val nDf = Tables.embeddings(s, d).agg(count(lit(1)).as("nn"))
@@ -221,12 +238,21 @@ object Nsw {
       .where(col("v") =!= col("u"))
   }
 
+  /** The searched graph: base adjacency ∪ far links, deduped. The
+    * declared (no-override) far-augmented graph is session-cached like
+    * the base adjacency — it is rebuilt once, not once per hop. */
   private[graft] def adjacencyWithFar(s: SparkSession, d: String,
-      far: Int, adjOverride: Option[DataFrame] = None): DataFrame = {
-    val base = adjOverride.getOrElse(adjacency(s, d))
-    if (far == 0) base
-    else base.unionByName(farLinks(s, d, far)).distinct()
-  }
+      far: Int, adjOverride: Option[DataFrame] = None): DataFrame =
+    adjOverride match {
+      case Some(base) =>
+        if (far == 0) base
+        else base.unionByName(farLinks(s, d, far)).distinct()
+      case None =>
+        if (far == 0) adjacency(s, d)
+        else cache.getOrBuild(s, s"$d#nswAdjFar$far") {
+          adjacency(s, d).unionByName(farLinks(s, d, far)).distinct()
+        }
+    }
 
   /** One beam-search step: grow by out-neighbors, union the old beam
     * (monotone best-so-far), dedup, re-score, keep top-B. */
@@ -259,7 +285,7 @@ object Nsw {
   }
 
   private[graft] def nswTopkAt(s: SparkSession, d: String,
-      hops: Int, b: Int = B, e: Int = E, far: Int = 0,
+      hops: Int, b: Int = B, e: Int = E, far: Int = F,
       adjOverride: Option[DataFrame] = None): DataFrame = {
     val qs = Tables.repartitioned(Tables.embeddings(s, d), s)
       .select(col("vec_id").as("qid"))
@@ -281,7 +307,7 @@ object Nsw {
     Ann.recallOf(s, d, nswTopk(s, d).select(col("qid"), col("cid")))
 
   private[graft] def nswRecallAt(s: SparkSession, d: String,
-      hops: Int, b: Int = B, e: Int = E, far: Int = 0,
+      hops: Int, b: Int = B, e: Int = E, far: Int = F,
       adjOverride: Option[DataFrame] = None): DataFrame =
     Ann.recallOf(s, d,
       nswTopkAt(s, d, hops, b, e, far, adjOverride)
@@ -359,7 +385,17 @@ object Nsw {
        |  WHERE u <> v),
        |${bestMCte("ag0", "aseed")},
        |$rounds,
-       |adj AS (SELECT u, v FROM ag$DescentRounds),
+       |farl AS (
+       |  SELECT u, v FROM (
+       |    SELECT e.vec_id AS u,
+       |      ((e.vec_id + (kk.k * nn1.n) // ${F + 1}) % nn1.n + nn1.n)
+       |        % nn1.n AS v
+       |    FROM embeddings e CROSS JOIN nn1
+       |      CROSS JOIN (SELECT unnest(range(1, ${F + 1})) AS k) kk) x
+       |  WHERE u <> v),
+       |adj AS (SELECT DISTINCT u, v FROM (
+       |  SELECT u, v FROM ag$DescentRounds
+       |  UNION ALL SELECT u, v FROM farl) zadj),
        |b0 AS (
        |  SELECT q.vec_id AS qid, e.vec_id AS cand
        |  FROM embeddings q CROSS JOIN embeddings e

@@ -426,7 +426,14 @@ object Relational {
       .select(col("q_pm"),
         (col("e") * 16 + col("m")).cast("long").as("bucket"),
         col("e").cast("long").as("e"), col("m").cast("long").as("m"),
-        expr("(16 + m) * shiftleft(CAST(1 AS BIGINT), e - 4)")
+        // e < 4 (cents < 16) is out of domain for this bucket layout:
+        // Spark's shiftleft masks a negative count (count & 63) and
+        // would yield garbage SILENTLY — fail loudly instead (TPC-H
+        // prices keep cents ≥ ~90000 so the domain holds on fixtures)
+        expr("CASE WHEN e >= 4 " +
+          "THEN (16 + m) * shiftleft(CAST(1 AS BIGINT), e - 4) " +
+          "ELSE raise_error(concat('logBucketQuantiles: value below 16 " +
+          "cents is out of the bucket domain (e=', e, ')')) END")
           .as("lb_cents"),
         col("cum_n"), col("n_total"))
       .orderBy(col("q_pm"))
