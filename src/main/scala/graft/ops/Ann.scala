@@ -105,6 +105,14 @@ object Ann {
     val e = Tables.repartitioned(
         rows.map(all.where).getOrElse(all), s)
       .select(col("vec_id"), col("embedding"))
+    assignOver(s, e, cents)
+  }
+
+  /** The ONE argmin-assignment body, over any (vec_id, embedding) source
+    * — the retrain lifecycle assigns rows read back from the persisted
+    * index, not from the fixture table. */
+  private def assignOver(s: SparkSession, e: DataFrame,
+      cents: DataFrame): DataFrame = {
     // argmin as min_by over the unique (cdist, cent_id) order — an
     // AGGREGATE, so the n·C candidate rows collapse map-side (partial
     // HashAggregate, one surviving row per vec_id through the exchange)
@@ -195,15 +203,26 @@ object Ann {
   private[graft] def trainedCentroidsAt(s: SparkSession, d: String,
       c: Int): DataFrame =
     assignCache.getOrBuild(s, s"$d#trainedCents#$c") {
-      val e = Tables.repartitioned(Tables.embeddings(s, d), s)
-        .select(col("vec_id"), col("embedding"))
-      val barrier =
-        !s.conf.getOption(IterativeCheckpointConf).contains("false")
-      (1 to LloydIters).foldLeft(centroidsAt(s, d, c)) { (cs, _) =>
-        val next = refineOnce(s, e, cs)
-        if (barrier) next.localCheckpoint(true) else next
-      }
+      trainOver(s, Tables.repartitioned(Tables.embeddings(s, d), s), c)
     }
+
+  /** The ONE Lloyd's training loop over any (vec_id, embedding) corpus:
+    * seed from the c lowest vec_ids IN THE CORPUS, then [[LloydIters]]
+    * quantized-mean refinement rounds. Shared by the full-corpus index,
+    * the upsert family's frozen base quantizer, and the retrain
+    * lifecycle (which trains over rows read back from the persisted
+    * artifact) so the training rule can never drift between them. */
+  private def trainOver(s: SparkSession, e0: DataFrame, c: Int): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"))
+    val seeds = e.where(col("vec_id") < c)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val barrier =
+      !s.conf.getOption(IterativeCheckpointConf).contains("false")
+    (1 to LloydIters).foldLeft(seeds) { (cs, _) =>
+      val next = refineOnce(s, e, cs)
+      if (barrier) next.localCheckpoint(true) else next
+    }
+  }
 
   /** Probe routing — THE one definition of "which `p` inverted lists
     * does each query scan": every query crossed with the broadcast
@@ -213,8 +232,10 @@ object Ann {
     * and the IVFPQ composition so a tie-break or P change can never
     * drift between them. */
   private[ops] def probesOf(s: SparkSession, d: String, cents: DataFrame,
-      p: Int): DataFrame = {
-    val e = Tables.repartitioned(Tables.embeddings(s, d), s)
+      p: Int, qWhere: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    val all = Tables.embeddings(s, d)
+    val e = Tables.repartitioned(qWhere.map(all.where).getOrElse(all), s)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("cdist").asc, col("cent_id").asc)
@@ -229,8 +250,9 @@ object Ann {
     * lists per query, exact cosine within the probed lists. Leave-one-out
     * like knn_topk. */
   private def ivfTopkFrom(s: SparkSession, d: String, cents: DataFrame,
-      lists: DataFrame, p: Int): DataFrame = {
-    val probes = probesOf(s, d, cents, p)
+      lists: DataFrame, p: Int,
+      qWhere: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val probes = probesOf(s, d, cents, p, qWhere)
     val inv = lists
       .select(col("cent_id"), col("vec_id").as("cid"), col("embedding").as("cv"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cid").asc)
@@ -671,15 +693,8 @@ object Ann {
       : DataFrame =
     assignCache.getOrBuild(s, s"$d#baseTrainedCents#$C") {
       val cut = upsertCut(s, d)
-      val e = Tables.repartitioned(
-          Tables.embeddings(s, d).where(col("vec_id") < cut), s)
-        .select(col("vec_id"), col("embedding"))
-      val barrier =
-        !s.conf.getOption(IterativeCheckpointConf).contains("false")
-      (1 to LloydIters).foldLeft(centroidsAt(s, d, C)) { (cs, _) =>
-        val next = refineOnce(s, e, cs)
-        if (barrier) next.localCheckpoint(true) else next
-      }
+      trainOver(s, Tables.repartitioned(
+        Tables.embeddings(s, d).where(col("vec_id") < cut), s), C)
     }
 
   /** BUILD the base index, then APPEND the delta batch as a new file
@@ -775,6 +790,91 @@ object Ann {
   def ivfTopkUpserted(s: SparkSession, d: String): DataFrame =
     ivfTopkFrom(s, d, upsertedCentroids(s, d), upsertedLists(s, d), P)
 
+  // ------------------------------------------------ retrain lifecycle
+
+  /** Retrain trigger: once the appended delta reaches
+    * [[RetrainNum]]/[[RetrainDen]] of the base row count, the frozen
+    * coarse quantizer has drifted from the corpus it routes and the
+    * maintainer RETRAINS — the rarer lifecycle event the upsert path's
+    * scaladoc promises. The fixture's 1/9 delta:base ratio is above
+    * this 1/20 threshold, so the declared queries exercise a TRIGGERED
+    * retrain; ScaleCheck reports the measured fraction at sf1. */
+  val RetrainNum = 1
+  val RetrainDen = 20
+
+  /** RETRAIN + COMPACT: read base ∪ delta back from the persisted
+    * upserted index (the maintainer owns the artifact, not the source
+    * table), retrain the coarse quantizer over ALL of it with the same
+    * seed rule and quantized arithmetic, reassign every row, and commit
+    * a NEW index version — base and delta compact into one file set.
+    * Because the maintained lists hold exactly the corpus rows and the
+    * training rule is a pure function of the (vec_id, embedding) set,
+    * the retrained index ≡ the fresh full-corpus build BIT-EXACT
+    * (post-retrain search ≡ fresh-build search — the lifecycle law
+    * AnnSpec asserts and the DuckDB oracle certifies). Same atomic
+    * temp-dir + rename + `_BUILT` commit as [[ensureIndex]]. */
+  private def ensureRetrainedIndex(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val upPath = ensureUpsertedIndex(s, d)
+    val path = s"${indexPath(s, d)}_retrain"
+    val marker = new Path(path, "_BUILT")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) buildLock.synchronized {
+      if (!fs.exists(marker)) {
+        // the trigger is a fact about the maintained artifact itself
+        val nBase = s.read.parquet(s"$upPath/base/lists").count()
+        val nDelta = s.read.parquet(s"$upPath/delta/lists").count()
+        require(nDelta * RetrainDen >= nBase * RetrainNum,
+          s"retrain not triggered: delta $nDelta < " +
+            s"$RetrainNum/$RetrainDen of base $nBase")
+        val rows = listsAt(s, s"$upPath/base/lists")
+          .unionByName(listsAt(s, s"$upPath/delta/lists"))
+          .select(col("vec_id"), col("embedding"))
+        val tmp = new Path(
+          s"${path}__build_${java.util.UUID.randomUUID.toString.take(8)}")
+        trainOver(s, Tables.repartitioned(rows, s), C)
+          .write.mode("overwrite").parquet(s"$tmp/centroids")
+        val stored = s.read.parquet(s"$tmp/centroids")
+        assignOver(s, Tables.repartitioned(rows, s), stored)
+          .select(col("vec_id"), col("embedding"), col("cdist"),
+            col("cent_id"))
+          .write.mode("overwrite").partitionBy("cent_id")
+          .parquet(s"$tmp/lists")
+        // the fine (PQ) codebook is a separate quantizer family; the
+        // new version re-encodes under it unchanged, like ensureIndex
+        pqCodes(s, d).write.mode("overwrite").parquet(s"$tmp/codes")
+        fs.create(new Path(tmp, "_BUILT"), true).close()
+        if (!fs.rename(tmp, new Path(path))) {
+          fs.delete(tmp, true)
+          if (!fs.exists(marker)) throw new IllegalStateException(
+            s"ANN retrain commit failed and no committed index at $path")
+        }
+      }
+    }
+    path
+  }
+
+  private[graft] def retrainedCentroids(s: SparkSession, d: String)
+      : DataFrame =
+    s.read.parquet(s"${ensureRetrainedIndex(s, d)}/centroids")
+
+  private[graft] def retrainedLists(s: SparkSession, d: String): DataFrame =
+    listsAt(s, s"${ensureRetrainedIndex(s, d)}/lists")
+
+  /** ann_index_retrain: the post-retrain list census, read back from the
+    * newly-committed version — bit-identical to the fresh full-corpus
+    * build's census (the lifecycle law), which is exactly what its
+    * oracle asserts. */
+  def indexRetrain(s: SparkSession, d: String): DataFrame =
+    retrainedLists(s, d).groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("list_size"))
+      .orderBy(col("cent_id"))
+
+  /** ann_ivf_topk_retrained: search over the retrained version — must
+    * equal fresh-build search bit-exactly (shares the trained oracle). */
+  def ivfTopkRetrained(s: SparkSession, d: String): DataFrame =
+    ivfTopkFrom(s, d, retrainedCentroids(s, d), retrainedLists(s, d), P)
+
   /** recall@K of the PQ→re-rank pipeline vs the exact top-k. */
   def pqRecall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, pqRerankTopk(s, d).select(col("qid"), col("cid")))
@@ -803,6 +903,54 @@ object Ann {
     val exact = Knn.knnTopk(s, d).select(col("qid"), col("cid"))
     val hits = approx.select(col("qid"), col("cid"))
       .join(exact, Seq("qid", "cid"))
+      .agg(count(lit(1)).as("n_hits"))
+    val nq = exact.agg(countDistinct(col("qid")).as("n_queries"))
+    hits.crossJoin(nq).select(col("n_queries"), col("n_hits"),
+      round(col("n_hits").cast("double") / (col("n_queries") * lit(K)), 6)
+        .as("recall"))
+  }
+
+  /** Query-sample modulus/salt for scale-safe recall evaluation: the
+    * recall harness keeps a deterministic 1/[[RecallSampleMod]] fnv
+    * carve of the queries (the s01 rule applied to vec_id) and computes
+    * EXACT ground truth only on that sample — n_s·n distance
+    * evaluations, the form that survives 100 TB, where the full n²
+    * ground truth of `ann_recall_trained` cannot run. The binomial
+    * envelope law (AnnSpec): full recall lies within 4σ of the sampled
+    * estimate, σ = √(p(1−p)/(K·n_s)). */
+  val RecallSampleMod = 8
+  val RecallSampleSalt = "recallq"
+
+  private def recallSamplePred(s: SparkSession) =
+    pmod(graft.functions.HashExpressions.fnv1a64(s,
+      concat(lit(RecallSampleSalt), col("vec_id").cast("string"))),
+      lit(RecallSampleMod.toLong)) === 0
+
+  /** ann_recall_sampled: recall@K of the trained IVF tier over the
+    * deterministic query sample, with exact ground truth computed ONLY
+    * for sampled queries — the small (broadcast) side is the sample,
+    * the corpus streams against it. The approximate side also searches
+    * only the sampled queries (per-query independence makes the
+    * restriction exact, not an approximation). */
+  def recallSampled(s: SparkSession, d: String): DataFrame = {
+    val pred = recallSamplePred(s)
+    val qs = Tables.embeddings(s, d).where(pred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = Tables.repartitioned(Tables.embeddings(s, d), s)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    val exact = c.crossJoin(broadcast(qs))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        VectorExpressions.cosine_distance(s, col("qv"), col("cv"))
+          .as("dist"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= K)
+      .select(col("qid"), col("cid"))
+    val approx = ivfTopkFrom(s, d, trainedCentroids(s, d),
+      trainedAssignments(s, d), P, qWhere = Some(pred))
+      .select(col("qid"), col("cid"))
+    val hits = approx.join(exact, Seq("qid", "cid"))
       .agg(count(lit(1)).as("n_hits"))
     val nq = exact.agg(countDistinct(col("qid")).as("n_queries"))
     hits.crossJoin(nq).select(col("n_queries"), col("n_hits"),
@@ -1130,6 +1278,9 @@ object Ann {
     "ann_ivf_topk_indexed" -> (ivfTopkIndexed _),
     "ann_index_upsert" -> (indexUpsert _),
     "ann_ivf_topk_upserted" -> (ivfTopkUpserted _),
+    "ann_index_retrain" -> (indexRetrain _),
+    "ann_ivf_topk_retrained" -> (ivfTopkRetrained _),
+    "ann_recall_sampled" -> (recallSampled _),
     "ann_sq8_topk" -> (sq8Topk _),
     "ann_sq8_recall" -> (sq8Recall _),
     "ann_sq8_stats" -> (sq8Stats _),
@@ -1654,5 +1805,62 @@ object Ann {
       s"""WITH $upsertBaseCtes,
          |${ivfCtes(s"cents$LloydIters")}
          |$topkSelect""".stripMargin,
+    // the retrain lifecycle: retraining over base ∪ delta IS a fresh
+    // full-corpus train (the maintained lists hold exactly the corpus),
+    // so the post-retrain census and search share the fresh-build
+    // oracles verbatim — the bit-exact lifecycle law, oracle-certified
+    "ann_index_retrain" ->
+      s"""WITH $seedCentsCte,
+         |$lloydCtes,
+         |${assignProbeCtes(s"cents$LloydIters")}
+         |SELECT cent_id, count(*) AS list_size FROM assign
+         |GROUP BY cent_id ORDER BY cent_id""".stripMargin,
+    "ann_ivf_topk_retrained" ->
+      s"""WITH $seedCentsCte,
+         |$lloydCtes,
+         |${ivfCtes(s"cents$LloydIters")}
+         |$topkSelect""".stripMargin,
+    // sampled recall: the same fnv carve (TextOps.fnvFold is the proven
+    // cell-identical twin of the engine's fnv1a64), exact ground truth
+    // computed over sampled queries only, IVF side filtered to the same
+    // sample (per-query independence makes the restriction exact)
+    "ann_recall_sampled" ->
+      s"""WITH keyed AS (
+         |  SELECT vec_id,
+         |    '$RecallSampleSalt' || CAST(vec_id AS VARCHAR) AS t
+         |  FROM embeddings),
+         |qsamp AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |      ${TextOps.toSigned(TextOps.fnvFold(TextOps.FnvOffU))} AS hs
+         |    FROM keyed) z
+         |  WHERE ((hs % $RecallSampleMod) + $RecallSampleMod)
+         |    % $RecallSampleMod = 0),
+         |$seedCentsCte,
+         |$lloydCtes,
+         |${ivfCtes(s"cents$LloydIters")},
+         |ivf AS (
+         |  SELECT qid, cid FROM ranked
+         |  WHERE rnk <= $K AND qid IN (SELECT vec_id FROM qsamp)),
+         |spairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                 CAST(c.embedding AS DOUBLE[])) AS dist
+         |  FROM embeddings q
+         |  JOIN qsamp ON q.vec_id = qsamp.vec_id
+         |  CROSS JOIN embeddings c
+         |  WHERE q.vec_id <> c.vec_id),
+         |exact AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist ASC, cid ASC) AS xrnk
+         |    FROM spairs) x WHERE xrnk <= $K),
+         |hits AS (
+         |  SELECT count(*) AS n_hits FROM ivf JOIN exact USING (qid, cid)),
+         |nq AS (SELECT count(DISTINCT qid) AS n_queries FROM exact)
+         |SELECT CAST(n_queries AS BIGINT) AS n_queries,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / ($K * n_queries), 6) AS recall
+         |FROM hits, nq""".stripMargin,
   )
 }

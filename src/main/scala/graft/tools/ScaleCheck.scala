@@ -211,6 +211,48 @@ object ScaleCheck {
       s"$nUp rows, incremental ≡ rebuilt bit-exact"
     }
 
+    // --- retrain lifecycle at the 10× tier: the delta fraction the
+    // fixture carries must TRIGGER the declared threshold, and the
+    // retrained version must equal the fresh full-corpus build through
+    // the persisted write/read round-trip (the compaction law)
+    check("ann retrain lifecycle") {
+      val cut = Ann.upsertCut(spark, sfDir)
+      val nAll = graft.Tables.embeddings(spark, sfDir).count()
+      val nDelta = nAll - cut
+      val frac = nDelta.toDouble / cut
+      require(nDelta * Ann.RetrainDen >= cut * Ann.RetrainNum,
+        f"delta fraction $frac%.3f below the " +
+          s"${Ann.RetrainNum}/${Ann.RetrainDen} retrain trigger")
+      val re = Ann.retrainedLists(spark, sfDir)
+        .select(col("vec_id"), col("cent_id"), col("cdist")).persist()
+      val fresh = Ann.storedLists(spark, sfDir)
+        .select(col("vec_id"), col("cent_id"), col("cdist")).persist()
+      val n = re.count()
+      val d1 = re.except(fresh).count()
+      val d2 = fresh.except(re).count()
+      require(d1 == 0 && d2 == 0,
+        s"retrained != fresh build: re\\fresh=$d1 fresh\\re=$d2")
+      re.unpersist(); fresh.unpersist()
+      f"delta/base $frac%.3f ≥ trigger ${Ann.RetrainNum}/${Ann.RetrainDen}" +
+        s"; $n rows retrained ≡ fresh-build bit-exact"
+    }
+
+    // --- sampled recall at the 10× tier: the scale-safe estimator must
+    // sit inside its own 4σ binomial envelope of the full-population
+    // recall (the envelope law, asserted where n² ground truth is still
+    // affordable to compare against)
+    check("ann sampled-recall envelope") {
+      val srow = Ann.recallSampled(spark, sfDir).head()
+      val nq = srow.getAs[Long]("n_queries")
+      val p = srow.getAs[Double]("recall")
+      val full = Ann.recallTrained(spark, sfDir)
+        .head().getAs[Double]("recall")
+      val sigma = math.sqrt(p * (1 - p) / (nq * Ann.K))
+      require(math.abs(full - p) <= 4 * sigma + 1e-9,
+        f"full $full%.4f outside sampled $p%.4f ± ${4 * sigma}%.4f")
+      f"sampled $p%.4f (n_q=$nq) vs full $full%.4f within 4σ=${4 * sigma}%.4f"
+    }
+
     // --- components family (c26/c30/c31/s08): the DuckDB twin is
     // infeasible at sf1 (VERDICT r10 "what's wrong" #4), so the gate is
     // ENGINE-SIDE double implementation — star contraction vs plain

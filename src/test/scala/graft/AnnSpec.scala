@@ -180,6 +180,48 @@ class AnnSpec extends SparkSpec {
       "maintained codes must equal the full-corpus encoding")
   }
 
+  test("ann retrain: post-retrain index ≡ fresh full-corpus build, bit-exact") {
+    // the retrain lifecycle law: training over base ∪ delta read back
+    // from the maintained artifact IS a fresh full-corpus train (the
+    // lists hold exactly the corpus rows and the rule is a pure
+    // function of the (vec_id, embedding) set)
+    val re = Ann.retrainedCentroids(spark, sf0001)
+    val fresh = Ann.storedCentroids(spark, sf0001)
+    assert(re.except(fresh).count() == 0 && fresh.except(re).count() == 0,
+      "retrained centroids must equal the fresh-build centroids")
+    val reLists = Ann.retrainedLists(spark, sf0001)
+      .select(col("vec_id"), col("cent_id"), col("cdist"))
+    val freshLists = Ann.storedLists(spark, sf0001)
+      .select(col("vec_id"), col("cent_id"), col("cdist"))
+    assert(reLists.except(freshLists).count() == 0 &&
+           freshLists.except(reLists).count() == 0,
+      "retrained lists must equal the fresh-build lists")
+    // and post-retrain search ≡ fresh-build search, row for row
+    val a = Ann.ivfTopkRetrained(spark, sf0001).collect().map(_.toString)
+    val b = Ann.ivfTopkIndexed(spark, sf0001).collect().map(_.toString)
+    assert(a.sameElements(b), "post-retrain search must equal fresh-build")
+  }
+
+  test("sampled recall estimates full recall within a 4σ binomial envelope") {
+    // the form that survives 100 TB: exact ground truth on the fnv
+    // query sample only; the full-population recall must sit inside the
+    // sampled estimate's binomial envelope
+    val srow = Ann.recallSampled(spark, sf0001).head()
+    val nq = srow.getAs[Long]("n_queries")
+    val p = srow.getAs[Double]("recall")
+    val full = Ann.recallTrained(spark, sf0001)
+      .head().getAs[Double]("recall")
+    val sigma = math.sqrt(p * (1 - p) / (nq * Ann.K))
+    assert(math.abs(full - p) <= 4 * sigma + 1e-9,
+      f"full recall $full%.4f outside sampled $p%.4f ± 4σ (σ=$sigma%.4f, " +
+        f"n_queries=$nq)")
+    // the sample is a real subsample, not degenerate
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(nq > 0 && nq < n / 4,
+      s"sample of $nq from $n is not the ~1/${Ann.RecallSampleMod} carve")
+    info(f"sampled $p%.4f (n=$nq) vs full $full%.4f; 4σ=${4 * sigma}%.4f")
+  }
+
   test("sq8: every dimension's codes hit the full 0..255 span") {
     // by construction the per-dim min quantum maps to code 0 and the max
     // to SqLevels-1 — a dimension missing either end means the span
