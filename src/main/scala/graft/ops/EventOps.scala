@@ -763,6 +763,34 @@ object EventOps {
       .orderBy(col("user_id"), col("start_sec"))
   }
 
+  /** d36: the NATIVE session_window aggregation DECLARED in streaming —
+    * d08's operator executed by Structured Streaming in Append mode
+    * (watermark-finalized sessions; see
+    * [[graft.streaming.Streams.sessionWindowStream]]). The emitted set
+    * is exactly the sessions whose gap horizon the final watermark
+    * (max(ts) − 0s) REACHED — INCLUSIVE: the session-window state store
+    * evicts windows with end <= watermark, the opposite boundary
+    * convention to d26's strict EventTimeTimeout (both pinned at ±1 s
+    * by StreamingSpec probes). Every non-last session qualifies
+    * automatically (its closing event arrived > gap after it); a user's
+    * last session qualifies iff end_sec + 1800 <= max_sec, so the
+    * oracle is d26's session CTE with that one predicate. The window's
+    * end carries the gap; subtracting
+    * it back yields d03's last-event end_sec, putting all three session
+    * forms (SQL, arbitrary state, native operator) in one vocabulary. */
+  def streamSessionWindow(s: SparkSession, d: String): DataFrame = {
+    val name = "d36_swin_" + graft.Tables.dirTag(d)
+    graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.sessionWindowStream(s, d), name,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    s.table(name)
+      .select(col("user_id"),
+        col("sstart").cast("long").as("start_sec"),
+        (col("send").cast("long") - 1800).as("end_sec"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy(col("user_id"), col("start_sec"))
+  }
+
   /** d27: the watermarked streaming tumbling window DECLARED — d01's
     * aggregate executed by Structured Streaming (event-time window +
     * watermark, Complete mode) over the replayed events parquet. The
@@ -985,6 +1013,7 @@ object EventOps {
     "d30_stream_enrich" -> (streamEnrich _),
     "d29_stream_dedup" -> (streamDedup _),
     "d26_stream_sessions" -> (streamClosedSessions _),
+    "d36_stream_session_window" -> (streamSessionWindow _),
     "d27_stream_tumbling" -> (streamTumbling _),
     "d34_stream_topk" -> (streamWindowTopk _),
     "d35_stream_kmv" -> (streamKmvDistinct _),
@@ -1197,6 +1226,26 @@ object EventOps {
          |SELECT user_id, start_sec, end_sec, n_events
          |FROM ranked, mx
          |WHERE session_id < last_sid OR end_sec + 1800 < max_sec
+         |ORDER BY user_id, start_sec""".stripMargin,
+    // d36: the native session_window streaming form — watermark-emitted
+    // sessions are those whose gap horizon the final watermark REACHED
+    // (INCLUSIVE: SessionWindowStateStoreSaveExec evicts windows with
+    // end <= watermark, the opposite convention to d26's strict
+    // EventTimeTimeout — StreamingSpec pins both boundaries at ±1 s).
+    // Non-last sessions always qualify: their closing event is > gap
+    // later, so end + 1800 < closing ts <= max ts.
+    "d36_stream_session_window" ->
+      s"""$sessionCtes,
+         |per_sess AS (
+         |  SELECT user_id, session_id,
+         |    CAST(epoch(min(sts)) AS BIGINT) AS start_sec,
+         |    CAST(epoch(max(sts)) AS BIGINT) AS end_sec,
+         |    count(*) AS n_events
+         |  FROM sess GROUP BY user_id, session_id),
+         |mx AS (SELECT CAST(max(epoch(sts)) AS BIGINT) AS max_sec FROM e)
+         |SELECT user_id, start_sec, end_sec, n_events
+         |FROM per_sess, mx
+         |WHERE end_sec + 1800 <= max_sec
          |ORDER BY user_id, start_sec""".stripMargin,
     // d23: Spark dayofweek() is 1-based Sunday, DuckDB's 0-based —
     // the +1 pins the calendar-API fork explicitly

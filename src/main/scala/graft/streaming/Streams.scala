@@ -119,6 +119,30 @@ object Streams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("event_id"), col("user_id"), col("event_type"))
 
+  /** D36: Spark's NATIVE session_window aggregation in STREAMING — the
+    * third session form beside d03's SQL gaps-and-islands and d26's
+    * arbitrary flatMapGroupsWithState state, exercising the dedicated
+    * merging-sessions state store path (sessions in state merge when a
+    * new event bridges them). Append mode: a session row is emitted
+    * once the event-time watermark reaches its end (last event + gap),
+    * i.e. once no future event can extend it — so with the fixture's
+    * one data micro-batch + the no-data flushing batch at watermark
+    * max(ts)−0s, the emitted set is every session with end+gap <= the
+    * final watermark (INCLUSIVE eviction — the opposite boundary to
+    * d26's strict EventTimeTimeout; StreamingSpec pins both with ±1 s
+    * MemoryStream probes). The session_window.end
+    * already includes the gap; the consumer subtracts it back to d03's
+    * last-event end_sec so all three session forms share one oracle
+    * vocabulary. */
+  def sessionWindowStream(s: SparkSession, d: String): DataFrame =
+    eventStream(s, d)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sstart"),
+        col("session_window.end").as("send"),
+        col("user_id"), col("n_events"))
+
   case class SessionState(lastTsSec: Long, nSessions: Int)
   case class UserSessions(user_id: Long, n_sessions: Int)
 
@@ -471,39 +495,48 @@ object Streams {
     * equals the batch GROUP BY regardless of how files land in
     * micro-batches — which is what lets this streaming WRITE carry a
     * plain batch DuckDB oracle. */
-  /** Per-dataset locks: two same-JVM invocations against one dataset
-    * serialize instead of racing the delete-at-start against the other's
-    * live checkpoint (parallel test/bench runs). Cross-JVM runs sharing
-    * one cwd are out of contract — a deployment scopes the sink root per
-    * pipeline, and the declared result is a pure function of the fixture
-    * either way. */
-  private val sinkLocks =
-    scala.collection.concurrent.TrieMap.empty[String, Object]
-
   def upsertWarehouse(s: SparkSession, d: String): DataFrame =
     upsertWarehouseAs(s, d, bucketed = true)
 
   /** `bucketed = false` runs the FULL-rewrite merge into a sibling sink
     * root — the reference side of the bucketed ≡ full law
     * (StreamingSpec); the declared query always takes the bucketed
-    * path. */
+    * path.
+    *
+    * The sink root is scoped PER RUN (unique suffix), so concurrent
+    * invocations — same JVM or not — can never race one run's
+    * delete-at-start against another's live checkpoint (the r11 carried
+    * nit). Each run stages, streams, merges, and reads back entirely
+    * inside its own directory; the result is localCheckpoint'd (lineage
+    * cut from the files) and the run directory is deleted before
+    * returning, so nothing accumulates across invocations. The declared
+    * result stays a pure function of the fixture. */
   private[graft] def upsertWarehouseAs(s: SparkSession, d: String,
       bucketed: Boolean): DataFrame = {
-    val tag = s"${graft.Tables.dirTag(d)}${if (bucketed) "" else "_full"}"
-    sinkLocks.getOrElseUpdate(tag, new Object)
-      .synchronized { upsertWarehouseLocked(s, d, tag, bucketed) }
+    val (result, root, fs) = upsertWarehouseRun(s, d, bucketed)
+    // cut lineage from the run directory, then remove it — the run is
+    // self-contained and leaves nothing behind (the sort is re-applied
+    // on the checkpointed blocks so the declared ordering is plan-level,
+    // not an accident of block layout)
+    val out = result.localCheckpoint(true).orderBy(col("user_id"))
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    out
   }
 
-  private def upsertWarehouseLocked(s: SparkSession, d: String,
-      tag: String, bucketed: Boolean): DataFrame = {
+  /** The run itself, leaving the run directory in place and returning
+    * its root — the probe surface StreamingSpec uses to inspect
+    * committed versions (v0 replacement, touched buckets). Callers that
+    * keep the returned DataFrame alive must not delete the root first. */
+  private[graft] def upsertWarehouseRun(s: SparkSession, d: String,
+      bucketed: Boolean)
+      : (DataFrame, String, org.apache.hadoop.fs.FileSystem) = {
     import org.apache.hadoop.fs.Path
-    val root = s"spark-warehouse/graft_stream_sink/$tag"
+    val tag = s"${graft.Tables.dirTag(d)}${if (bucketed) "" else "_full"}"
+    val run = java.util.UUID.randomUUID.toString.take(8)
+    val root = s"spark-warehouse/graft_stream_sink/$tag/run_$run"
     val stage = s"$root/stage"
     val sink = s"$root/table"
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    // fresh run every invocation: the declared result is a pure function
-    // of the fixture, never of a previous run's sink or checkpoint
-    fs.delete(new Path(root), true)
     val ev = graft.Tables.events(s, d)
     val bounds = ev.agg(min(col("event_id")), max(col("event_id"))).head()
     val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
@@ -538,7 +571,7 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    if (bucketed) {
+    val result = if (bucketed) {
       // read point: per bucket, its newest committed version
       val paths = latestBucketPaths(fs, sink)
       if (paths.isEmpty)
@@ -550,5 +583,6 @@ object Streams {
         throw new IllegalStateException("d33 sink committed no version"))
       s.read.parquet(last._2.toString).orderBy(col("user_id"))
     }
+    (result, root, fs)
   }
 }

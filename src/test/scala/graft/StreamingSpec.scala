@@ -182,6 +182,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d36 session_window emission boundary is INCLUSIVE, and bridged " +
+    "sessions MERGE in state") {
+    // pins the rule the d36 oracle encodes (end_sec + 1800 <= max_sec):
+    // append-mode session windows are emitted once the event-time
+    // watermark REACHES the window end — the opposite convention to
+    // d26's strict EventTimeTimeout. A 1000 s watermark delay keeps the
+    // bridging event from being late-dropped (delay 0 would drop any
+    // event below the batch max, making cross-batch merge untestable).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val agg = input.toDF().toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "1000 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").cast("long")
+        .as("start_sec"), col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("swin_bound")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two events 2000 s apart: two distinct sessions for user 1
+      // (watermark after this batch: 2100 − 1000 = 1100)
+      input.addData((1L, 100L), (1L, 2100L))
+      q.processAllAvailable()
+      // an event BETWEEN them within gap of both (1200 ≥ watermark, so
+      // not late): the two sessions must MERGE into one in state
+      input.addData((1L, 1200L))
+      q.processAllAvailable()
+      // watermark 1 s BELOW the merged horizon 2100+1800: stays open
+      input.addData((2L, 4899L))
+      q.processAllAvailable()
+      assert(spark.table("swin_bound")
+        .where(col("user_id") === 1L).count() === 0,
+        "watermark below horizon must not emit")
+      // watermark exactly ON the horizon: emits (INCLUSIVE) — and as
+      // ONE merged 3-event session, not the two batch-1 fragments
+      input.addData((3L, 4900L))
+      q.processAllAvailable()
+      val rows = spark.table("swin_bound")
+        .where(col("user_id") === 1L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows === Set((1L, 100L, 3L)),
+        s"expected ONE merged 3-event session from 100s at horizon == " +
+          s"watermark: $rows")
+    } finally q.stop()
+  }
+
   test("d26 declared streaming query agrees with its two batch closing rules") {
     val streamed = ops.EventOps.streamClosedSessions(spark, sf0001)
       .as[(Long, Long, Long, Long)].collect().toSeq
@@ -350,7 +398,10 @@ class StreamingSpec extends SparkSpec {
 
   test("d33 upsert sink: final table = batch aggregate, and batch 2 " +
     "genuinely REPLACED batch-1 rows") {
-    val table = Streams.upsertWarehouse(spark, sf0001)
+    // the keep-root variant: this probe inspects the committed v0
+    val (res, root, rootFs) =
+      Streams.upsertWarehouseRun(spark, sf0001, bucketed = true)
+    val table = res
       .select($"user_id", $"n_events", $"sum_value", $"last_sec")
       .as[(Long, Long, Double, Long)].collect()
     val batch = Tables.events(spark, sf0001)
@@ -365,7 +416,6 @@ class StreamingSpec extends SparkSpec {
     // the merge must have done UPDATE work, not just inserts: some key
     // present in the v0 commit carries a DIFFERENT total in the final
     // version — i.e. batch 2 refreshed (replaced) a batch-1 row
-    val root = s"spark-warehouse/graft_stream_sink/${Tables.dirTag(sf0001)}"
     val v0 = spark.read.parquet(s"$root/table/v0")
       .select($"user_id", $"n_events").as[(Long, Long)].collect().toMap
     val vFinal = table.map(r => r._1 -> r._2).toMap
@@ -377,6 +427,38 @@ class StreamingSpec extends SparkSpec {
         "its update path on this fixture")
     // and the final version is a superset of keys ever written
     assert(v0.keySet.subsetOf(vFinal.keySet))
+    rootFs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
+  test("d33 concurrent invocations: per-run sink roots never interfere") {
+    // the r11 carried nit: two concurrent runs against the SAME dataset
+    // used to share one root (one's delete-at-start could race the
+    // other's live checkpoint). Per-run scoping makes them independent:
+    // both must finish and serve the identical table.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // start from a clean base so the leftover check below sees only
+    // THIS test's runs (earlier layouts / crashed runs are not its bug)
+    val base = new org.apache.hadoop.fs.Path(
+      s"spark-warehouse/graft_stream_sink/${Tables.dirTag(sf0001)}")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(base, true)
+    val Seq(a, b) = Await.result(
+      Future.sequence(Seq(
+        Future(Streams.upsertWarehouse(spark, sf0001)
+          .select($"user_id", $"n_events", $"sum_value").collect()),
+        Future(Streams.upsertWarehouse(spark, sf0001)
+          .select($"user_id", $"n_events", $"sum_value").collect()))),
+      10.minutes)
+    assert(a.map(_.toString).sameElements(b.map(_.toString)),
+      "concurrent d33 runs must serve identical tables")
+    // and neither left a run directory behind
+    val leftover =
+      if (!fs.exists(base)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(base)
+    assert(leftover.isEmpty,
+      s"run dirs left behind: ${leftover.map(_.getPath.getName).toSeq}")
   }
 
   test("d33 law: bucketed merge ≡ full-table merge") {
