@@ -18,7 +18,7 @@ object SparkEntry {
       ops.EventOps.queries ++ ops.Ann.queries ++ ops.Nsw.queries ++
       ops.Multimodal.queries ++
       ops.Sampling.queries ++ ops.Pipeline.queries ++ ops.Graph.queries ++
-      ops.Quality.queries
+      ops.Quality.queries ++ sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
       ops.EventOps.oracles ++ ops.Ann.oracles ++ ops.Nsw.oracles ++
       ops.Multimodal.oracles ++
       ops.Sampling.oracles ++ ops.Pipeline.oracles ++ ops.Graph.oracles ++
-      ops.Quality.oracles
+      ops.Quality.oracles ++ sources.Sources.oracles
 }

@@ -1006,6 +1006,90 @@ object EventOps {
   def streamUpsert(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.upsertWarehouse(s, d)
 
+  /** d37: GROUPED-MAP custom processing — the Scala rendering of the
+    * applyInPandas shape (VERDICT r11 item 8): `groupByKey(user_id)
+    * .flatMapGroups` runs an arbitrary imperative function per group
+    * where no built-in aggregate fits the per-row sequential logic.
+    * The function here run-length-encodes each user's event-type
+    * sequence in (sec, event_id) order and keeps the LONGEST run
+    * (ties → earliest start) — per-user behavioral streaks.
+    *
+    * Determinism: the iterator arrives in storage order, so the group
+    * is materialized and sorted under the total (sec, event_id) order
+    * before scanning — the same discipline every grouped-map pipeline
+    * needs (pandas UDAFs get it from their sort keys). SQL CAN express
+    * this one (gaps-and-islands — which is exactly what makes it
+    * oracle-able); the declared point is the API shape: per-group
+    * state is whatever the function wants, not an aggregate monoid.
+    *
+    * Scale: one hash shuffle on user_id; per-task memory is the
+    * largest single user's event count (the grouped-map contract —
+    * bounded by per-user volume, never by table size). */
+  def groupedMapRuns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val evs = it.toIndexedSeq.sortBy(e => (e._3, e._4))
+        // run-length encode the event_type sequence
+        var best: (String, Long, Long, Long) = null // (type, len, start, end)
+        var i = 0
+        while (i < evs.length) {
+          var j = i
+          while (j + 1 < evs.length && evs(j + 1)._2 == evs(i)._2) j += 1
+          val run = (evs(i)._2, (j - i + 1).toLong, evs(i)._3, evs(j)._3)
+          if (best == null || run._2 > best._2) best = run
+          i = j + 1
+        }
+        if (best == null) Iterator.empty
+        else Iterator((uid, best._1, best._2, best._3, best._4))
+      }
+      .toDF("user_id", "event_type", "run_len", "start_sec", "end_sec")
+      .orderBy(col("user_id"))
+  }
+
+  /** d38: COGROUPED custom processing — `KeyValueGroupedDataset
+    * .cogroup`, the two-sided grouped-map twin (applyInPandas with two
+    * frames): per user, both the event history and the order history
+    * arrive as iterators and an imperative merge computes what a join
+    * would contort — here the count of events strictly AFTER the
+    * user's latest order (post-purchase activity), with n_orders and
+    * the latest order second alongside. Users with no orders count ALL
+    * their events (latest order = −∞); users with no events emit 0.
+    *
+    * Scale: one co-partitioned shuffle of both sides on the key — the
+    * cogroup primitive is exactly the partitioning a sort-merge join
+    * uses, with the merge function user-defined. */
+  def cogroupPostOrder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("long").as("sec"))
+      .as[(Long, Long)].groupByKey(_._1)
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp")
+        .cast("long").as("osec"))
+      .as[(Long, Long)].groupByKey(_._1)
+    ev.cogroup(ord) { (uid, evIt, ordIt) =>
+      val secs = evIt.map(_._2).toArray
+      var nOrders = 0L
+      var lastOrder = Long.MinValue
+      ordIt.foreach { o =>
+        nOrders += 1
+        if (o._2 > lastOrder) lastOrder = o._2
+      }
+      if (secs.isEmpty && nOrders == 0L) Iterator.empty
+      else {
+        val after = secs.count(_ > lastOrder).toLong
+        Iterator((uid, nOrders, secs.length.toLong, after))
+      }
+    }
+      .toDF("user_id", "n_orders", "n_events", "n_events_after_last_order")
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d33_stream_upsert" -> (streamUpsert _),
     "d32_stream_join_left" -> (streamClickToPurchaseLeft _),
@@ -1014,6 +1098,8 @@ object EventOps {
     "d29_stream_dedup" -> (streamDedup _),
     "d26_stream_sessions" -> (streamClosedSessions _),
     "d36_stream_session_window" -> (streamSessionWindow _),
+    "d37_grouped_map" -> (groupedMapRuns _),
+    "d38_cogroup" -> (cogroupPostOrder _),
     "d27_stream_tumbling" -> (streamTumbling _),
     "d34_stream_topk" -> (streamWindowTopk _),
     "d35_stream_kmv" -> (streamKmvDistinct _),
@@ -1211,6 +1297,64 @@ object EventOps {
     // rules in batch SQL — closed-by-next-event (every session except the
     // user's last) OR closed-by-event-time-timeout (gap horizon STRICTLY
     // below the final watermark = global max second)
+    // d37: the grouped-map function IS expressible as gaps-and-islands
+    // SQL — which is exactly what makes the imperative form oracle-able
+    "d37_grouped_map" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |    CAST(epoch($duckSecTs) AS BIGINT) AS sec, event_id
+         |  FROM events),
+         |brk AS (
+         |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+         |      OR lag(event_type) OVER w <> event_type
+         |    THEN 1 ELSE 0 END AS b
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         |grp AS (
+         |  SELECT *, sum(b) OVER (PARTITION BY user_id
+         |    ORDER BY sec, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+         |  FROM brk),
+         |runs AS (
+         |  SELECT user_id, event_type, gid, count(*) AS run_len,
+         |    min(sec) AS start_sec, max(sec) AS end_sec
+         |  FROM grp GROUP BY user_id, event_type, gid),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY run_len DESC, start_sec ASC) AS brn
+         |  FROM runs)
+         |SELECT user_id, event_type, run_len, start_sec, end_sec
+         |FROM best WHERE brn = 1 ORDER BY user_id""".stripMargin,
+    // d38: the cogrouped merge as plain aggregates + a null-aware count
+    "d38_cogroup" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(epoch($duckSecTs) AS BIGINT) AS sec
+         |  FROM events),
+         |o AS (
+         |  SELECT o_custkey AS user_id,
+         |    CAST(epoch(o_orderdate) AS BIGINT) AS osec
+         |  FROM orders),
+         |agg_o AS (
+         |  SELECT user_id, count(*) AS n_orders, max(osec) AS last_osec
+         |  FROM o GROUP BY user_id),
+         |agg_e AS (
+         |  SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id),
+         |after AS (
+         |  SELECT e.user_id, count(*) AS n_after
+         |  FROM e LEFT JOIN agg_o a ON e.user_id = a.user_id
+         |  WHERE a.user_id IS NULL OR e.sec > a.last_osec
+         |  GROUP BY e.user_id),
+         |keys AS (
+         |  SELECT user_id FROM agg_e UNION SELECT user_id FROM agg_o)
+         |SELECT k.user_id,
+         |  CAST(coalesce(ao.n_orders, 0) AS BIGINT) AS n_orders,
+         |  CAST(coalesce(ae.n_events, 0) AS BIGINT) AS n_events,
+         |  CAST(coalesce(af.n_after, 0) AS BIGINT)
+         |    AS n_events_after_last_order
+         |FROM keys k
+         |LEFT JOIN agg_o ao USING (user_id)
+         |LEFT JOIN agg_e ae USING (user_id)
+         |LEFT JOIN after af USING (user_id)
+         |ORDER BY user_id""".stripMargin,
     "d26_stream_sessions" ->
       s"""$sessionCtes,
          |per_sess AS (

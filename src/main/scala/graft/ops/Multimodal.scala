@@ -106,24 +106,27 @@ object Multimodal {
     * bin — exact long counts, one double division. The body is the UTF-8
     * encoding of ASCII text, so the oracle recovers each byte as
     * ascii(char) and bins by integer-division 16. */
-  def byteHistogram(s: SparkSession, d: String): DataFrame = {
-    val hist = udf { (bytes: Array[Byte]) =>
-      val h = new Array[Long](16)
-      var i = 8 // skip header
-      while (i < bytes.length) { h((bytes(i) & 0xff) >> 4) += 1L; i += 1 }
-      h
-    }
+  def byteHistogram(s: SparkSession, d: String): DataFrame =
+    // builtins only (the module rule, r12: m07 and m03 both converted):
+    // explode the 1-based body positions 9..len, recover each byte via
+    // conv(hex(substring)) and bin by >>4 — a scan + map-side-combinable
+    // aggregate; only non-empty bins produce rows, matching the old
+    // cnt > 0 filter. Guard len ≥ 9: sequence(9, 8) would DESCEND.
     assets(s, d)
-      .select(col("asset_id"),
-        (octet_length(col("payload")) - 8).cast("long").as("n"),
-        hist(col("payload")).as("h"))
+      .where(octet_length(col("payload")) >= 9)
+      .select(col("asset_id"), col("payload"),
+        (octet_length(col("payload")) - 8).cast("long").as("n"))
       .select(col("asset_id"), col("n"),
-        posexplode(col("h")).as(Seq("bin", "cnt")))
-      .where(col("cnt") > 0)
-      .select(col("asset_id"), col("bin").cast("int").as("bin"), col("cnt"),
+        explode(sequence(lit(9), octet_length(col("payload")))).as("i"),
+        col("payload"))
+      .select(col("asset_id"), col("n"),
+        expr("CAST(CAST(conv(hex(substring(payload, i, 1)), 16, 10) " +
+          "AS BIGINT) DIV 16 AS INT)").as("bin"))
+      .groupBy(col("asset_id"), col("n"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("asset_id"), col("bin"), col("cnt"),
         round(col("cnt").cast("double") / col("n"), 6).as("freq"))
       .orderBy(col("asset_id"), col("bin"))
-  }
 
   /** "Resize" stub: a payload→payload transform that rewrites the header
     * (new dimensions) and passes the body through ??? -- here a

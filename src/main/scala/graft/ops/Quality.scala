@@ -80,8 +80,24 @@ object Quality {
         .agg((count(lit(1)) - 1).as("extra")).where(col("extra") > 0)
         .select(explode(sequence(lit(1), col("extra")))))
 
+    // the ANN-family PRECONDITION as a declared constraint (VERDICT r11
+    // item 7): the NSW id-ring/far-link formulas and the positional ADC
+    // LUT assume vec_ids are contiguous 0..n−1 — a gapped or duplicated
+    // id space must fail THIS audit (and then be dense-ranked) before
+    // any index is built, rather than silently dropping ring edges.
+    val embeddings = Tables.embeddings(s, d)
+    val nEmb = embeddings.agg(count(lit(1)).as("nv"))
+    val vecContig = rule("contiguous_vec_ids",
+      embeddings.select(col("vec_id")),
+      embeddings.crossJoin(broadcast(nEmb))
+        .where(col("vec_id") < 0 || col("vec_id") >= col("nv"))
+        .select(lit(1L).as("one"))
+        .unionAll(embeddings.groupBy(col("vec_id"))
+          .agg((count(lit(1)) - 1).as("extra")).where(col("extra") > 0)
+          .select(explode(sequence(lit(1L), col("extra"))).as("one"))))
+
     Seq(fkLineOrder, fkOrderCust, pkOrders, qtyRange, docText, tsBounds,
-        discountDomain, docUnique)
+        discountDomain, docUnique, vecContig)
       .reduce(_.unionAll(_))
       .orderBy(col("rule"))
   }
@@ -1106,6 +1122,15 @@ object Quality {
           |  SELECT count(*) - 1 AS extra FROM documents
           |  GROUP BY array_to_string(list_sort(list_distinct(
           |    string_split(text, ' '))), ' ')
-          |  HAVING count(*) > 1)""".stripMargin))
+          |  HAVING count(*) > 1)""".stripMargin),
+      ruleSql("contiguous_vec_ids",
+        "SELECT vec_id FROM embeddings",
+        """SELECT 1 AS one FROM embeddings
+          |WHERE vec_id < 0
+          |   OR vec_id >= (SELECT count(*) FROM embeddings)
+          |UNION ALL
+          |SELECT unnest(range(1, CAST(extra AS INTEGER) + 1)) FROM (
+          |  SELECT count(*) - 1 AS extra FROM embeddings
+          |  GROUP BY vec_id HAVING count(*) > 1)""".stripMargin))
       .map(r => s"($r)").mkString("", "\nUNION ALL\n", "\nORDER BY rule"))
 }
