@@ -278,15 +278,15 @@ object Multimodal {
   def phashNearDup(s: SparkSession, d: String): DataFrame = {
     // bigram bins built from BUILTIN expressions only (the module rule —
     // no JVM udf in a declared query's input): explode the 1-based body
-    // bigram start positions 9..len-1, recover each byte as an exact
-    // integer via conv(hex(substring)) (byte-value-exact for ANY byte,
-    // not just ASCII), bin with the Knuth mix in BIGINTs, and count by
-    // (asset, bin) — a scan + map-side-combinable aggregate instead of a
-    // per-row interpreted histogram loop. Absent (cnt=0) bins produce no
-    // row; downstream the bit rule treats absent and 0 identically.
-    // Guard len ≥ 10: sequence(9, 8) would DESCEND, not return empty.
-    def byteAt(pos: String) =
-      s"CAST(conv(hex(substring(payload, $pos, 1)), 16, 10) AS BIGINT)"
+    // bigram start positions 9..len-1, recover each bigram as ONE exact
+    // integer — hex of the 2-byte slice is b₁b₂ as 4 hex digits, so
+    // conv(hex(substring(payload, i, 2)), 16, 10) = b₁·256 + b₂
+    // (byte-value-exact for ANY bytes, not just ASCII; one slice+conv
+    // per bigram, not two) — bin with the Knuth mix in BIGINTs, and
+    // count by (asset, bin): a scan + map-side-combinable aggregate
+    // instead of a per-row interpreted histogram loop. Absent (cnt=0)
+    // bins produce no row; downstream the bit rule treats absent and 0
+    // identically. Guard len ≥ 10: sequence(9, 8) would DESCEND.
     val binned = assets(s, d)
       .where(octet_length(col("payload")) >= 10)
       .select(col("asset_id"), col("payload"),
@@ -294,7 +294,7 @@ object Multimodal {
       .select(col("asset_id"), col("n"), col("payload"),
         explode(sequence(lit(9), octet_length(col("payload")) - 1)).as("i"))
       .select(col("asset_id"), col("n"),
-        expr(s"(${byteAt("i")} * 256 + ${byteAt("i + 1")})" +
+        expr("CAST(conv(hex(substring(payload, i, 2)), 16, 10) AS BIGINT)" +
           " * 2654435761 DIV 1024 % 64").cast("int").as("bin"))
       .groupBy(col("asset_id"), col("n"), col("bin"))
       .agg(count(lit(1)).as("cnt"))

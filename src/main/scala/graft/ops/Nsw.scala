@@ -293,8 +293,18 @@ object Nsw {
       .select(col("vec_id").as("cand"))
     val beam0 = qs.crossJoin(broadcast(entries))
       .where(col("cand") =!= col("qid"))
-    val beamH = (1 to hops).foldLeft(beam0)((bm, _) =>
-      hop(s, d, bm, b, far, adjOverride))
+    // per-hop lineage barrier (the Lloyd's/NN-descent discipline, same
+    // conf): each hop references the previous beam TWICE (grow join +
+    // monotone union), so an unbarriered fold doubles the plan per hop —
+    // measured 46–63 s cold at sf0.1 vs ~17 s with the barrier. The
+    // materialized beam is tiny (n_q·B rows); results are bit-identical
+    // either way.
+    val barrier =
+      !s.conf.getOption(Ann.IterativeCheckpointConf).contains("false")
+    val beamH = (1 to hops).foldLeft(beam0) { (bm, _) =>
+      val next = hop(s, d, bm, b, far, adjOverride)
+      if (barrier) next.localCheckpoint(true) else next
+    }
     rank(s, d, beamH).where(col("rn") <= K)
       .select(col("qid"), col("rn").as("rnk"), col("cand").as("cid"),
         round(col("dist"), 6).as("dist"))
