@@ -222,6 +222,18 @@ class AnnSpec extends SparkSpec {
     info(f"sampled $p%.4f (n=$nq) vs full $full%.4f; 4σ=${4 * sigma}%.4f")
   }
 
+  test("sampled recall plan: the exact arm is a broadcast of the query " +
+    "SAMPLE against the streamed corpus, never a cartesian") {
+    // the scale direction that matters at 100 TB: the small side (the
+    // 1/8 fnv sample) broadcasts, the corpus scan streams against it;
+    // a CartesianProduct anywhere means the sample restriction was lost
+    val plan = Ann.recallSampled(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the sample to broadcast into the exact arm:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leak:\n$plan")
+  }
+
   test("sq8: every dimension's codes hit the full 0..255 span") {
     // by construction the per-dim min quantum maps to code 0 and the max
     // to SqLevels-1 — a dimension missing either end means the span

@@ -272,4 +272,54 @@ class EventsSpec extends SparkSpec {
     assert(rows.forall { r =>
       val m = r.getAs[Double]("med_25"); m >= lo && m <= hi })
   }
+
+  test("d37 grouped-map plan: one hash exchange on user_id feeding " +
+    "MapGroups — the grouped-map contract's physical shape") {
+    val p = ops.EventOps.groupedMapRuns(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("MapGroups"), s"expected a MapGroups node:\n$p")
+    // groupByKey materializes the key as a `value` column — the group
+    // shuffle is ONE hash exchange on it (the final rangepartitioning
+    // is the declared orderBy, not a second data pass)
+    assert("Exchange hashpartitioning\\(value".r.findFirstIn(p).isDefined,
+      s"group shuffle must hash on the extracted key:\n$p")
+  }
+
+  test("d37 grouped-map agrees with the gaps-and-islands SQL form") {
+    // the imperative per-group function vs the declarative window chain
+    // (the oracle's shape, recomputed engine-side): identical rows
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+    val e = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type", $"ts".cast("long").as("sec"),
+        $"event_id")
+    val runs = e
+      .withColumn("brk", when(lag($"event_type", 1).over(w).isNull ||
+        lag($"event_type", 1).over(w) =!= $"event_type", 1).otherwise(0))
+      .withColumn("gid", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"event_type", $"gid")
+      .agg(count(lit(1)).as("run_len"), min($"sec").as("start_sec"),
+        max($"sec").as("end_sec"))
+    val wBest = Window.partitionBy($"user_id")
+      .orderBy($"run_len".desc, $"start_sec".asc)
+    val best = runs.withColumn("brn", row_number().over(wBest))
+      .where($"brn" === 1)
+      .select($"user_id", $"event_type", $"run_len", $"start_sec",
+        $"end_sec")
+      .orderBy($"user_id")
+    val a = ops.EventOps.groupedMapRuns(spark, sf0001)
+      .collect().map(_.toString)
+    val b = best.collect().map(_.toString)
+    assert(a.sameElements(b),
+      "flatMapGroups result must equal the window-chain form")
+  }
+
+  test("d38 cogroup plan: both inputs co-partitioned into one CoGroup") {
+    val p = ops.EventOps.cogroupPostOrder(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("CoGroup"), s"expected a CoGroup node:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size >= 2,
+      s"both sides must shuffle to the key:\n$p")
+  }
 }
