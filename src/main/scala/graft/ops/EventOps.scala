@@ -1051,6 +1051,37 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** The declarative (gaps-and-islands window chain) twin of
+    * [[groupedMapRuns]] — zero shared code with the imperative per-group
+    * function. EventsSpec asserts row-identity at the graded tier and
+    * ScaleCheck at sf1 (the double-implementation gate, like the two
+    * component-labeling engines): the grouped-map escape hatch must
+    * agree with the declarative form wherever both exist. */
+  private[graft] def groupedMapRunsDeclarative(s: SparkSession,
+      d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec"), col("event_id"))
+    val runs = e
+      .withColumn("brk", when(lag(col("event_type"), 1).over(w).isNull ||
+        lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+        .otherwise(0))
+      .withColumn("gid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("event_type"), col("gid"))
+      .agg(count(lit(1)).as("run_len"), min(col("sec")).as("start_sec"),
+        max(col("sec")).as("end_sec"))
+    val wBest = Window.partitionBy(col("user_id"))
+      .orderBy(col("run_len").desc, col("start_sec").asc)
+    runs.withColumn("brn", row_number().over(wBest))
+      .where(col("brn") === 1)
+      .select(col("user_id"), col("event_type"), col("run_len"),
+        col("start_sec"), col("end_sec"))
+      .orderBy(col("user_id"))
+  }
+
   /** d38: COGROUPED custom processing — `KeyValueGroupedDataset
     * .cogroup`, the two-sided grouped-map twin (applyInPandas with two
     * frames): per user, both the event history and the order history

@@ -253,6 +253,24 @@ object ScaleCheck {
       f"sampled $p%.4f (n_q=$nq) vs full $full%.4f within 4σ=${4 * sigma}%.4f"
     }
 
+    // --- grouped-map double implementation (r12): the imperative
+    // flatMapGroups function vs the declarative window chain, zero
+    // shared code, must be row-identical at the 10× tier too — and the
+    // run proves the grouped-map memory contract (per-task state = one
+    // user's events) survives 1M events
+    check("d37 grouped-map double impl") {
+      val a = graft.ops.EventOps.groupedMapRuns(spark, sfDir).persist()
+      val b = graft.ops.EventOps.groupedMapRunsDeclarative(spark, sfDir)
+        .persist()
+      val n = a.count()
+      val d1 = a.except(b).count()
+      val d2 = b.except(a).count()
+      require(d1 == 0 && d2 == 0,
+        s"grouped-map != window chain: gm\\w=$d1 w\\gm=$d2")
+      a.unpersist(); b.unpersist()
+      s"$n users, imperative ≡ declarative row-identical"
+    }
+
     // --- components family (c26/c30/c31/s08): the DuckDB twin is
     // infeasible at sf1 (VERDICT r10 "what's wrong" #4), so the gate is
     // ENGINE-SIDE double implementation — star contraction vs plain

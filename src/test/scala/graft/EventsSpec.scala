@@ -287,30 +287,12 @@ class EventsSpec extends SparkSpec {
 
   test("d37 grouped-map agrees with the gaps-and-islands SQL form") {
     // the imperative per-group function vs the declarative window chain
-    // (the oracle's shape, recomputed engine-side): identical rows
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
-    val e = Tables.events(spark, sf0001)
-      .select($"user_id", $"event_type", $"ts".cast("long").as("sec"),
-        $"event_id")
-    val runs = e
-      .withColumn("brk", when(lag($"event_type", 1).over(w).isNull ||
-        lag($"event_type", 1).over(w) =!= $"event_type", 1).otherwise(0))
-      .withColumn("gid", sum($"brk").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy($"user_id", $"event_type", $"gid")
-      .agg(count(lit(1)).as("run_len"), min($"sec").as("start_sec"),
-        max($"sec").as("end_sec"))
-    val wBest = Window.partitionBy($"user_id")
-      .orderBy($"run_len".desc, $"start_sec".asc)
-    val best = runs.withColumn("brn", row_number().over(wBest))
-      .where($"brn" === 1)
-      .select($"user_id", $"event_type", $"run_len", $"start_sec",
-        $"end_sec")
-      .orderBy($"user_id")
+    // (zero shared code — the double-implementation gate; ScaleCheck
+    // re-asserts this at sf1): identical rows
     val a = ops.EventOps.groupedMapRuns(spark, sf0001)
       .collect().map(_.toString)
-    val b = best.collect().map(_.toString)
+    val b = ops.EventOps.groupedMapRunsDeclarative(spark, sf0001)
+      .collect().map(_.toString)
     assert(a.sameElements(b),
       "flatMapGroups result must equal the window-chain form")
   }
