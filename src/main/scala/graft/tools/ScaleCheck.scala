@@ -132,15 +132,16 @@ object ScaleCheck {
     // the approximation-quality law at the 10× tier: searching on the
     // NN-descent graph must stay within eps of the exact-graph search
     check("nsw approx-graph search law") {
+      val bAuto = Nsw.tunedB(spark, sfDir)
       val approx = Nsw.nswRecall(spark, sfDir)
         .head().getAs[Double]("recall")
-      val exact = Nsw.nswRecallAt(spark, sfDir, Nsw.H,
+      val exact = Nsw.nswRecallAt(spark, sfDir, Nsw.H, bAuto,
         adjOverride = Some(Nsw.exactAdjacency(spark, sfDir)))
         .head().getAs[Double]("recall")
       require(approx >= exact - 0.05,
         s"approx-graph recall $approx < exact-graph $exact - 0.05")
-      f"approx $approx%.4f vs exact-graph $exact%.4f (both decayed at " +
-        "fixed constants - the documented per-corpus retune case)"
+      f"approx $approx%.4f vs exact-graph $exact%.4f (both at the " +
+        s"declared auto-tuned beam B=$bAuto)"
     }
     // the NSW retune doctrine on THIS (isotropic) corpus: the beam
     // retunes as B = B₀·(n/n₀)^0.6 with the F=8 navigability floor
@@ -151,20 +152,20 @@ object ScaleCheck {
     // way: the bar holds on the RETUNED index even on the
     // no-free-lunch corpus. (The clustered fixture below clears it at
     // the UNRETUNED beam — structure is worth 4× beam width.)
-    check("nsw retuned recall (isotropic)") {
-      val fixed = Nsw.nswRecall(spark, sfDir)
-        .head().getAs[Double]("recall")
-      val n0 = 2000.0 // the graded tier the declared constants are tuned to
-      val bTuned = math.max(Nsw.B,
-        math.ceil(Nsw.B * math.pow(nVec.toDouble / n0, Nsw.BExp)).toInt)
-      val tuned =
-        if (bTuned == Nsw.B) fixed
-        else Nsw.nswRecallAt(spark, sfDir, Nsw.H, bTuned)
-          .head().getAs[Double]("recall")
-      require(tuned >= 0.9,
-        s"retuned B=$bTuned F=${Nsw.F} recall $tuned < 0.9 " +
-          s"(fixed-constant $fixed)")
-      f"fixed B=${Nsw.B}: $fixed%.4f; retuned B=$bTuned F=${Nsw.F}: $tuned%.4f"
+    check("nsw declared auto-tuned recall (isotropic)") {
+      // r12: the declared beam self-tunes by the BSteps table, so the
+      // bar is asserted on the DECLARED config even on the
+      // no-free-lunch isotropic corpus — and the step must upper-bound
+      // the fitted curve B·(n/n₀)^BExp at this n
+      val bAuto = Nsw.tunedB(spark, sfDir)
+      val curve = Nsw.B * math.pow(nVec.toDouble / 2000.0, Nsw.BExp)
+      require(bAuto >= curve - 1e-6,
+        s"step beam $bAuto below the fitted curve $curve at n=$nVec")
+      val r = Nsw.nswRecall(spark, sfDir).head().getAs[Double]("recall")
+      require(r >= 0.9,
+        s"declared-config recall $r < 0.9 (auto B=$bAuto F=${Nsw.F})")
+      f"recall $r%.4f at the DECLARED config (auto-tuned B=$bAuto ≥ " +
+        f"curve $curve%.0f, F=${Nsw.F})"
     }
     // retune BARS on the clustered fixture (when provided): real
     // corpora cluster — there the far-link floor is what stands between
@@ -174,14 +175,18 @@ object ScaleCheck {
     // fraction of the isotropic touch budget
     clusteredDir.foreach { cd =>
       check("nsw clustered declared-config bar") {
-        // the DECLARED config (r12: F=8 shipped as part of the graph) —
-        // not a retuned variant — must clear the bar on the clustered
-        // shape real embedding corpora have
+        // the DECLARED config (r12: F=8 far links + the size-keyed
+        // auto-tuned beam) — not a retuned variant — must clear the bar
+        // on the clustered shape real embedding corpora have. The
+        // size-keyed step over-provisions here (structure is worth 4×
+        // beam width); a shape-aware deployment measures its corpus and
+        // drops back to the anchor beam.
+        val bAuto = Nsw.tunedB(spark, cd)
         val r = Nsw.nswRecall(spark, cd).head().getAs[Double]("recall")
         require(r >= 0.9,
           s"clustered NSW recall $r < 0.9 at declared config " +
-            s"(H=${Nsw.H} B=${Nsw.B} F=${Nsw.F})")
-        f"recall $r%.4f at the DECLARED config (B=${Nsw.B} F=${Nsw.F})"
+            s"(H=${Nsw.H} B=$bAuto F=${Nsw.F})")
+        f"recall $r%.4f at the DECLARED config (auto B=$bAuto F=${Nsw.F})"
       }
       check("ivf clustered separation") {
         val p = 24 // 9.4% touch — the budget isotropic IVF gets 0.52 at

@@ -59,6 +59,27 @@ class NswSpec extends SparkSpec {
     info(s"nsw recall@10 = $r (E=${Nsw.E} B=${Nsw.B} H=${Nsw.H} M=${Nsw.M})")
   }
 
+  test("beam step table upper-bounds the fitted curve; graded fixtures " +
+    "stay at the anchor beam") {
+    // every step must be ≥ the fitted B·(n/n₀)^BExp at its own upper
+    // threshold (else a corpus at that size would undershoot the
+    // doctrine), and each threshold is the floor of the exact crossing
+    // point (so the NEXT step takes over no later than the curve does)
+    Nsw.BSteps.foreach { case (hi, bb) =>
+      val need = Nsw.B * math.pow(hi.toDouble / 2000.0, Nsw.BExp)
+      assert(bb >= need - 1e-6, s"step $bb at n≤$hi below curve $need")
+    }
+    // consecutive steps double — the plan the scaladoc documents
+    Nsw.BSteps.map(_._2).sliding(2).foreach { case Seq(a, b) =>
+      assert(b === 2 * a)
+    }
+    // the graded fixtures sit in the anchor row: declared results at
+    // sf0.001/sf0.01/sf0.1 are the B=48 results the oracles certify
+    assert(Nsw.tunedB(spark, sf0001) === Nsw.B)
+    // and a corpus beyond the table fails loudly instead of guessing
+    assert(Nsw.BSteps.last._2 === 3072)
+  }
+
   test("search is deterministic: two runs are row-identical") {
     val a = Nsw.nswTopk(spark, sf0001).collect().map(_.toString)
     Nsw.clearCache()
