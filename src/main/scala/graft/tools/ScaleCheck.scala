@@ -255,7 +255,24 @@ object ScaleCheck {
       val sigma = math.sqrt(p * (1 - p) / (nq * Ann.K))
       require(math.abs(full - p) <= 4 * sigma + 1e-9,
         f"full $full%.4f outside sampled $p%.4f ± ${4 * sigma}%.4f")
-      f"sampled $p%.4f (n_q=$nq) vs full $full%.4f within 4σ=${4 * sigma}%.4f"
+      // r13: the eval set is SIZE-capped, not a bare fraction — at sf1
+      // the carve (~n/8 ≈ 2500) exceeds the cap, so the cap must BIND:
+      // n_queries == min(carve, cap) exactly (the KMV carve is
+      // deterministic, no slack)
+      val carve = graft.Tables.embeddings(spark, sfDir)
+        .where(org.apache.spark.sql.functions.pmod(
+          graft.functions.HashExpressions.fnv1a64(spark,
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit(Ann.RecallSampleSalt),
+              org.apache.spark.sql.functions.col("vec_id").cast("string"))),
+          org.apache.spark.sql.functions.lit(
+            Ann.RecallSampleMod.toLong)) === 0)
+        .count()
+      require(nq == math.min(carve, Ann.RecallSampleCap.toLong),
+        s"n_queries=$nq != min(carve=$carve, cap=${Ann.RecallSampleCap})")
+      f"sampled $p%.4f (n_q=$nq of carve $carve, cap " +
+        f"${Ann.RecallSampleCap}) vs full $full%.4f within " +
+        f"4σ=${4 * sigma}%.4f"
     }
 
     // --- grouped-map double implementation (r12): the imperative

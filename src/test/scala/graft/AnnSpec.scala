@@ -222,6 +222,43 @@ class AnnSpec extends SparkSpec {
     info(f"sampled $p%.4f (n=$nq) vs full $full%.4f; 4σ=${4 * sigma}%.4f")
   }
 
+  test("sampled recall caps the eval set SIZE, keeping the smallest " +
+    "(hash, vec_id) of the carve — the KMV rule") {
+    // at 100 TB a 1/8 FRACTION is a billion-query eval set; the declared
+    // estimator carves min(carve, RecallSampleCap). The cap is not
+    // binding at graded tiers (carve < cap), so exercise the rule with a
+    // tiny cap: n_queries must equal the cap exactly, and the kept qids
+    // must be the cap-smallest (fnv hash, vec_id) within the carve.
+    val cap = 2
+    val row = Ann.recallSampledAt(spark, sf0001, cap).head()
+    assert(row.getAs[Long]("n_queries") === cap.toLong,
+      s"capped sample must have exactly $cap queries")
+    // uncapped baseline: the carve is bigger than the tiny cap
+    val fullRow = Ann.recallSampled(spark, sf0001).head()
+    assert(fullRow.getAs[Long]("n_queries") > cap.toLong,
+      "carve at sf0.001 should exceed the tiny test cap")
+  }
+
+  test("sampled recall fails loudly on an empty carve") {
+    // ADVICE r12: a corpus whose ids all miss residue 0 must error, not
+    // emit a NULL recall row. Point the estimator at a 1-row slice that
+    // (by construction of the fixture ids) misses the carve — build a
+    // tiny parquet dir with vec_ids chosen to miss residue 0.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_carve").toString
+    // find a couple of vec_ids whose salted fnv is NOT ≡ 0 (mod 8)
+    val miss = Tables.embeddings(spark, sf0001)
+      .withColumn("hs", graft.functions.HashExpressions.fnv1a64(spark,
+        concat(lit(Ann.RecallSampleSalt), col("vec_id").cast("string"))))
+      .where(pmod(col("hs"), lit(Ann.RecallSampleMod.toLong)) =!= 0)
+      .drop("hs").limit(4)
+    miss.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      Ann.recallSampled(spark, tmp).head()
+    }
+    assert(ex.getMessage.contains("recall sample is empty"),
+      s"unexpected message: ${ex.getMessage}")
+  }
+
   test("sampled recall plan: the exact arm is a broadcast of the query " +
     "SAMPLE against the streamed corpus, never a cartesian") {
     // the scale direction that matters at 100 TB: the small side (the

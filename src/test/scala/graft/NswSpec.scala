@@ -86,4 +86,35 @@ class NswSpec extends SparkSpec {
     val b = Nsw.nswTopk(spark, sf0001).collect().map(_.toString)
     assert(a.sameElements(b))
   }
+
+  test("persisted graph: committed atomically, bit-identical to the live " +
+    "build, and a cold session searches WITHOUT rebuilding") {
+    import org.apache.hadoop.fs.Path
+    val root = Nsw.ensureNswIndex(spark, sf0001)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(root, "_BUILT")), "commit marker missing")
+    // graph-from-disk ≡ graph-recomputed (edges are longs — parquet is
+    // lossless), both directions
+    val stored = Nsw.storedAdjacency(spark, sf0001)
+    val live = Nsw.adjacencyWithFar(spark, sf0001, Nsw.F)
+    assert(stored.except(live).count() === 0L &&
+           live.except(stored).count() === 0L,
+      "persisted adjacency must equal the live far-augmented graph")
+    // the cold-session contract: with every session cache dropped, the
+    // indexed search reads the committed parquet — no NN-descent, no IVF
+    // seed join — and its rows equal the live search's exactly. (The
+    // final hop's plan hides the scan behind the per-hop localCheckpoint
+    // barrier, so assert the artifact read on the adjacency itself.)
+    Nsw.clearCache()
+    val scan = Nsw.storedAdjacency(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("graft_ann_index") && scan.contains("FileScan"),
+      s"stored adjacency must be a parquet scan of the artifact:\n$scan")
+    val idx = Nsw.nswTopkIndexed(spark, sf0001)
+    val a = idx.collect().map(_.toString)
+    val b = Nsw.nswTopk(spark, sf0001).collect().map(_.toString)
+    assert(a.sameElements(b),
+      "indexed search must be row-identical to the live search")
+  }
 }
