@@ -102,9 +102,62 @@ object Sources {
     finish(s, out, dir, Seq("lang", "source"))
   }
 
+  /** Corrupt lines planted by src03 — a fixed, small census constant
+    * both engines know. The planted line for doc_id k is the TRUNCATED
+    * JSON `{"doc_id":k,"text":"x` (unparseable), derived from the
+    * CorruptPlanted smallest doc_ids so the census is a deterministic
+    * function of the fixture, not of a random generator. */
+  val CorruptPlanted = 7
+
+  /** src03: the corrupt-shard path as a DECLARED key (VERDICT r12 item
+    * 7 — the PERMISSIVE/DROPMALFORMED contract was spec-only): stage the
+    * corpus as JSONL, plant [[CorruptPlanted]] truncated lines beside
+    * the good shards, read back PERMISSIVE with an explicit
+    * `_corrupt_record` column, and emit one audit row: the surviving-row
+    * census (count + the src02 checksums, which must equal the clean
+    * fixture's — corrupt lines poison nothing) and the corrupt-record
+    * census (count + raw-line length sum — the quarantine a production
+    * ingest writes to a dead-letter table instead of silently dropping).
+    *
+    * Scale: identical read shape to src02 (splittable text, explicit
+    * schema, codegen'd parse) plus one null-partition filter; the audit
+    * aggregate is map-side combinable. */
+  def jsonlCorrupt(s: SparkSession, d: String): DataFrame = {
+    val dir = stageDir("jsonlc")
+    Tables.documents(s, d).write.mode("overwrite").json(dir)
+    // plant the corrupt lines as extra part files in the same directory
+    // (a corrupt SHARD, the failure mode real dumps have)
+    Tables.documents(s, d).select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(CorruptPlanted)
+      .select(concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+        lit(",\"text\":\"x")).as("value"))
+      .coalesce(1).write.mode("append").text(dir)
+    val parsed = s.read
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType),
+        StructField("_corrupt_record", StringType))))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+    val out = parsed.agg(
+      count(when(col("_corrupt_record").isNull, 1)).as("n_docs_good"),
+      sum(when(col("_corrupt_record").isNull, col("n_chars")))
+        .as("sum_n_chars"),
+      sum(when(col("_corrupt_record").isNull, length(col("text"))
+        .cast("long"))).as("sum_text_len"),
+      count(col("_corrupt_record")).as("n_corrupt"),
+      sum(length(col("_corrupt_record")).cast("long")).as("sum_corrupt_len"))
+    finish(s, out, dir, Seq("n_docs_good"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_csv_pointset" -> (csvPointSet _),
     "src02_jsonl_corpus" -> (jsonlCorpus _),
+    "src03_jsonl_corrupt" -> (jsonlCorrupt _),
   )
 
   // oracles read the parquet fixture directly: round-trip equality IS
@@ -127,5 +180,23 @@ object Sources {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    // the survivors' census must equal the clean fixture's; the corrupt
+    // census reconstructs the planted truncated lines from the same
+    // doc_id rule
+    "src03_jsonl_corrupt" ->
+      s"""WITH planted AS (
+         |  SELECT '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"text":"x'
+         |    AS line
+         |  FROM (SELECT doc_id FROM documents
+         |        ORDER BY doc_id LIMIT $CorruptPlanted) z)
+         |SELECT
+         |  (SELECT count(*) FROM documents) AS n_docs_good,
+         |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+         |    AS sum_n_chars,
+         |  (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
+         |    AS sum_text_len,
+         |  (SELECT count(*) FROM planted) AS n_corrupt,
+         |  (SELECT CAST(sum(length(line)) AS BIGINT) FROM planted)
+         |    AS sum_corrupt_len""".stripMargin,
   )
 }

@@ -132,4 +132,45 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.keys.exists { case (a, b) => b == 6L || a == 6L },
       s"far signature matched something: $got")
   }
+
+  test("byte-bin kernels equal the per-byte builtin chains they replaced " +
+    "(the double-implementation law)") {
+    // r13 swapped the per-byte explode for one codegen histogram pass;
+    // the counts must be BIT-identical or every m03/m07 hash moves.
+    // Declarative twin: the r12 conv(hex(substring)) chains, zero shared
+    // code with the kernels.
+    val a = graft.ops.Multimodal.assets(spark, sf0001)
+    val viaKernel = a.where(octet_length(col("payload")) >= 10)
+      .select(col("asset_id"),
+        graft.functions.ByteBinsExpressions.bigram_bins(spark,
+          col("payload")).as("bins"))
+      .select(col("asset_id"), posexplode(col("bins")).as(Seq("bin", "cnt")))
+      .where(col("cnt") > 0)
+    val viaExplode = a.where(octet_length(col("payload")) >= 10)
+      .select(col("asset_id"), col("payload"),
+        explode(sequence(lit(9), octet_length(col("payload")) - 1)).as("i"))
+      .select(col("asset_id"),
+        expr("CAST(conv(hex(substring(payload, i, 2)), 16, 10) AS BIGINT)" +
+          " * 2654435761 DIV 1024 % 64").cast("int").as("bin"))
+      .groupBy(col("asset_id"), col("bin")).agg(count(lit(1)).as("cnt"))
+    assert(viaKernel.except(viaExplode).count() === 0L &&
+           viaExplode.except(viaKernel).count() === 0L,
+      "bigram_bins must equal the conv(hex(substring)) chain")
+    val nibKernel = a.where(octet_length(col("payload")) >= 9)
+      .select(col("asset_id"),
+        graft.functions.ByteBinsExpressions.nibble_bins(spark,
+          col("payload")).as("bins"))
+      .select(col("asset_id"), posexplode(col("bins")).as(Seq("bin", "cnt")))
+      .where(col("cnt") > 0)
+    val nibExplode = a.where(octet_length(col("payload")) >= 9)
+      .select(col("asset_id"), col("payload"),
+        explode(sequence(lit(9), octet_length(col("payload")))).as("i"))
+      .select(col("asset_id"),
+        expr("CAST(CAST(conv(hex(substring(payload, i, 1)), 16, 10) " +
+          "AS BIGINT) DIV 16 AS INT)").as("bin"))
+      .groupBy(col("asset_id"), col("bin")).agg(count(lit(1)).as("cnt"))
+    assert(nibKernel.except(nibExplode).count() === 0L &&
+           nibExplode.except(nibKernel).count() === 0L,
+      "nibble_bins must equal the conv(hex(substring)) chain")
+  }
 }
