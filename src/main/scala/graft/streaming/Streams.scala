@@ -130,7 +130,10 @@ object Streams {
     * max(ts)−0s, the emitted set is every session with end+gap <= the
     * final watermark (INCLUSIVE eviction — the opposite boundary to
     * d26's strict EventTimeTimeout; StreamingSpec pins both with ±1 s
-    * MemoryStream probes). The session_window.end
+    * MemoryStream probes, and — r13, the ADVICE r12 gap — also pins the
+    * ADJACENCY boundary: an event exactly gap seconds after the previous
+    * one MERGES into its session, so only diff > gap splits, which is
+    * precisely the batch oracle's predicate). The session_window.end
     * already includes the gap; the consumer subtracts it back to d03's
     * last-event end_sec so all three session forms share one oracle
     * vocabulary. */

@@ -230,6 +230,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("d36 session_window ADJACENCY boundary: events exactly gap " +
+    "seconds apart MERGE into one session (pinned vs the oracle's " +
+    "diff > 1800 split rule)") {
+    // ADVICE r12: the emission-boundary probe above pins when a session
+    // EMITS, not where two adjacent events fall. Measured (batch and the
+    // streaming state-merge path agree): an event at prev + gap lands
+    // INSIDE the previous window — session_window's merge condition is
+    // start <= current end — so only diff > gap splits, exactly the
+    // oracle's predicate. An event at prev + gap + 1 splits. If a Spark
+    // upgrade flips the merge condition to strict, this fails HERE, not
+    // as an unexplained d36 hash drift on regenerated fixtures.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val agg = input.toDF().toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "1000 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").cast("long")
+        .as("start_sec"), col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("swin_adj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: 100 and 1900 — EXACTLY 1800 apart; user 3: 100 and 1901
+      input.addData((1L, 100L), (1L, 1900L), (3L, 100L), (3L, 1901L))
+      q.processAllAvailable()
+      // push the watermark far past both horizons so everything emits
+      input.addData((9L, 100000L))
+      q.processAllAvailable()
+      val rows = spark.table("swin_adj")
+        .where(col("user_id").isin(1L, 3L))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows === Set((1L, 100L, 2L), (3L, 100L, 1L), (3L, 1901L, 1L)),
+        s"adjacency boundary drifted: $rows")
+    } finally q.stop()
+  }
+
   test("d26 declared streaming query agrees with its two batch closing rules") {
     val streamed = ops.EventOps.streamClosedSessions(spark, sf0001)
       .as[(Long, Long, Long, Long)].collect().toSeq
