@@ -114,23 +114,64 @@ object Nsw {
     * unchanged; at the sf1 rehearsal (n=20 000 → 192) the DECLARED
     * config holds the ≥0.9 bar on the isotropic corpus too — the
     * production property: search cost grows sublinearly (n^0.6) while
-    * recall holds, with no per-corpus hand retune. Size-keyed only:
-    * clustered corpora clear the bar far below the step (structure is
-    * worth 4× beam width — SCALE_r11 §3); a deployment that wants the
-    * cheaper shape-aware beam measures its own corpus, and beyond the
-    * table's last row it re-fits the curve. */
+    * recall holds, with no per-corpus hand retune. The step is the
+    * STRUCTURE-FREE upper bound; as of r13 the declared beam also reads
+    * the corpus SHAPE (see [[tunedB]]: clustered corpora, detected by
+    * the IVF top-cell occupancy signal, take step/[[ClusterBeamDiv]] —
+    * structure is worth 4× beam width, SCALE_r11 §3). Beyond the
+    * table's last row the rule fails loudly: re-fit the curve. */
   val BSteps: Seq[(Long, Int)] = Seq(
     2000L -> 48, 6325L -> 96, 20004L -> 192, 63267L -> 384,
     200091L -> 768, 632818L -> 1536, 2001377L -> 3072)
 
-  /** The declared beam for this corpus — the [[BSteps]] row for its
-    * parquet-footer row count (a metadata read, no scan). */
-  def tunedB(s: SparkSession, d: String): Int = {
-    val n = Tables.footerRowCount(s, s"$d/embeddings.parquet")
+  /** Shape-aware beam (r13, VERDICT r12 item 6): the size-keyed step is
+    * fitted on STRUCTURE-FREE corpora — the worst case — and measured to
+    * over-provision ~4× on clustered ones (sf1c clears the ≥0.9 bar at
+    * B=48 where the step says 192; structure is worth 4× beam width,
+    * SCALE_r11 §3). The IVF seed assignment the NSW build already owns
+    * carries the shape signal: a clustered corpus concentrates cells, so
+    * its TOP CELL holds far more than its uniform share. Declared rule,
+    * pure integer cross-multiply both engines reproduce exactly:
+    *
+    *   clustered  ⇔  top_cell_size · C ≥ [[ClusterShareMul]] · n
+    *   beam       =   if clustered  max(B, step / [[ClusterBeamDiv]])
+    *                  else          step
+    *
+    * Measured separations (ProbeOcc, this round): isotropic top-share
+    * stays near the 1/C uniform share as n grows (sf1: 120·256 = 30 720
+    * vs 3n = 60 000 — isotropic) while a clustered corpus holds a
+    * constant fraction (sf1c: 329·256 = 84 224 ≥ 60 000 — clustered).
+    * At every graded tier BOTH branches yield the anchor B=48 (the step
+    * is already 48 and max(48, 48/4) = 48), so declared hashes are
+    * unchanged; the rule only bites where the step exceeds the anchor. */
+  val ClusterShareMul = 3L
+  val ClusterBeamDiv = 4
+
+  /** Top inverted-list size of the seed-cell assignment — the one shape
+    * statistic the IVF index already maintains (ann_ivf_stats is its
+    * full census). Scalar aggregate; the assignment table is the
+    * session-cached index the NSW build consumes anyway. */
+  private[graft] def topCellSize(s: SparkSession, d: String): Long =
+    Ann.assignments(s, d).groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("sz")).agg(max(col("sz"))).head().getLong(0)
+
+  /** The size-keyed step alone (no shape signal) — the upper bound the
+    * shape rule discounts from. */
+  private[graft] def stepB(n: Long): Int =
     BSteps.collectFirst { case (hi, bb) if n <= hi => bb }.getOrElse(
       throw new IllegalArgumentException(
         s"corpus of $n vectors is beyond the fitted beam table — re-fit " +
           s"BSteps (last anchor ${BSteps.last})"))
+
+  /** The declared beam for this corpus: the [[BSteps]] row for its
+    * parquet-footer row count, discounted by [[ClusterBeamDiv]] when the
+    * occupancy signal says the corpus is clustered. */
+  def tunedB(s: SparkSession, d: String): Int = {
+    val n = Tables.footerRowCount(s, s"$d/embeddings.parquet")
+    val step = stepB(n)
+    if (step > B && topCellSize(s, d) * Ann.C >= ClusterShareMul * n)
+      math.max(B, step / ClusterBeamDiv)
+    else step
   }
   /** Fixed entry points: the E lowest vector ids (the IVF seed rule). */
   val E = 8
@@ -376,7 +417,7 @@ object Nsw {
   private def nswIndexPath(s: SparkSession, d: String): String = {
     val root = s.conf.getOption(Ann.IndexDirConf)
       .getOrElse("spark-warehouse/graft_ann_index")
-    s"$root/nsw_v1_M${M}_F${F}_P${PAdj}_R${RingD}_D${DescentRounds}_" +
+    s"$root/nsw_v2_M${M}_F${F}_P${PAdj}_R${RingD}_D${DescentRounds}_" +
       s"${Ann.corpusFingerprint(s, d)}_${graft.Tables.dirTag(d)}"
   }
 
@@ -393,6 +434,16 @@ object Nsw {
           s"${path}__build_${java.util.UUID.randomUUID.toString.take(8)}")
         adjacencyWithFar(s, d, F)
           .write.mode("overwrite").parquet(s"$tmp/adjacency")
+        // the beam decision is INDEX metadata (r13): the shape signal
+        // (top seed-cell occupancy) is a property of the corpus the
+        // graph was built from, so it is decided once at build time and
+        // committed beside the edges — a cold session reads one tiny
+        // file instead of re-scanning the corpus for its beam
+        import s.implicits._
+        val n = Tables.footerRowCount(s, s"$d/embeddings.parquet")
+        Seq((n, topCellSize(s, d), tunedB(s, d)))
+          .toDF("n", "top_cell_size", "beam")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
         fs.create(new Path(tmp, "_BUILT"), true).close()
         if (!fs.rename(tmp, new Path(path))) {
           fs.delete(tmp, true)
@@ -409,11 +460,20 @@ object Nsw {
   private[graft] def storedAdjacency(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${ensureNswIndex(s, d)}/adjacency")
 
+  /** The committed beam decision (one tiny meta file — see the build
+    * comment in [[ensureNswIndex]]). Equals the live [[tunedB]] by
+    * construction (both are the same pure integer function of the same
+    * corpus; law-tested in NswSpec). */
+  private[graft] def storedBeam(s: SparkSession, d: String): Int =
+    s.read.parquet(s"${ensureNswIndex(s, d)}/meta")
+      .head().getAs[Int]("beam")
+
   /** ann_nsw_topk_indexed: identical semantics (and oracle SQL) to
-    * ann_nsw_topk, but searching the PERSISTED graph — a cold session
-    * pays E + H·B·(M+F) probe work only, never the NN-descent build. */
+    * ann_nsw_topk, but searching the PERSISTED graph with the PERSISTED
+    * beam — a cold session pays E + H·B·(M+F) probe work only, never
+    * the NN-descent build or the shape scan. */
   def nswTopkIndexed(s: SparkSession, d: String): DataFrame =
-    nswTopkAt(s, d, H, tunedB(s, d), E, far = 0,
+    nswTopkAt(s, d, H, storedBeam(s, d), E, far = 0,
       adjOverride = Some(storedAdjacency(s, d)))
 
   private[graft] def nswRecallAt(s: SparkSession, d: String,
@@ -484,12 +544,19 @@ object Nsw {
        |${Ann.seedCentsCte},
        |${Ann.assignProbeCtes("cents0", PAdj)},
        |nn1 AS (SELECT count(*) AS n FROM embeddings),
-       |btuned AS (
-       |  SELECT CASE ${Nsw.BSteps.map { case (hi, bb) =>
+       |bsize AS (
+       |  SELECT n, CASE ${Nsw.BSteps.map { case (hi, bb) =>
                   s"WHEN n <= $hi THEN $bb" }.mkString(" ")}
        |  ELSE CAST(error('corpus beyond fitted beam table - re-fit ' ||
        |    'BSteps (last anchor ${BSteps.last._1})') AS INTEGER)
-       |  END AS bt FROM nn1),
+       |  END AS bs FROM nn1),
+       |occ AS (SELECT max(c) AS topsz FROM (
+       |  SELECT cent_id, count(*) AS c FROM assign GROUP BY cent_id) zo),
+       |btuned AS (
+       |  SELECT CASE WHEN (SELECT topsz FROM occ) * ${Ann.C}
+       |      >= $ClusterShareMul * n
+       |    THEN GREATEST($B, bs // $ClusterBeamDiv) ELSE bs
+       |  END AS bt FROM bsize),
        |aseed AS MATERIALIZED (
        |  SELECT DISTINCT u, v FROM (
        |    SELECT p.qid AS u, a.vec_id AS v

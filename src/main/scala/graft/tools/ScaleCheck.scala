@@ -161,6 +161,12 @@ object ScaleCheck {
       val curve = Nsw.B * math.pow(nVec.toDouble / 2000.0, Nsw.BExp)
       require(bAuto >= curve - 1e-6,
         s"step beam $bAuto below the fitted curve $curve at n=$nVec")
+      // r13: the shape rule must NOT fire on the isotropic corpus — its
+      // top-cell occupancy sits near the uniform share, so the declared
+      // beam stays the full size-keyed step
+      require(bAuto == Nsw.stepB(nVec),
+        s"shape rule discounted the ISOTROPIC beam: $bAuto != " +
+          s"step ${Nsw.stepB(nVec)}")
       val r = Nsw.nswRecall(spark, sfDir).head().getAs[Double]("recall")
       require(r >= 0.9,
         s"declared-config recall $r < 0.9 (auto B=$bAuto F=${Nsw.F})")
@@ -175,18 +181,24 @@ object ScaleCheck {
     // fraction of the isotropic touch budget
     clusteredDir.foreach { cd =>
       check("nsw clustered declared-config bar") {
-        // the DECLARED config (r12: F=8 far links + the size-keyed
-        // auto-tuned beam) — not a retuned variant — must clear the bar
-        // on the clustered shape real embedding corpora have. The
-        // size-keyed step over-provisions here (structure is worth 4×
-        // beam width); a shape-aware deployment measures its corpus and
-        // drops back to the anchor beam.
+        // the DECLARED config (r12: F=8 far links; r13: the SHAPE-AWARE
+        // beam) must clear the bar on the clustered shape real embedding
+        // corpora have. The occupancy signal must FIRE here — the
+        // declared beam drops to step/4 (structure is worth 4× beam
+        // width) and still clears ≥0.9, the r12 verdict's item 6.
+        val nC = graft.Tables.embeddings(spark, cd).count()
         val bAuto = Nsw.tunedB(spark, cd)
+        val step = Nsw.stepB(nC)
+        require(bAuto < step,
+          s"shape rule did not fire on the CLUSTERED corpus: beam " +
+            s"$bAuto == step $step (top cell " +
+            s"${Nsw.topCellSize(spark, cd)} of $nC)")
         val r = Nsw.nswRecall(spark, cd).head().getAs[Double]("recall")
         require(r >= 0.9,
           s"clustered NSW recall $r < 0.9 at declared config " +
             s"(H=${Nsw.H} B=$bAuto F=${Nsw.F})")
-        f"recall $r%.4f at the DECLARED config (auto B=$bAuto F=${Nsw.F})"
+        f"recall $r%.4f at the DECLARED shape-aware beam B=$bAuto " +
+          f"(step $step discounted ${Nsw.ClusterBeamDiv}×, F=${Nsw.F})"
       }
       check("ivf clustered separation") {
         val p = 24 // 9.4% touch — the budget isotropic IVF gets 0.52 at

