@@ -946,7 +946,7 @@ object Ann {
       concat(lit(RecallSampleSalt), col("vec_id").cast("string")))
 
   /** The capped deterministic query sample: (qid, qv), ≤ cap rows. */
-  private def recallSampleOf(s: SparkSession, d: String,
+  private[graft] def recallSampleOf(s: SparkSession, d: String,
       cap: Int): DataFrame =
     Tables.embeddings(s, d)
       .withColumn("hs", recallSampleHash(s))

@@ -431,6 +431,60 @@ object ScaleCheck {
       s"c45=$rrf rows, c46=$dsir rows, q12=$gini rows"
     }
 
+    // --- OPTIONAL third arg, run LAST (its 63k working set — per-hop
+    // checkpoint blocks + session caches — starved a later row's heap
+    // when it ran mid-sequence): a second, larger clustered tier (e.g.
+    // `MakeSf localdata/sf3c 31.5 clustered` → 63k vectors, the next
+    // BSteps row). Two claims only this tier can make: (a) the shape
+    // discount's divisor holds at a step where the discounted beam is
+    // NOT the anchor (384/4 = 96 > 48 — at 20k the discount lands on
+    // the floor, so the divisor itself was unexercised), and (b) the
+    // recall bar is gated by the SAMPLED estimator — the capped fnv
+    // carve — eating our own 100 TB dogfood at the first tier where the
+    // n² ground truth is genuinely painful (4·10⁹ pairs). Measured:
+    // recall 0.9143 (n_q=1024) at shape beam 96, 551 s.
+    args.lift(2).foreach { cd2 =>
+      check("nsw shape-beam 2nd tier (sampled)") {
+        val n = graft.Tables.embeddings(spark, cd2).count()
+        val bAuto = Nsw.tunedB(spark, cd2)
+        val step = Nsw.stepB(n)
+        require(bAuto < step && bAuto > Nsw.B,
+          s"divisor unexercised: beam $bAuto vs step $step at n=$n " +
+            "(need anchor < beam < step)")
+        // sampled exact ground truth: the capped carve broadcasts, the
+        // corpus streams against it — n_s·n evaluations, never n²
+        val qs = Ann.recallSampleOf(spark, cd2, Ann.RecallSampleCap)
+        val c = graft.Tables.repartitioned(
+          graft.Tables.embeddings(spark, cd2), spark)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("dist").asc, col("cid").asc)
+        val exact = c.crossJoin(broadcast(qs))
+          .where(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            graft.functions.VectorExpressions.cosine_distance(spark,
+              col("qv"), col("cv")).as("dist"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= Ann.K)
+          .select(col("qid"), col("cid")).localCheckpoint(true)
+        val nq = exact.select(col("qid")).distinct().count()
+        require(nq == Ann.RecallSampleCap,
+          s"cap must bind at this tier: n_q=$nq")
+        val approx = Nsw.nswTopk(spark, cd2).select(col("qid"), col("cid"))
+          .join(broadcast(exact.select(col("qid")).distinct()), Seq("qid"),
+            "left_semi")
+        val hits = approx.join(exact, Seq("qid", "cid")).count()
+        val r = hits.toDouble / (nq * Ann.K)
+        // release the tier's working set (session caches; the
+        // checkpointed beams follow via the context cleaner)
+        Nsw.clearCache(); Ann.clearCache()
+        require(r >= 0.9,
+          f"2nd-tier clustered recall $r%.4f < 0.9 at shape beam $bAuto")
+        f"recall $r%.4f (sampled, n_q=$nq) at shape beam $bAuto " +
+          f"(step $step discounted ${Nsw.ClusterBeamDiv}×, n=$n)"
+      }
+    }
+
     spark.stop()
     if (failures > 0) {
       println(s"[scale] $failures FAILED")

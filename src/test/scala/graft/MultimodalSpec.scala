@@ -173,4 +173,20 @@ class MultimodalSpec extends SparkSpec {
            nibExplode.except(nibKernel).count() === 0L,
       "nibble_bins must equal the conv(hex(substring)) chain")
   }
+
+  test("m03/m07 plans run the histogram kernels — the per-byte " +
+    "substring/conv chain must be gone from the declared paths") {
+    val p3 = graft.ops.Multimodal.byteHistogram(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("nibble_bins"),
+      s"m03 must bin through the codegen kernel:\n$p3")
+    assert(!p3.contains("substring"),
+      s"m03 still carries the per-byte slice chain:\n$p3")
+    val p7 = graft.ops.Multimodal.phashNearDup(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p7.contains("bigram_bins"),
+      s"m07 must bin through the codegen kernel:\n$p7")
+    assert(!p7.contains("substring"),
+      s"m07 still carries the per-byte slice chain:\n$p7")
+  }
 }
