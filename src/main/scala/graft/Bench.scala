@@ -147,8 +147,19 @@ object Bench {
     // published per query under "noisy" so the reader sees which numbers
     // were measured under contention.
     var noisy = List.empty[(String, Double)]
+    // in --all mode (single cold rep per query — the MOST
+    // contention-sensitive artifact; r13 review) probe every 8th query:
+    // ~30 probes across the inventory at ~3% time overhead, enough to
+    // localize a burst without distorting the run
+    var allIdx = 0
     val results = names.flatMap { name =>
-      if (all) { clearAllCaches(); timeOnce(name).map(name -> _) }
+      if (all) {
+        clearAllCaches()
+        val r = timeOnce(name).map(name -> _)
+        allIdx += 1
+        if (allIdx % 8 == 0) calSeries ::= calProbe()
+        r
+      }
       else {
         val (cold, warm, coldReps) = timeSteady(name)
         warm.foreach(w => warmResults ::= name -> w)

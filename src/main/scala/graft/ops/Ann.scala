@@ -574,19 +574,28 @@ object Ann {
     * query session pays probe cost only. */
   val IndexDirConf = "spark.graft.ann.indexDir"
 
-  /** Cheap corpus fingerprint (row count + max vec_id), memoized per
-    * (session, dataset): folded into the index path so regenerating a
-    * fixture IN PLACE (e.g. re-running MakeSf into the same dir at a
-    * different scale) can never silently serve a stale index — the path
-    * changes with the corpus, and the old artifact is just dead weight.
-    * Count + max come from parquet footer stats, no data scan. */
+  /** Cheap corpus fingerprint (row count + max vec_id + total parquet
+    * byte length), memoized per (session, dataset): folded into the
+    * index path so regenerating a fixture IN PLACE can't silently serve
+    * a stale index. Count + max catch any size/id-range change; the
+    * byte length (an fs metadata read) also catches the same-shape
+    * regeneration — new VALUES at the same n compress to a different
+    * file size in practice. Honest limit (r13 review): none of these is
+    * a content hash, so a regeneration contrived to keep n, max id AND
+    * byte length would still alias — a deployment that rewrites
+    * corpora in place must clear the index root (or version the path
+    * itself); the fixture contract here is that regeneration goes
+    * through MakeSf, which changes at least the byte length. */
   private val fpCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private[ops] def corpusFingerprint(s: SparkSession, d: String): String =
     fpCache.getOrElseUpdate((s, d), {
       val r = Tables.embeddings(s, d)
         .agg(count(lit(1)), max(col("vec_id"))).head()
-      s"n${r.getLong(0)}x${r.getLong(1)}"
+      val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+      val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      s"n${r.getLong(0)}x${r.getLong(1)}b$bytes"
     })
 
   private def indexPath(s: SparkSession, d: String): String = {
@@ -941,9 +950,16 @@ object Ann {
     * binding at the graded tiers (carve ≈ n/8 < cap), binding at sf1. */
   val RecallSampleCap = 1024
 
-  private def recallSampleHash(s: SparkSession) =
+  /** The ONE definition of the recall-carve hash — shared by the
+    * estimator, ScaleCheck's cap-binding assertion, and AnnSpec's
+    * empty-carve fixture (r13 review: three re-typed copies can drift). */
+  private[graft] def recallSampleHash(s: SparkSession) =
     graft.functions.HashExpressions.fnv1a64(s,
       concat(lit(RecallSampleSalt), col("vec_id").cast("string")))
+
+  /** The carve membership predicate over [[recallSampleHash]]. */
+  private[graft] def recallCarvePred(s: SparkSession) =
+    pmod(recallSampleHash(s), lit(RecallSampleMod.toLong)) === 0
 
   /** The capped deterministic query sample: (qid, qv), ≤ cap rows. */
   private[graft] def recallSampleOf(s: SparkSession, d: String,
@@ -953,6 +969,23 @@ object Ann {
       .where(pmod(col("hs"), lit(RecallSampleMod.toLong)) === 0)
       .orderBy(col("hs").asc, col("vec_id").asc).limit(cap)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  /** Loud empty-carve guard, IN the plan (ADVICE r12, reworked per the
+    * r13 review): a tiny or adversarial id set can hash nobody to
+    * residue 0, and a silent NULL recall row would poison the envelope
+    * checks downstream. The original guard was an eager extra
+    * full-column count() per invocation — detecting a condition a
+    * billion-row corpus cannot produce at the price of one corpus pass.
+    * Now the final select raises from INSIDE the plan (the DuckDB
+    * `error()` twin): assert_true returns NULL when the carve is
+    * non-empty, so the recall value is unchanged, and an empty carve
+    * fails the job loudly at zero extra scan cost. */
+  private def guardedRecall(nq: org.apache.spark.sql.Column,
+      recall: org.apache.spark.sql.Column) =
+    when(assert_true(nq > 0, lit(
+      s"recall sample is empty: no vec_id hashes to residue 0 mod " +
+        s"$RecallSampleMod under salt '$RecallSampleSalt' - change the " +
+        "salt or evaluate full recall")).isNull, recall)
 
   /** ann_recall_sampled: recall@K of the trained IVF tier over the
     * deterministic query sample, with exact ground truth computed ONLY
@@ -965,17 +998,6 @@ object Ann {
 
   private[graft] def recallSampledAt(s: SparkSession, d: String,
       cap: Int): DataFrame = {
-    // fail LOUDLY on an empty carve (ADVICE r12): a tiny or adversarial
-    // id set can hash nobody to residue 0, and a silent NULL recall row
-    // would poison the envelope checks downstream. The guard scans one
-    // pruned column; the estimator itself is the expensive part.
-    val nCarve = Tables.embeddings(s, d)
-      .where(pmod(recallSampleHash(s), lit(RecallSampleMod.toLong)) === 0)
-      .count()
-    require(nCarve > 0,
-      s"recall sample is empty: no vec_id in $d hashes to residue 0 " +
-        s"mod $RecallSampleMod under salt '$RecallSampleSalt' - " +
-        "change the salt or evaluate full recall")
     val qs = recallSampleOf(s, d, cap)
     val c = Tables.repartitioned(Tables.embeddings(s, d), s)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
@@ -996,7 +1018,8 @@ object Ann {
       .agg(count(lit(1)).as("n_hits"))
     val nq = exact.agg(countDistinct(col("qid")).as("n_queries"))
     hits.crossJoin(nq).select(col("n_queries"), col("n_hits"),
-      round(col("n_hits").cast("double") / (col("n_queries") * lit(K)), 6)
+      guardedRecall(col("n_queries"),
+        round(col("n_hits").cast("double") / (col("n_queries") * lit(K)), 6))
         .as("recall"))
   }
 

@@ -163,16 +163,25 @@ object Nsw {
         s"corpus of $n vectors is beyond the fitted beam table — re-fit " +
           s"BSteps (last anchor ${BSteps.last})"))
 
-  /** The declared beam for this corpus: the [[BSteps]] row for its
-    * parquet-footer row count, discounted by [[ClusterBeamDiv]] when the
-    * occupancy signal says the corpus is clustered. */
-  def tunedB(s: SparkSession, d: String): Int = {
-    val n = Tables.footerRowCount(s, s"$d/embeddings.parquet")
+  /** The beam rule as a pure function of the two integer signals —
+    * the ONE definition [[tunedB]] and the build-time meta write share
+    * (r13 review: the build was running the occupancy aggregate twice).
+    * `topCell` is by-name: at anchor sizes (step == B) both branches
+    * give B, so the occupancy scan is never forced there and graded-tier
+    * `tunedB` stays metadata-only. */
+  private[graft] def beamFrom(n: Long, topCell: => Long): Int = {
     val step = stepB(n)
-    if (step > B && topCellSize(s, d) * Ann.C >= ClusterShareMul * n)
+    if (step > B && topCell * Ann.C >= ClusterShareMul * n)
       math.max(B, step / ClusterBeamDiv)
     else step
   }
+
+  /** The declared beam for this corpus: the [[BSteps]] row for its
+    * parquet-footer row count, discounted by [[ClusterBeamDiv]] when the
+    * occupancy signal says the corpus is clustered. */
+  def tunedB(s: SparkSession, d: String): Int =
+    beamFrom(Tables.footerRowCount(s, s"$d/embeddings.parquet"),
+      topCellSize(s, d))
   /** Fixed entry points: the E lowest vector ids (the IVF seed rule). */
   val E = 8
   val K = 10
@@ -355,9 +364,18 @@ object Nsw {
 
   private[graft] def nswTopkAt(s: SparkSession, d: String,
       hops: Int, b: Int = B, e: Int = E, far: Int = F,
-      adjOverride: Option[DataFrame] = None): DataFrame = {
-    val qs = Tables.repartitioned(Tables.embeddings(s, d), s)
+      adjOverride: Option[DataFrame] = None,
+      qOnly: Option[DataFrame] = None): DataFrame = {
+    // qOnly (r13 review): restrict the QUERY side to an explicit (qid)
+    // set before the search — per-query independence makes the
+    // restriction exact, and a caller evaluating a 1/60 sample must not
+    // pay 60× the beam work (the Ann.probesOf qOnly twin). Declared
+    // queries pass None: leave-one-out over the whole corpus.
+    val qsAll = Tables.repartitioned(Tables.embeddings(s, d), s)
       .select(col("vec_id").as("qid"))
+    val qs = qOnly.map(ids => qsAll.join(
+        broadcast(ids.select(col("qid"))), Seq("qid"), "left_semi"))
+      .getOrElse(qsAll)
     val entries = Tables.embeddings(s, d).where(col("vec_id") < e)
       .select(col("vec_id").as("cand"))
     val beam0 = qs.crossJoin(broadcast(entries))
@@ -397,8 +415,11 @@ object Nsw {
     * pays SEARCH cost only — the build-dominated 20 s the inventory
     * charged per cold NSW query becomes a parquet read. The path is
     * versioned by every constant the graph depends on plus the corpus
-    * fingerprint, so retuning or regenerating a fixture in place can
-    * never serve a stale graph. Edges are (u, v) longs — parquet
+    * fingerprint (incl. the beam-rule constants, since the beam decision
+    * lives in the meta file), so retuning can never serve a stale graph
+    * and in-place fixture regeneration is caught by the fingerprint's
+    * size/range/byte-length triple (see `Ann.corpusFingerprint` for its
+    * honest limit). Edges are (u, v) longs — parquet
     * round-trips them exactly, so graph-from-disk ≡ graph-recomputed and
     * the DuckDB oracle carries over UNCHANGED (the
     * `ann_ivf_topk_indexed` precedent).
@@ -417,8 +438,14 @@ object Nsw {
   private def nswIndexPath(s: SparkSession, d: String): String = {
     val root = s.conf.getOption(Ann.IndexDirConf)
       .getOrElse("spark-warehouse/graft_ann_index")
+    // versioned by EVERY constant the artifact depends on — the graph
+    // build constants AND (r13 review finding) the beam-rule constants,
+    // since the beam DECISION is committed in the meta file: a beam
+    // retune without this would serve a stale persisted beam while the
+    // live rule (and the oracle) moved
     s"$root/nsw_v2_M${M}_F${F}_P${PAdj}_R${RingD}_D${DescentRounds}_" +
-      s"${Ann.corpusFingerprint(s, d)}_${graft.Tables.dirTag(d)}"
+      s"B${B}s${BSteps.last._2}m${ClusterShareMul}d${ClusterBeamDiv}" +
+      s"c${Ann.C}_${Ann.corpusFingerprint(s, d)}_${graft.Tables.dirTag(d)}"
   }
 
   private val buildLock = new Object
@@ -438,10 +465,12 @@ object Nsw {
         // (top seed-cell occupancy) is a property of the corpus the
         // graph was built from, so it is decided once at build time and
         // committed beside the edges — a cold session reads one tiny
-        // file instead of re-scanning the corpus for its beam
+        // file instead of re-scanning the corpus for its beam. Signals
+        // computed ONCE and the beam derived locally (beamFrom).
         import s.implicits._
         val n = Tables.footerRowCount(s, s"$d/embeddings.parquet")
-        Seq((n, topCellSize(s, d), tunedB(s, d)))
+        val top = topCellSize(s, d)
+        Seq((n, top, beamFrom(n, top)))
           .toDF("n", "top_cell_size", "beam")
           .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
         fs.create(new Path(tmp, "_BUILT"), true).close()

@@ -270,16 +270,9 @@ object ScaleCheck {
       // r13: the eval set is SIZE-capped, not a bare fraction — at sf1
       // the carve (~n/8 ≈ 2500) exceeds the cap, so the cap must BIND:
       // n_queries == min(carve, cap) exactly (the KMV carve is
-      // deterministic, no slack)
+      // deterministic, no slack; the ONE shared predicate definition)
       val carve = graft.Tables.embeddings(spark, sfDir)
-        .where(org.apache.spark.sql.functions.pmod(
-          graft.functions.HashExpressions.fnv1a64(spark,
-            org.apache.spark.sql.functions.concat(
-              org.apache.spark.sql.functions.lit(Ann.RecallSampleSalt),
-              org.apache.spark.sql.functions.col("vec_id").cast("string"))),
-          org.apache.spark.sql.functions.lit(
-            Ann.RecallSampleMod.toLong)) === 0)
-        .count()
+        .where(Ann.recallCarvePred(spark)).count()
       require(nq == math.min(carve, Ann.RecallSampleCap.toLong),
         s"n_queries=$nq != min(carve=$carve, cap=${Ann.RecallSampleCap})")
       f"sampled $p%.4f (n_q=$nq of carve $carve, cap " +
@@ -442,7 +435,8 @@ object ScaleCheck {
     // recall bar is gated by the SAMPLED estimator — the capped fnv
     // carve — eating our own 100 TB dogfood at the first tier where the
     // n² ground truth is genuinely painful (4·10⁹ pairs). Measured:
-    // recall 0.9143 (n_q=1024) at shape beam 96, 551 s.
+    // recall 0.9143 (n_q=1024) at shape beam 96, 219 s (the qOnly
+    // restriction cut the first cut's 551 s — same recall to the digit).
     args.lift(2).foreach { cd2 =>
       check("nsw shape-beam 2nd tier (sampled)") {
         val n = graft.Tables.embeddings(spark, cd2).count()
@@ -470,9 +464,13 @@ object ScaleCheck {
         val nq = exact.select(col("qid")).distinct().count()
         require(nq == Ann.RecallSampleCap,
           s"cap must bind at this tier: n_q=$nq")
-        val approx = Nsw.nswTopk(spark, cd2).select(col("qid"), col("cid"))
-          .join(broadcast(exact.select(col("qid")).distinct()), Seq("qid"),
-            "left_semi")
+        // search ONLY the sampled queries (r13 review: the first cut
+        // ran the beam for all 63k and semijoined 98% of it away —
+        // per-query independence makes the pre-restriction exact)
+        val approx = Nsw.nswTopkAt(spark, cd2, Nsw.H,
+            Nsw.tunedB(spark, cd2),
+            qOnly = Some(qs.select(col("qid"))))
+          .select(col("qid"), col("cid"))
         val hits = approx.join(exact, Seq("qid", "cid")).count()
         val r = hits.toDouble / (nq * Ann.K)
         // release the tier's working set (session caches; the

@@ -240,23 +240,24 @@ class AnnSpec extends SparkSpec {
   }
 
   test("sampled recall fails loudly on an empty carve") {
-    // ADVICE r12: a corpus whose ids all miss residue 0 must error, not
-    // emit a NULL recall row. Point the estimator at a 1-row slice that
-    // (by construction of the fixture ids) misses the carve — build a
-    // tiny parquet dir with vec_ids chosen to miss residue 0.
+    // ADVICE r12 (reworked r13: the guard now raises from INSIDE the
+    // plan — assert_true, the DuckDB error() twin — instead of paying an
+    // eager extra corpus scan per run): a corpus whose ids all miss
+    // residue 0 must error at execution, not emit a NULL recall row.
     val tmp = java.nio.file.Files.createTempDirectory("graft_carve").toString
-    // find a couple of vec_ids whose salted fnv is NOT ≡ 0 (mod 8)
+    // find a couple of vec_ids that are NOT in the carve (the one shared
+    // predicate definition — no re-typed hash here)
     val miss = Tables.embeddings(spark, sf0001)
-      .withColumn("hs", graft.functions.HashExpressions.fnv1a64(spark,
-        concat(lit(Ann.RecallSampleSalt), col("vec_id").cast("string"))))
-      .where(pmod(col("hs"), lit(Ann.RecallSampleMod.toLong)) =!= 0)
-      .drop("hs").limit(4)
+      .where(!Ann.recallCarvePred(spark)).limit(4)
     miss.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[Throwable] {
       Ann.recallSampled(spark, tmp).head()
     }
-    assert(ex.getMessage.contains("recall sample is empty"),
-      s"unexpected message: ${ex.getMessage}")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("recall sample is empty")),
+      s"unexpected failure: ${messages(ex).mkString(" | ")}")
   }
 
   test("sampled recall plan: the exact arm is a broadcast of the query " +
