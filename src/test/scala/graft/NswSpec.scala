@@ -122,6 +122,26 @@ class NswSpec extends SparkSpec {
       "persisted meta beam must equal the live shape-aware rule")
   }
 
+  test("qOnly search restriction is exact: restricted-then-searched ≡ " +
+    "searched-then-filtered, row for row") {
+    // per-query independence is the argument that lets the sampled
+    // evaluators (ScaleCheck's 63k tier) search only their sample; pin
+    // it as a law so a future hop change that couples queries (e.g. a
+    // shared frontier) fails HERE
+    import org.apache.spark.sql.functions._
+    val ids = Tables.embeddings(spark, sf0001)
+      .where(col("vec_id") % 7 === 0).select(col("vec_id").as("qid"))
+    val restricted = Nsw.nswTopkAt(spark, sf0001, Nsw.H,
+        Nsw.tunedB(spark, sf0001), qOnly = Some(ids))
+      .collect().map(_.toString)
+    val filtered = Nsw.nswTopk(spark, sf0001)
+      .join(ids, Seq("qid"), "left_semi")
+      .orderBy(col("qid"), col("rnk"))
+      .collect().map(_.toString)
+    assert(restricted.nonEmpty && restricted.sameElements(filtered),
+      "qOnly must equal the full search filtered to the same queries")
+  }
+
   test("shape-aware beam rule: pure integer arithmetic, anchored at B " +
     "on graded tiers, discounting only above the anchor") {
     // at every graded tier the step IS the anchor, so both branches of
