@@ -104,25 +104,44 @@ object Nsw {
     * constant both the scaladoc rule and the ScaleCheck gate use, so the
     * check and the documented rule cannot drift apart). */
   val BExp = 0.602
+  /** Anchor corpus size of the beam-growth rule (the measured 0.939 @
+    * B=48 tier the exponent was fitted from). */
+  val BAnchorN = 2000L
+  /** Doubling depth of the generated step table — the declared MAX
+    * SCALE of the beam rule. k=25 puts the last threshold at
+    * ⌊2000·2^(25/BExp)⌋ ≈ 6.3·10^15 vectors (≈ 1.6 exabytes of 64-d
+    * float embeddings — four orders of magnitude past the 100 TB design
+    * point), with beam 48·2^25 ≈ 1.6·10^9 still inside Int range. */
+  val BMaxK = 25
   /** The DECLARED beam self-tunes by corpus size (r12): a STEP TABLE of
     * (max n → beam) doubling points that upper-bounds the fitted curve
-    * B·(n/2000)^[[BExp]] within each range — thresholds are
-    * ⌊2000·2^(k/BExp)⌋, precomputed to integer literals so both engines
-    * evaluate the SAME exact rule (a float pow at query time could flip
-    * a ceil at a boundary and fork the hash). At every graded fixture
-    * (n ≤ 2000) the step is the anchor B=48, so graded-tier results are
-    * unchanged; at the sf1 rehearsal (n=20 000 → 192) the DECLARED
-    * config holds the ≥0.9 bar on the isotropic corpus too — the
-    * production property: search cost grows sublinearly (n^0.6) while
-    * recall holds, with no per-corpus hand retune. The step is the
-    * STRUCTURE-FREE upper bound; as of r13 the declared beam also reads
-    * the corpus SHAPE (see [[tunedB]]: clustered corpora, detected by
-    * the IVF top-cell occupancy signal, take step/[[ClusterBeamDiv]] —
-    * structure is worth 4× beam width, SCALE_r11 §3). Beyond the
-    * table's last row the rule fails loudly: re-fit the curve. */
-  val BSteps: Seq[(Long, Int)] = Seq(
-    2000L -> 48, 6325L -> 96, 20004L -> 192, 63267L -> 384,
-    200091L -> 768, 632818L -> 1536, 2001377L -> 3072)
+    * B·(n/[[BAnchorN]])^[[BExp]] within each range. As of r14 the table
+    * is GENERATED from the closed form — thresholds ⌊2000·2^(k/BExp)⌋,
+    * beams B·2^k for k = 0..[[BMaxK]] (VERDICT r13 item 3: the fitted
+    * 7-row table had a loud-fail cliff at 2·10^6 that a 100× scale-up
+    * hit deterministically; the generated table pushes the edge past
+    * any corpus the 100 TB design point can produce). The float pow
+    * runs ONCE at class init through StrictMath (exactly-specified
+    * fdlibm, bit-stable across JVMs/platforms) and the resulting
+    * INTEGER literals are what both engines evaluate — the generated
+    * SQL CASE is built from this same Seq, so a pow at query time can
+    * never flip a boundary and fork the hash; NswSpec pins the 7
+    * originally-fitted rows as frozen anchors so a generator change
+    * cannot silently move the measured tiers. At every graded fixture
+    * (n ≤ 2000) the step is the anchor B=48; at the sf1 rehearsal
+    * (n=20 000 → 192) the DECLARED config holds the ≥0.9 bar on the
+    * isotropic corpus — the production property: search cost grows
+    * sublinearly (n^0.6) while recall holds, with no per-corpus hand
+    * retune. The step is the STRUCTURE-FREE upper bound; as of r13 the
+    * declared beam also reads the corpus SHAPE (see [[tunedB]]:
+    * clustered corpora, detected by the IVF top-cell occupancy signal,
+    * take step/[[ClusterBeamDiv]] — structure is worth 4× beam width,
+    * SCALE_r11 §3). Beyond the last row the rule still fails loudly in
+    * BOTH engines — but that edge is now the declared max scale, not a
+    * re-fit chore a growing corpus trips over. */
+  val BSteps: Seq[(Long, Int)] = (0 to BMaxK).map { k =>
+    math.floor(BAnchorN * StrictMath.pow(2.0, k / BExp)).toLong -> (B << k)
+  }
 
   /** Shape-aware beam (r13, VERDICT r12 item 6): the size-keyed step is
     * fitted on STRUCTURE-FREE corpora — the worst case — and measured to
@@ -160,8 +179,8 @@ object Nsw {
   private[graft] def stepB(n: Long): Int =
     BSteps.collectFirst { case (hi, bb) if n <= hi => bb }.getOrElse(
       throw new IllegalArgumentException(
-        s"corpus of $n vectors is beyond the fitted beam table — re-fit " +
-          s"BSteps (last anchor ${BSteps.last})"))
+        s"corpus of $n vectors is beyond the beam rule's declared max " +
+          s"scale (last threshold ${BSteps.last._1}) — raise BMaxK"))
 
   /** The beam rule as a pure function of the two integer signals —
     * the ONE definition [[tunedB]] and the build-time meta write share
@@ -435,6 +454,19 @@ object Nsw {
     * rebuild (not an in-place patch) as the declared compaction step.
     * Between retrains, delta vectors are served by the IVF tier (exact
     * within probed lists), which needs no graph. */
+  /** 64-bit FNV-1a digest of the WHOLE [[BSteps]] table (every
+    * threshold/beam pair), folded into the index path. The r13 path
+    * carried only `BSteps.last._2`, so retuning any NON-last row would
+    * have changed the live beam rule (and the oracle's CASE) without
+    * changing the path — serving a stale persisted beam at that tier
+    * (ADVICE r13 item 1). Any edit to any row now moves the path. */
+  private[graft] def bStepsDigest: String = {
+    val str = BSteps.map { case (hi, bb) => s"$hi:$bb" }.mkString(",")
+    val h = str.foldLeft(0xcbf29ce484222325L)((a, c) =>
+      (a ^ c.toLong) * 0x100000001b3L)
+    f"$h%016x".take(12)
+  }
+
   private def nswIndexPath(s: SparkSession, d: String): String = {
     val root = s.conf.getOption(Ann.IndexDirConf)
       .getOrElse("spark-warehouse/graft_ann_index")
@@ -442,9 +474,10 @@ object Nsw {
     // build constants AND (r13 review finding) the beam-rule constants,
     // since the beam DECISION is committed in the meta file: a beam
     // retune without this would serve a stale persisted beam while the
-    // live rule (and the oracle) moved
-    s"$root/nsw_v2_M${M}_F${F}_P${PAdj}_R${RingD}_D${DescentRounds}_" +
-      s"B${B}s${BSteps.last._2}m${ClusterShareMul}d${ClusterBeamDiv}" +
+    // live rule (and the oracle) moved. The beam rule enters as a
+    // digest of the FULL step table (r14), not just its last row.
+    s"$root/nsw_v3_M${M}_F${F}_P${PAdj}_R${RingD}_D${DescentRounds}_" +
+      s"B${B}bs${bStepsDigest}m${ClusterShareMul}d${ClusterBeamDiv}" +
       s"c${Ann.C}_${Ann.corpusFingerprint(s, d)}_${graft.Tables.dirTag(d)}"
   }
 
@@ -576,8 +609,9 @@ object Nsw {
        |bsize AS (
        |  SELECT n, CASE ${Nsw.BSteps.map { case (hi, bb) =>
                   s"WHEN n <= $hi THEN $bb" }.mkString(" ")}
-       |  ELSE CAST(error('corpus beyond fitted beam table - re-fit ' ||
-       |    'BSteps (last anchor ${BSteps.last._1})') AS INTEGER)
+       |  ELSE CAST(error('corpus beyond the beam rule declared max ' ||
+       |    'scale (last threshold ${BSteps.last._1}) - raise BMaxK')
+       |    AS INTEGER)
        |  END AS bs FROM nn1),
        |occ AS (SELECT max(c) AS topsz FROM (
        |  SELECT cent_id, count(*) AS c FROM assign GROUP BY cent_id) zo),

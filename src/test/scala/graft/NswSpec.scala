@@ -76,8 +76,37 @@ class NswSpec extends SparkSpec {
     // the graded fixtures sit in the anchor row: declared results at
     // sf0.001/sf0.01/sf0.1 are the B=48 results the oracles certify
     assert(Nsw.tunedB(spark, sf0001) === Nsw.B)
-    // and a corpus beyond the table fails loudly instead of guessing
-    assert(Nsw.BSteps.last._2 === 3072)
+  }
+
+  test("generated step table reproduces the fitted anchors and reaches " +
+    "the declared max scale (r14: no cliff below it)") {
+    // the 7 rows of the r12/r13 FITTED table, frozen: the generator
+    // (StrictMath.pow at class init) must reproduce them bit-for-bit,
+    // so the measured ScaleCheck tiers (20k, 63k) can never silently
+    // move under a generator change
+    val fitted = Seq(
+      2000L -> 48, 6325L -> 96, 20004L -> 192, 63267L -> 384,
+      200091L -> 768, 632818L -> 1536, 2001377L -> 3072)
+    assert(Nsw.BSteps.take(fitted.length) === fitted,
+      s"generated prefix drifted from the fitted anchors: " +
+        s"${Nsw.BSteps.take(fitted.length)}")
+    // the table is closed-form all the way to the declared max scale:
+    // every row is exactly (⌊n₀·2^(k/BExp)⌋, B·2^k)
+    Nsw.BSteps.zipWithIndex.foreach { case ((hi, bb), k) =>
+      assert(hi === math.floor(
+        Nsw.BAnchorN * StrictMath.pow(2.0, k / Nsw.BExp)).toLong)
+      assert(bb === (Nsw.B << k))
+    }
+    // the declared max scale clears the 100 TB design point by orders
+    // of magnitude (≈4·10^11 vectors of 64-d floats in 100 TB), and the
+    // largest beam still fits Int arithmetic in both engines
+    assert(Nsw.BSteps.last._1 > 400000000000L * 1000,
+      s"declared max ${Nsw.BSteps.last._1} too close to the design point")
+    assert(Nsw.BSteps.last._2 > 0 && Nsw.BSteps.last._2 <= Int.MaxValue)
+    // beyond it the rule still fails loudly instead of guessing
+    val e = intercept[IllegalArgumentException] {
+      Nsw.stepB(Nsw.BSteps.last._1 + 1) }
+    assert(e.getMessage.contains("declared max"))
   }
 
   test("search is deterministic: two runs are row-identical") {
