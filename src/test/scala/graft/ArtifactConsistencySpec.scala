@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -9,10 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * the judge twice found the newest `CORRECTNESS_r{N}.json` untracked or
   * inconsistent at review time. This spec makes artifact drift fail
   * `sbt test` instead: the newest correctness artifact in the repo must
-  * (a) exist, (b) record only keys that are STILL declared queries (a
-  * registry entry dropped after a freeze would silently orphan its
-  * certification), and (c) record zero failures — a committed artifact
-  * carrying a FAIL row is a broken freeze, not history.
+  * (a) exist, (b) be TRACKED by git (r13 ADVICE: scanning only the
+  * working tree let an untracked artifact pass — the exact failure mode
+  * the spec was added to prevent), (c) record only keys that are STILL
+  * declared queries (a registry entry dropped after a freeze would
+  * silently orphan its certification), and (d) record zero failures — a
+  * committed artifact carrying a FAIL row is a broken freeze, not
+  * history.
   *
   * The inverse direction (declared keys missing from the artifact) is
   * deliberately NOT asserted: mid-round the registry legitimately runs
@@ -25,22 +29,50 @@ class ArtifactConsistencySpec extends AnyFunSuite {
 
   private lazy val newest: Option[(String, String)] = {
     val rx = "CORRECTNESS_r(\\d+)\\.json".r
-    Files.list(root).iterator().asScala
-      .map(_.getFileName.toString)
-      .flatMap { f => rx.findFirstMatchIn(f).map(m => (m.group(1).toInt, f)) }
-      .toSeq.sortBy(_._1).lastOption
-      .map { case (_, f) =>
-        (f, new String(Files.readAllBytes(root.resolve(f)), "UTF-8")) }
+    Using.resource(Files.list(root)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .flatMap { f => rx.findFirstMatchIn(f).map(m => (m.group(1).toInt, f)) }
+        .toSeq.sortBy(_._1).lastOption
+        .map { case (_, f) =>
+          (f, new String(Files.readAllBytes(root.resolve(f)), "UTF-8")) }
+    }
   }
 
   // per-key object: "name": { ...fields... } at one nesting level
   private val entryRx =
     """"([a-z][a-z0-9_]+)"\s*:\s*\{([^{}]*)\}""".r
 
+  // whitespace-tolerant field matcher (r13 ADVICE: exact-string contains
+  // on pretty-printed JSON breaks under any formatter change)
+  private def fieldIs(fields: String, name: String, value: String): Boolean =
+    s""""$name"\\s*:\\s*$value""".r.findFirstIn(fields).isDefined
+
   test("the newest committed correctness artifact exists and parses") {
     assert(newest.nonEmpty, "no CORRECTNESS_r{N}.json at the repo root")
     val (name, body) = newest.get
     assert(entryRx.findAllMatchIn(body).nonEmpty, s"$name has no entries")
+  }
+
+  test("the newest correctness artifact is TRACKED by git (a freeze is " +
+    "not self-certifying until its artifacts land)") {
+    val (name, _) = newest.get
+    // `git ls-files` only — never mutates; if git itself is unavailable
+    // the check degrades to a loud skip rather than a silent pass
+    val out =
+      try {
+        val p = new ProcessBuilder("git", "ls-files", "--", name)
+          .directory(root.toFile).redirectErrorStream(true).start()
+        val txt = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        p.waitFor()
+        Some((p.exitValue(), txt))
+      } catch { case _: java.io.IOException => None }
+    assume(out.nonEmpty, "git executable unavailable — tracking unchecked")
+    val (code, txt) = out.get
+    assume(code == 0, s"git ls-files failed ($code): $txt")
+    assert(txt.linesIterator.exists(_.trim == name),
+      s"$name exists on disk but is NOT tracked by git — commit the " +
+        "round artifacts (VERDICT r13 item 7)")
   }
 
   test("every artifact key is still a declared query (no orphaned " +
@@ -57,10 +89,10 @@ class ArtifactConsistencySpec extends AnyFunSuite {
     val (name, body) = newest.get
     val bad = entryRx.findAllMatchIn(body).flatMap { m =>
       val fields = m.group(2)
-      val ok = fields.contains("\"rows_match\": true") &&
-        fields.contains("\"schema_match\": true") &&
-        fields.contains("\"hash_match\": true") &&
-        fields.contains("\"err\": null")
+      val ok = fieldIs(fields, "rows_match", "true") &&
+        fieldIs(fields, "schema_match", "true") &&
+        fieldIs(fields, "hash_match", "true") &&
+        fieldIs(fields, "err", "null")
       if (ok) None else Some(m.group(1))
     }.toSeq
     assert(bad.isEmpty,
