@@ -608,6 +608,15 @@ object Ann {
       s"${corpusFingerprint(s, d)}_${graft.Tables.dirTag(d)}"
   }
 
+  /** Every path the CURRENT resolution rule can hand a reader for this
+    * dataset — the IVF lifecycle's serving set, protected absolutely by
+    * [[IndexGc]]'s retention rule. Pure function of (constants, corpus
+    * fingerprint); resolving it never builds anything. */
+  private[graft] def livePaths(s: SparkSession, d: String): Seq[String] = {
+    val base = indexPath(s, d)
+    Seq(base, s"${base}_upsert", s"${base}_retrain")
+  }
+
   /** BUILD once, idempotently: trained centroids, the inverted lists
     * (partitioned BY cent_id on disk — the layout that makes a probe
     * touch only its P/C of the files on a real cluster), and the PQ code

@@ -481,6 +481,11 @@ object Nsw {
       s"c${Ann.C}_${Ann.corpusFingerprint(s, d)}_${graft.Tables.dirTag(d)}"
   }
 
+  /** The path the CURRENT resolution rule hands a reader — the NSW
+    * serving version, protected absolutely by [[IndexGc]]. */
+  private[graft] def livePath(s: SparkSession, d: String): String =
+    nswIndexPath(s, d)
+
   private val buildLock = new Object
 
   private[graft] def ensureNswIndex(s: SparkSession, d: String): String = {

@@ -416,6 +416,34 @@ object Streams {
         st.getPath.getName.stripPrefix("bucket=").toInt -> st.getPath)
     }
 
+  /** Retention GC for the d33 sink's version log (VERDICT r13 item 1,
+    * applied to the streaming artifact): every micro-batch commits a new
+    * `v<batchId>` directory and nothing ever deletes the old ones, so a
+    * long-running sink accumulates one directory per batch forever. A
+    * committed version is REMOVABLE exactly when it is fully SHADOWED —
+    * none of its buckets is any bucket's newest committed copy — because
+    * the read point ([[latestBucketPaths]]) takes only newest-per-bucket:
+    * deleting a fully-shadowed version provably cannot change any read.
+    * The newest `keepN` versions are kept regardless (the replay margin:
+    * a batch replayed after a crash reads versions below its own id).
+    * Returns the deleted version paths; the law (StreamingSpec,
+    * ScaleCheck) is that the serving bucket map — and therefore the
+    * read-back table — is bit-identical across a GC.
+    *
+    * Driver-side directory metadata only, like the read point itself. */
+  private[graft] def gcSinkVersions(fs: org.apache.hadoop.fs.FileSystem,
+      sink: String, keepN: Int = 1): Seq[String] = {
+    val versions = committedVersions(fs, sink)
+    val servingDirs = latestBucketPaths(fs, sink)
+      .values.map(_.getParent.getName).toSet
+    val protectedIds = versions.takeRight(keepN).map(_._1).toSet
+    versions.collect {
+      case (id, p) if !protectedIds(id) && !servingDirs(p.getName) =>
+        fs.delete(p, true)
+        p.toString
+    }
+  }
+
   /** One bucketed MERGE step of the d33 sink: upsert `delta` (refreshed
     * per-key aggregate rows) over the previous committed state into a
     * NEW version directory `v<batchId>` that holds ONLY the buckets the

