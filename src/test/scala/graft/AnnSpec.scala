@@ -28,11 +28,14 @@ class AnnSpec extends SparkSpec {
     info(s"IVF recall@10 = $recall (probing ${Ann.P}/${Ann.C} lists)")
   }
 
-  test("ivf probe join shuffles on cent_id instead of broadcasting the lists") {
-    val plan = Ann.ivfTopk(spark, sf0001).queryExecution.executedPlan.toString
-    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$plan")
-    assert(!plan.contains("BroadcastHashJoin"),
-      s"inverted lists must not be broadcast:\n$plan")
+  test("ivf probe join shuffles on cent_id instead of broadcasting the " +
+    "lists (AQE on and off)") {
+    withAqeBothWays {
+      val plan = Ann.ivfTopk(spark, sf0001).queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"inverted lists must not be broadcast:\n$plan")
+    }
   }
 
   test("ivf probes prune the pair space") {
@@ -313,15 +316,18 @@ class AnnSpec extends SparkSpec {
   }
 
   test("ivfsq plan: candidates route through shuffled hash joins — " +
-    "neither the inverted lists nor the code table is broadcast") {
-    val plan = Ann.ivfsqTopk(spark, sf0001)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("ShuffledHashJoin"),
-      s"expected shuffled hash joins on cent_id/qid/cid:\n$plan")
-    // the only broadcasts allowed are the scalar/tiny aggregates (the
-    // rlim row, the probe centroids); a broadcast of the corpus-sized
-    // code table would OOM the executors at 100 TB
-    assert(!plan.contains("CartesianProduct"), s"cartesian leak:\n$plan")
+    "neither the inverted lists nor the code table is broadcast " +
+    "(AQE on and off)") {
+    withAqeBothWays {
+      val plan = Ann.ivfsqTopk(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"expected shuffled hash joins on cent_id/qid/cid:\n$plan")
+      // the only broadcasts allowed are the scalar/tiny aggregates (the
+      // rlim row, the probe centroids); a broadcast of the corpus-sized
+      // code table would OOM the executors at 100 TB
+      assert(!plan.contains("CartesianProduct"), s"cartesian leak:\n$plan")
+    }
   }
 
   test("sq_dist_long kernel agrees with the declarative HOF fold") {

@@ -109,6 +109,29 @@ class NswSpec extends SparkSpec {
     assert(e.getMessage.contains("declared max"))
   }
 
+  test("search plan: beam grows through a shuffled hash join of the " +
+    "adjacency, never a broadcast of it (AQE on and off)") {
+    // the per-hop localCheckpoint barrier hides interior hops from the
+    // final plan, so assert on an unbarriered search plan; the barrier
+    // is a lineage device, not a plan change (results bit-identical)
+    val key = graft.ops.Ann.IterativeCheckpointConf
+    val old = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "false")
+      withAqeBothWays {
+        val plan = Nsw.nswTopkAt(spark, sf0001, Nsw.H,
+            Nsw.tunedB(spark, sf0001))
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("ShuffledHashJoin"),
+          s"adjacency joins must honor the shuffle_hash hint:\n" +
+            plan.take(3000))
+      }
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("search is deterministic: two runs are row-identical") {
     val a = Nsw.nswTopk(spark, sf0001).collect().map(_.toString)
     Nsw.clearCache()

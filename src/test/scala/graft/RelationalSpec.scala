@@ -22,24 +22,30 @@ class RelationalSpec extends SparkSpec {
     assert(!p.contains("l_tax"), "scan should not read unreferenced columns")
   }
 
-  test("b03: dimension joins are broadcast, no shuffle of dims") {
-    val p = plan("b03_join_broadcast")
-    assert(p.contains("BroadcastHashJoin"), p)
+  test("b03: dimension joins are broadcast, no shuffle of dims " +
+    "(AQE on and off)") {
+    withAqeBothWays {
+      val p = plan("b03_join_broadcast")
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
   }
 
-  test("b34: star flagship broadcasts every dim; only the agg shuffles") {
-    val p = plan("b34_star_join")
-    val nBroadcast = p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin")
-    assert(nBroadcast == 4, s"expected 4 broadcast dimension hops, got $nBroadcast in:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      "the fact table must stream through the broadcast chain unshuffled")
-    // the sole row shuffle is the aggregate's partial->final exchange;
-    // the top-10 is a TakeOrderedAndProject, not a global sort
-    val nShuffle = p.sliding("Exchange hashpartitioning".length)
-      .count(_ == "Exchange hashpartitioning")
-    assert(nShuffle <= 1, s"expected at most the aggregate exchange, got $nShuffle in:\n$p")
-    assert(p.contains("TakeOrderedAndProject"), p)
-    assert(p.contains("PushedFilters"), "shipdate filter should reach the scan")
+  test("b34: star flagship broadcasts every dim; only the agg shuffles " +
+    "(AQE on and off)") {
+    withAqeBothWays {
+      val p = plan("b34_star_join")
+      val nBroadcast = p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin")
+      assert(nBroadcast == 4, s"expected 4 broadcast dimension hops, got $nBroadcast in:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        "the fact table must stream through the broadcast chain unshuffled")
+      // the sole row shuffle is the aggregate's partial->final exchange;
+      // the top-10 is a TakeOrderedAndProject, not a global sort
+      val nShuffle = p.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning")
+      assert(nShuffle <= 1, s"expected at most the aggregate exchange, got $nShuffle in:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), p)
+      assert(p.contains("PushedFilters"), "shipdate filter should reach the scan")
+    }
   }
 
   test("b34: deterministic top-10 ordered by revenue") {
@@ -153,12 +159,15 @@ class RelationalSpec extends SparkSpec {
     assert(out("not_exists") === out("not_in_null_filtered"), out.toString)
   }
 
-  test("b26 plan: the unfiltered NOT IN runs as a null-aware anti join") {
-    val plan = Relational.notInNulls(spark, sf0001)
-      .queryExecution.executedPlan.toString
-    // Spark renders the null-aware broadcast anti join as a
-    // BroadcastHashJoin whose trailing isNullAwareAntiJoin flag is true
-    assert(plan.contains("LeftAnti, BuildRight, true"), plan.take(2000))
+  test("b26 plan: the unfiltered NOT IN runs as a null-aware anti join " +
+    "(AQE on and off)") {
+    withAqeBothWays {
+      val plan = Relational.notInNulls(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      // Spark renders the null-aware broadcast anti join as a
+      // BroadcastHashJoin whose trailing isNullAwareAntiJoin flag is true
+      assert(plan.contains("LeftAnti, BuildRight, true"), plan.take(2000))
+    }
   }
 
   test("b17b: multiset counts dominate distinct counts and satisfy the " +
