@@ -1006,6 +1006,17 @@ object EventOps {
   def streamUpsert(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.upsertWarehouse(s, d)
 
+  /** d39: the streaming DEAD-LETTER path DECLARED — src03's PERMISSIVE
+    * quarantine composed with the streaming surface (file-source JSONL
+    * stream, per-batch foreachBatch routing into versioned good/dead
+    * sinks; topology + idempotent commit rule + audit contract in
+    * `streaming.Streams.deadLetterIngest`). Twelfth streaming shape
+    * through the gate; the oracle is src03's verbatim, because the
+    * committed audit is batching-invariant (append-only version log,
+    * order-invariant checksums). */
+  def streamDeadLetter(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.deadLetterIngest(s, d)
+
   /** d37: GROUPED-MAP custom processing — the Scala rendering of the
     * applyInPandas shape (VERDICT r11 item 8): `groupByKey(user_id)
     * .flatMapGroups` runs an arbitrary imperative function per group
@@ -1130,6 +1141,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d33_stream_upsert" -> (streamUpsert _),
+    "d39_stream_deadletter" -> (streamDeadLetter _),
     "d32_stream_join_left" -> (streamClickToPurchaseLeft _),
     "d31_stream_sliding" -> (streamSliding _),
     "d30_stream_enrich" -> (streamEnrich _),
@@ -1220,6 +1232,11 @@ object EventOps {
        |FROM slid GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d39: the streamed dead-letter audit ≡ src03's batch audit verbatim
+    // (the versioned good/dead sinks are an append-only log; the audit
+    // is order- and batching-invariant)
+    "d39_stream_deadletter" ->
+      graft.sources.Sources.oracles("src03_jsonl_corrupt"),
     // d33: the committed serving table ≡ the batch per-user aggregate
     // (nothing evicted ⇒ last upsert per key carries the full total)
     "d33_stream_upsert" ->

@@ -616,4 +616,116 @@ object Streams {
     }
     (result, root, fs)
   }
+
+  // ------------------------------------- d39: streaming dead-letter path
+
+  /** D39: the STREAMING ingest twin of src03 (VERDICT r13 item 6 — "the
+    * twelfth streaming shape and the one every production ingest actually
+    * runs"): a file-source JSONL stream read PERMISSIVE with an explicit
+    * `_corrupt_record` column, each micro-batch routed by `foreachBatch`
+    * into TWO versioned parquet sinks — survivors to `good/`, corrupt
+    * raw lines to the `dead/` quarantine — using d33's
+    * idempotent-by-version commit rule (every batch owns `v<batchId>`
+    * dirs; a replayed batch overwrites its own version instead of
+    * double-appending; readers take only `_SUCCESS`-committed versions).
+    *
+    * The fixture stages the corpus as TWO good JSONL shards (split at
+    * the median doc_id) plus ONE corrupt shard carrying the src03
+    * planted truncated lines, streamed with `maxFilesPerTrigger=1`, so
+    * the run genuinely exercises per-batch routing: some batches produce
+    * only survivors, the corrupt shard's batch produces the quarantine
+    * rows.
+    *
+    * The declared result is the src03 audit row computed FROM THE SINKS
+    * (count + exact checksums over the committed good rows ≡ the clean
+    * fixture — corrupt lines poison nothing; count + raw-line length sum
+    * over the committed dead rows ≡ the planted census), so the DuckDB
+    * oracle is src03's verbatim: because the sinks are an append-only
+    * version log and the audit is order/batching-invariant, the
+    * committed result equals the batch computation regardless of how
+    * files land in micro-batches.
+    *
+    * Scale: the read path is the real streaming ingest (splittable text
+    * source, explicit schema, codegen'd parse, PERMISSIVE routing is one
+    * null-partition filter per side); each batch writes only its own
+    * delta — no read-modify-write, no compaction debt beyond the d33-GC
+    * rule ([[gcSinkVersions]]' shadowing argument does not apply to an
+    * append-only log: no version is ever shadowed, retention there is
+    * time/watermark-based downstream compaction, out of scope here). */
+  def deadLetterIngest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val run = java.util.UUID.randomUUID.toString.take(8)
+    val root =
+      s"spark-warehouse/graft_stream_deadletter/${graft.Tables.dirTag(d)}/run_$run"
+    val stage = s"$root/stage"
+    val sink = s"$root/table"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val docs = graft.Tables.documents(s, d)
+    val mid = docs.agg((min(col("doc_id")) + max(col("doc_id"))) / 2)
+      .head().getDouble(0)
+    def stageShard(df: DataFrame, name: String, asText: Boolean): Unit = {
+      val tmp = s"$stage/_tmp_$name"
+      if (asText) df.coalesce(1).write.mode("overwrite").text(tmp)
+      else df.coalesce(1).write.mode("overwrite").json(tmp)
+      val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
+      fs.rename(part, new Path(stage, s"$name.json"))
+      fs.delete(new Path(tmp), true)
+    }
+    stageShard(docs.where(col("doc_id") <= mid), "part0", asText = false)
+    stageShard(docs.where(col("doc_id") > mid), "part1", asText = false)
+    // the corrupt shard: the src03 planted rule — truncated JSON lines
+    // for the CorruptPlanted smallest doc_ids (one shared constant)
+    stageShard(docs.select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(graft.sources.Sources.CorruptPlanted)
+      .select(concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+        lit(",\"text\":\"x")).as("value")), "part2corrupt", asText = true)
+    val parsed = s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType),
+        StructField("_corrupt_record", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "part*.json")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(stage)
+    val route: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) => {
+        val b = batch.persist()
+        try {
+          b.where(col("_corrupt_record").isNull).drop("_corrupt_record")
+            .write.mode("overwrite").parquet(s"$sink/good/v$id")
+          b.where(col("_corrupt_record").isNotNull)
+            .select(col("_corrupt_record").as("raw_line"))
+            .write.mode("overwrite").parquet(s"$sink/dead/v$id")
+        } finally b.unpersist()
+      }
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(route)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def committed(side: String): DataFrame = {
+      val vs = committedVersions(fs, s"$sink/$side")
+      if (vs.isEmpty) throw new IllegalStateException(
+        s"d39 $side sink committed no version")
+      s.read.parquet(vs.map(_._2.toString): _*)
+    }
+    val good = committed("good")
+    val dead = committed("dead")
+    val out = good.agg(
+        count(lit(1)).as("n_docs_good"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"))
+      .crossJoin(dead.agg(
+        count(lit(1)).as("n_corrupt"),
+        sum(length(col("raw_line")).cast("long")).as("sum_corrupt_len")))
+    val res = out.localCheckpoint(true).orderBy(col("n_docs_good"))
+    fs.delete(new Path(root), true)
+    res
+  }
 }

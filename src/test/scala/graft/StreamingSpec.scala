@@ -582,6 +582,21 @@ class StreamingSpec extends SparkSpec {
     fs.delete(new Path(root), true)
   }
 
+  test("d39 dead-letter ingest: the streamed audit is row-identical to " +
+    "src03's batch audit, and the quarantine holds the planted census") {
+    // the engine-side twin law (the DuckDB oracle certifies both keys
+    // against the fixture; this pins streamed ≡ batch directly): the
+    // append-only versioned sinks make the audit batching-invariant
+    val streamed = Streams.deadLetterIngest(spark, sf0001)
+    val row = streamed.head()
+    assert(row.getAs[Long]("n_corrupt") ===
+      graft.sources.Sources.CorruptPlanted.toLong)
+    val batch = graft.sources.Sources.jsonlCorrupt(spark, sf0001)
+    assert(streamed.collect().map(_.toString).sameElements(
+      batch.collect().map(_.toString)),
+      "streamed dead-letter audit must equal the batch src03 audit")
+  }
+
   test("d34 heap state merges ACROSS micro-batches: a later batch's " +
     "better value displaces an earlier batch's heap member") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
