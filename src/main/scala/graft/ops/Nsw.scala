@@ -226,6 +226,63 @@ object Nsw {
     val r = 4 * math.sqrt(n.toDouble).toLong
     math.max(Ann.C, java.lang.Long.highestOneBit(math.max(1L, r)).toInt)
   }
+  /** Descent-round compensation for a retuned seeding: every doubling
+    * of seedC beyond the declared [[Ann.C]] halves the per-vector seed
+    * COVERAGE FRACTION (PAdj cells of seedC), so the seed graph starts
+    * further from the true M-NN graph; one extra NN-descent round per
+    * doubling restores reach (each round expands candidates to
+    * neighbors-of-neighbors), at O(n·(2M)²) per round — the cheap term
+    * next to the O(n^1.5) seeding it compensates. Measured at the 200k
+    * clustered tier: 2 rounds at seedC=1024 searched at 0.8550 recall
+    * (under the ≥0.9 bar); the rule's 4 rounds clear it. Exact integer
+    * arithmetic (both values are powers of two); at the declared seedC
+    * this IS [[DescentRounds]], so declared builds and paths are
+    * byte-stable. */
+  def descentRoundsFor(seedC: Int): Int =
+    DescentRounds + Integer.numberOfTrailingZeros(seedC / Ann.C)
+
+  /** BSteps row index of the LAST tier certified at the base hop count
+    * [[H]]=4 (the 63k row, measured 0.9143). The 200k tier (k=4) is the
+    * measured anchor of the hop GROWTH rule below. */
+  val HAnchorK = 3
+  /** Highest BSteps row the ORACLE's hop chain is unrolled to (~2·10⁶
+    * vectors): the all-pairs `npairs` CTE the NSW oracle is built on is
+    * O(n²) and declared infeasible long before that, so the unroll
+    * bound can never bind a real oracle run — and past it the oracle
+    * fails LOUDLY (the beam-table `error()` doctrine), never silently
+    * under-hops relative to the engine. */
+  val HUnrollK = 6
+
+  /** Size-keyed hop rule (r14): the navigable graph's diameter grows
+    * with log n, so a FIXED hop count cannot hold recall at every tier.
+    * Measured at the 200k clustered tier (the diagnostic that
+    * motivated the rule): H=4 searches at 0.8548 and beam growth alone
+    * cannot recover it (0.8970 even at 4× beam), while one extra hop
+    * lands 0.9429 at the UNCHANGED declared beam. The declared rule is
+    * one extra hop per BSteps row above [[HAnchorK]]:
+    *
+    *   hops(n) = H + max(0, k(n) − HAnchorK),   k(n) = BSteps row of n
+    *
+    * Every graded fixture and the 20k/63k rehearsal tiers keep H=4 —
+    * declared hashes and certified rows are untouched. Exact integers
+    * from the same generated table both engines share; the oracle
+    * mirrors the rule by unrolling to [[HUnrollK]] with each extra hop
+    * GUARDED by its activation threshold (an inactive hop is an exact
+    * identity: it re-ranks an unchanged beam). */
+  def stepHops(n: Long): Int = {
+    val k = BSteps.indexWhere { case (hi, _) => n <= hi }
+    require(k >= 0,
+      s"corpus of $n vectors is beyond the beam rule's declared max " +
+        s"scale (last threshold ${BSteps.last._1}) — raise BMaxK")
+    H + math.max(0, k - HAnchorK)
+  }
+
+  /** The declared hop count for this corpus — a pure function of its
+    * parquet-footer row count (no corpus scan, unlike the beam's
+    * occupancy signal, so it is computed live even on the indexed
+    * path). */
+  def tunedH(s: SparkSession, d: String): Int =
+    stepHops(Tables.footerRowCount(s, s"$d/embeddings.parquet"))
   /** Id-ring half-width: u ↔ (u±δ) mod n, δ ≤ RingD, as extra seed
     * candidates — a connectivity floor (2·RingD geometry-random links)
     * so no vector can start with fewer candidates than M even in a
@@ -305,7 +362,7 @@ object Nsw {
       seedC: Int = Ann.C): DataFrame =
     cache.getOrBuild(s, s"$d#nswAdj@$seedC") {
       val g0 = bestM(s, d, seedCandidates(s, d, seedC)).localCheckpoint(true)
-      (1 to DescentRounds).foldLeft(g0)((g, _) =>
+      (1 to descentRoundsFor(seedC)).foldLeft(g0)((g, _) =>
         descend(s, d, g).localCheckpoint(true))
     }
 
@@ -439,7 +496,7 @@ object Nsw {
   }
 
   def nswTopk(s: SparkSession, d: String): DataFrame =
-    nswTopkAt(s, d, H, tunedB(s, d))
+    nswTopkAt(s, d, tunedH(s, d), tunedB(s, d))
 
   def nswRecall(s: SparkSession, d: String): DataFrame =
     Ann.recallOf(s, d, nswTopk(s, d).select(col("qid"), col("cid")))
@@ -501,7 +558,8 @@ object Nsw {
     // non-default seed retune ([[retunedSeedC]]) is its own version
     // family (`_sc<seedC>`): the declared fixed-C path is byte-stable.
     val sc = if (seedC == Ann.C) "" else s"_sc$seedC"
-    s"$root/nsw_v3_M${M}_F${F}_P${PAdj}_R${RingD}_D${DescentRounds}_" +
+    s"$root/nsw_v3_M${M}_F${F}_P${PAdj}_R${RingD}_" +
+      s"D${descentRoundsFor(seedC)}_" +
       s"B${B}bs${bStepsDigest}m${ClusterShareMul}d${ClusterBeamDiv}" +
       s"c${Ann.C}$sc" +
       s"_${Ann.corpusFingerprint(s, d)}_${graft.Tables.dirTag(d)}"
@@ -570,7 +628,7 @@ object Nsw {
     * beam — a cold session pays E + H·B·(M+F) probe work only, never
     * the NN-descent build or the shape scan. */
   def nswTopkIndexed(s: SparkSession, d: String): DataFrame =
-    nswTopkAt(s, d, H, storedBeam(s, d), E, far = 0,
+    nswTopkAt(s, d, tunedH(s, d), storedBeam(s, d), E, far = 0,
       adjOverride = Some(storedAdjacency(s, d)))
 
   private[graft] def nswRecallAt(s: SparkSession, d: String,
@@ -620,13 +678,22 @@ object Nsw {
          |  WHERE u <> v),
          |${bestMCte(s"ag$r", s"acnd$r")}""".stripMargin
     }.mkString(",\n")
-    val hops = (1 to H).map { h =>
+    // hop chain unrolled to the HUnrollK row (r14 hop rule): hops ≤ H
+    // are unconditional; each later hop's GROW branch is guarded by its
+    // activation threshold from the SAME generated BSteps table the
+    // engine's stepHops reads — below the threshold the hop re-ranks an
+    // unchanged beam (top-B of the top-B: an exact identity), so both
+    // engines compute the same hop count at every corpus size.
+    val hopsN = H + (HUnrollK - HAnchorK)
+    val hops = (1 to hopsN).map { h =>
+      val guard = if (h <= H) "" else
+        s"\n    WHERE (SELECT n FROM nn1) > ${BSteps(HAnchorK + h - H - 1)._1}"
       s"""g$h AS MATERIALIZED (
          |  SELECT DISTINCT qid, cand FROM (
          |    SELECT qid, cand FROM b${h - 1}
          |    UNION ALL
          |    SELECT b.qid, a.v AS cand
-         |    FROM b${h - 1} b JOIN adj a ON b.cand = a.u) u$h
+         |    FROM b${h - 1} b JOIN adj a ON b.cand = a.u$guard) u$h
          |  WHERE cand <> qid),
          |s$h AS MATERIALIZED (
          |  SELECT g.qid, g.cand,
@@ -679,14 +746,21 @@ object Nsw {
        |adj AS (SELECT DISTINCT u, v FROM (
        |  SELECT u, v FROM ag$DescentRounds
        |  UNION ALL SELECT u, v FROM farl) zadj),
+       |hguard AS (
+       |  SELECT CASE WHEN n <= ${BSteps(HUnrollK)._1} THEN 1
+       |  ELSE CAST(error('corpus beyond the oracle hop unroll (row ' ||
+       |    '$HUnrollK, ${BSteps(HUnrollK)._1} vectors) - raise ' ||
+       |    'HUnrollK; the n^2 npairs oracle is infeasible here anyway')
+       |    AS INTEGER) END AS okh FROM nn1),
        |b0 AS (
        |  SELECT q.vec_id AS qid, e.vec_id AS cand
-       |  FROM embeddings q CROSS JOIN embeddings e
-       |  WHERE e.vec_id < $E AND e.vec_id <> q.vec_id),
+       |  FROM embeddings q CROSS JOIN embeddings e CROSS JOIN hguard
+       |  WHERE e.vec_id < $E AND e.vec_id <> q.vec_id
+       |    AND hguard.okh = 1),
        |$hops,
        |ranked AS (
        |  SELECT s.qid, s.cand AS cid, p.dist, s.rn AS rnk
-       |  FROM s$H s JOIN npairs p ON p.qid = s.qid AND p.cid = s.cand
+       |  FROM s$hopsN s JOIN npairs p ON p.qid = s.qid AND p.cid = s.cand
        |  WHERE s.rn <= $K)""".stripMargin
   }
 

@@ -60,17 +60,23 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failures = 0
-    def check(name: String)(body: => String): Unit = {
-      val t0 = System.nanoTime()
-      try {
-        val msg = body
-        println(f"[scale] PASS $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s  $msg")
-      } catch {
-        case e: Throwable =>
-          failures += 1
-          println(f"[scale] FAIL $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ${e.getMessage}")
+    // SCALECHECK_ONLY: comma-separated substring filter for targeted
+    // iteration on one row (the SPARK_GRAFT_BENCH_ONLY pattern);
+    // archived artifact runs never set it.
+    val onlyRows = sys.env.get("SCALECHECK_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def check(name: String)(body: => String): Unit =
+      if (onlyRows.forall(_.exists(name.contains))) {
+        val t0 = System.nanoTime()
+        try {
+          val msg = body
+          println(f"[scale] PASS $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s  $msg")
+        } catch {
+          case e: Throwable =>
+            failures += 1
+            println(f"[scale] FAIL $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ${e.getMessage}")
+        }
       }
-    }
     def canon(df: DataFrame): Array[String] =
       df.collect().map(_.toString).sorted
 
@@ -537,7 +543,8 @@ object ScaleCheck {
         // ran the beam for all 63k and semijoined 98% of it away —
         // per-query independence makes the pre-restriction exact).
         Nsw.ensureNswIndex(spark, cd2, seedC)
-        val approx = Nsw.nswTopkAt(spark, cd2, Nsw.H, bAuto, far = 0,
+        val hAuto = Nsw.stepHops(n)
+        val approx = Nsw.nswTopkAt(spark, cd2, hAuto, bAuto, far = 0,
             adjOverride = Some(Nsw.storedAdjacency(spark, cd2, seedC)),
             qOnly = Some(qs.select(col("qid"))))
           .select(col("qid"), col("cid"))
@@ -548,8 +555,8 @@ object ScaleCheck {
         Nsw.clearCache(); Ann.clearCache()
         require(r >= 0.9,
           f"tier-${i + 2} clustered recall $r%.4f < 0.9 at shape beam $bAuto")
-        f"recall $r%.4f (sampled, n_q=$nq) at shape beam $bAuto " +
-          f"(step $step discounted ${Nsw.ClusterBeamDiv}×, n=$n, " +
+        f"recall $r%.4f (sampled, n_q=$nq) at shape beam $bAuto, " +
+          f"H=$hAuto (step $step discounted ${Nsw.ClusterBeamDiv}×, n=$n, " +
           f"seed C=$seedC${if (seedC != Ann.C) " retuned" else ""})"
       }
     }
@@ -559,7 +566,8 @@ object ScaleCheck {
     // PERSISTED graph (the serving path: no build, no shape scan) over
     // the same capped 1024-query sample, so the only things that grow
     // between consecutive tiers are the rule-derived beam (2× per
-    // BSteps row: 48 → 96 → 192) and the adjacency table (n·(M+F)
+    // BSteps row: 48 → 96 → 192), the rule-derived hop count (+1 per
+    // row above the 63k anchor), and the adjacency table (n·(M+F)
     // edges). The bound is honest about local[32]: the per-hop
     // shuffle-hash join scans the WHOLE adjacency here (a real cluster
     // prunes it — the lists are bucketed by u), so wall-clock must stay
@@ -577,7 +585,7 @@ object ScaleCheck {
         val b = Nsw.storedBeam(spark, dir, seedC)
         def run(): Double = {
           val t0 = System.nanoTime()
-          Nsw.nswTopkAt(spark, dir, Nsw.H, b, far = 0,
+          Nsw.nswTopkAt(spark, dir, Nsw.stepHops(n), b, far = 0,
             adjOverride = Some(Nsw.storedAdjacency(spark, dir, seedC)),
             qOnly = Some(qs)).count()
           (System.nanoTime() - t0) / 1e9

@@ -217,6 +217,23 @@ class NswSpec extends SparkSpec {
     // at scale: exact pow2-floored 4√n (the ScaleCheck tier decisions)
     assert(Nsw.retunedSeedC(63000L) === 512)
     assert(Nsw.retunedSeedC(200000L) === 1024)
+    // descent-round compensation: one extra round per seedC doubling;
+    // the declared seedC gets exactly the declared rounds
+    assert(Nsw.descentRoundsFor(graft.ops.Ann.C) === Nsw.DescentRounds)
+    assert(Nsw.descentRoundsFor(512) === Nsw.DescentRounds + 1)
+    assert(Nsw.descentRoundsFor(1024) === Nsw.DescentRounds + 2)
+    // size-keyed hop rule: every graded fixture and both certified
+    // rehearsal tiers (20k/63k) keep the base H — declared hashes
+    // cannot move — and one hop is added per BSteps row above the 63k
+    // anchor (the 200k measurement: H=4 → 0.8548, H=5 → 0.9429)
+    assert(Nsw.stepHops(2000L) === Nsw.H)
+    assert(Nsw.stepHops(20000L) === Nsw.H)
+    assert(Nsw.stepHops(63000L) === Nsw.H)
+    assert(Nsw.stepHops(200000L) === Nsw.H + 1)
+    assert(Nsw.stepHops(630000L) === Nsw.H + 2)
+    // the oracle's hop unroll is bounded FAR beyond any feasible
+    // all-pairs oracle run, and fails loudly there, never silently
+    assert(Nsw.BSteps(Nsw.HUnrollK)._1 > 1900000L)
     // a non-default seed C commits under its own `_sc` version dir —
     // the declared fixed-C artifact is untouched by a retuned build —
     // and the retuned graph obeys the same M-regularity law (a real
