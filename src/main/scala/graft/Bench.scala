@@ -184,7 +184,19 @@ object Bench {
     val extras = new StringBuilder
     if (calSeries.nonEmpty) {
       val cs = calSeries.reverse
-      val ratio = cs.max / cs.min
+      // Floor = MEDIAN of the probe series, not the min (r14): the
+      // detector exists to catch BURSTS — probes inflated above the
+      // run's own steady state. The min is fragile in the other
+      // direction: one lucky-fast probe (measured 0.057 s in a series
+      // whose other 28 probes sat at 0.08–0.13) deflates the floor and
+      // flags a quiet run. The median is the steady state under ≤50%
+      // burst contamination; a burst probe still reads >2× against it,
+      // while sustained whole-run load defeats min and median equally
+      // (both floors rise) — that case is caught by cross-run totals,
+      // not this instrument.
+      val sorted = cs.sorted
+      val floor = sorted(sorted.size / 2)
+      val ratio = cs.max / floor
       extras ++= ",\"calibration\":{" +
         s""""probes":[${cs.map(v => math.rint(v * 1e4) / 1e4)
           .mkString(",")}],""" +
