@@ -152,7 +152,7 @@ object Bench {
     // ~30 probes across the inventory at ~3% time overhead, enough to
     // localize a burst without distorting the run
     var allIdx = 0
-    val results = names.flatMap { name =>
+    def measureOnce(): Seq[(String, Double)] = names.flatMap { name =>
       if (all) {
         clearAllCaches()
         val r = timeOnce(name).map(name -> _)
@@ -171,6 +171,49 @@ object Bench {
         cold.map(name -> _)
       }
     }
+    def seriesContended(cs: Seq[Double]): (Double, Boolean) = {
+      // Floor = MEDIAN of the probe series, not the min (r14): the
+      // detector exists to catch BURSTS — probes inflated above the
+      // run's own steady state. The min is fragile in the other
+      // direction: one lucky-fast probe deflates the floor and flags a
+      // quiet run. The median is the steady state under ≤50% burst
+      // contamination; sustained whole-run load defeats min and median
+      // equally — that case is caught by cross-run totals.
+      val sorted = cs.sorted
+      val floor = sorted(sorted.size / 2)
+      val ratio = cs.max / floor
+      (ratio, ratio > 2.0)
+    }
+    // Contended-run RERUN policy (r15, VERDICT r14 item 3a): two of the
+    // last three rounds archived a contention-distorted HEADLINE artifact
+    // — the instrument flagged its own run, but flagging isn't fixing.
+    // In headline mode a contended attempt is discarded and the whole
+    // timed block reruns (bounded attempts; per-attempt calibration is
+    // archived under "attempts" so discarded runs stay auditable). The
+    // archived numbers are the FIRST quiet attempt's — or, if every
+    // attempt was contended, the last attempt's, still self-flagged
+    // contended. --all mode keeps single-attempt semantics: a ~465 s
+    // inventory rerun would multiply driver wall-clock for an artifact
+    // whose per-query numbers are cross-checked by the A/B rig anyway.
+    val MaxAttempts = if (all) 1 else 3
+    var attemptLog = List.empty[(Int, Double, Boolean)]
+    var results = Seq.empty[(String, Double)]
+    var attempt = 0
+    var done = false
+    while (!done && attempt < MaxAttempts) {
+      attempt += 1
+      calSeries = Nil
+      if (attempt > 1) { warmResults = Nil; noisy = Nil; failed = Nil }
+      results = measureOnce()
+      val (ratio, contended) =
+        if (calSeries.nonEmpty) seriesContended(calSeries.reverse)
+        else (1.0, false)
+      attemptLog ::= ((attempt, ratio, contended))
+      if (contended && attempt < MaxAttempts)
+        System.err.println(f"[bench] attempt $attempt contended " +
+          f"(probe ratio $ratio%.2f > 2.0) — discarding and rerunning")
+      else done = true
+    }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: " +
         failed.sorted.mkString(", "))
@@ -184,24 +227,21 @@ object Bench {
     val extras = new StringBuilder
     if (calSeries.nonEmpty) {
       val cs = calSeries.reverse
-      // Floor = MEDIAN of the probe series, not the min (r14): the
-      // detector exists to catch BURSTS — probes inflated above the
-      // run's own steady state. The min is fragile in the other
-      // direction: one lucky-fast probe (measured 0.057 s in a series
-      // whose other 28 probes sat at 0.08–0.13) deflates the floor and
-      // flags a quiet run. The median is the steady state under ≤50%
-      // burst contamination; a burst probe still reads >2× against it,
-      // while sustained whole-run load defeats min and median equally
-      // (both floors rise) — that case is caught by cross-run totals,
-      // not this instrument.
-      val sorted = cs.sorted
-      val floor = sorted(sorted.size / 2)
-      val ratio = cs.max / floor
+      val (ratio, contended) = seriesContended(cs)
       extras ++= ",\"calibration\":{" +
         s""""probes":[${cs.map(v => math.rint(v * 1e4) / 1e4)
           .mkString(",")}],""" +
         s""""ratio":${math.rint(ratio * 100) / 100},""" +
-        s""""contended":${ratio > 2.0}}"""
+        s""""contended":$contended}"""
+    }
+    if (attemptLog.size > 1 || attemptLog.exists(_._3)) {
+      // every attempt's verdict, so a discarded contended run is
+      // auditable in the artifact it was discarded from
+      extras ++= ",\"attempts\":" + attemptLog.reverse.map {
+        case (i, r, c) =>
+          s"""{"attempt":$i,"ratio":${math.rint(r * 100) / 100},""" +
+            s""""contended":$c}"""
+      }.mkString("[", ",", "]")
     }
     if (!all) {
       extras ++= ",\"warm\":" + jsonMap(warmResults.reverse)

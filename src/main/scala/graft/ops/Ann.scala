@@ -81,6 +81,17 @@ object Ann {
     assignCache.getOrBuild(s, s"$d#assign#$c")(
       buildAssignments(s, d, centroidsAt(s, d, c)))
 
+  /** Assignment table over the BASE slice only (`vec_id < cut`) — the
+    * seeding index of the base-only NSW build behind
+    * `ann_nsw_topk_upserted` (delta rows are IVF-served, never in the
+    * graph). Same cells (centroid ids < C are inside every legal base by
+    * the [[upsertCut]] guard), same argmin rule; cached per (c, cut). */
+  private[graft] def assignmentsBaseAt(s: SparkSession, d: String,
+      c: Int, cut: Long): DataFrame =
+    assignCache.getOrBuild(s, s"$d#assignBase#$c#$cut")(
+      buildAssignments(s, d, centroidsAt(s, d, c),
+        Some(col("vec_id") < cut)))
+
   def trainedAssignments(s: SparkSession, d: String): DataFrame =
     trainedAssignmentsAt(s, d, C)
 
@@ -817,6 +828,19 @@ object Ann {
   def ivfTopkUpserted(s: SparkSession, d: String): DataFrame =
     ivfTopkFrom(s, d, upsertedCentroids(s, d), upsertedLists(s, d), P)
 
+  /** The delta file set alone — the arriving batch the graph tier's
+    * delta-serving union reads (never the base files). */
+  private[graft] def deltaLists(s: SparkSession, d: String): DataFrame =
+    listsAt(s, s"${ensureUpsertedIndex(s, d)}/delta/lists")
+
+  /** Delta-only IVF serving (the graph tier's between-retrains path,
+    * Nsw upsert contract → `ann_nsw_topk_upserted`): every query
+    * probes the FROZEN base-trained quantizer, but candidates come
+    * from the delta lists ONLY — O(n · P · |delta|/C) work, the term
+    * that stays cheap while the base graph serves the bulk. */
+  private[graft] def ivfTopkDelta(s: SparkSession, d: String): DataFrame =
+    ivfTopkFrom(s, d, upsertedCentroids(s, d), deltaLists(s, d), P)
+
   // ------------------------------------------------ retrain lifecycle
 
   /** Retrain trigger: once the appended delta reaches
@@ -926,7 +950,7 @@ object Ann {
   /** recall@K of an approximate top-k against the exact ops.Knn top-k —
     * pure integer counts plus one division, so the quality of the
     * approximate index is itself an oracle-checked number. */
-  private[ops] def recallOf(s: SparkSession, d: String, approx: DataFrame): DataFrame = {
+  private[graft] def recallOf(s: SparkSession, d: String, approx: DataFrame): DataFrame = {
     val exact = Knn.knnTopk(s, d).select(col("qid"), col("cid"))
     val hits = approx.select(col("qid"), col("cid"))
       .join(exact, Seq("qid", "cid"))
@@ -1408,7 +1432,7 @@ object Ann {
     * pick and Lloyd's rounds run over it. The downstream assignment
     * CTEs still range over ALL of `embeddings` — base rows and the
     * appended delta batch under one frozen quantizer. */
-  private def upsertBaseCtes: String =
+  private[ops] def upsertBaseCtes: String =
     s"""base AS (
        |  SELECT * FROM embeddings
        |  WHERE vec_id < (SELECT (count(*) * $UpsertNum) // $UpsertDen
@@ -1420,24 +1444,31 @@ object Ann {
 
   /** assignment + probe CTEs against centroid CTE `from` — the IVF
     * routing half, shared by the exact-within-lists chain ([[ivfCtes]])
-    * and the IVFPQ composition. */
-  private[ops] def assignProbeCtes(from: String, p: Int = P): String =
-    s"""assign AS (
+    * and the IVFPQ composition. `src` is the table the ASSIGNED rows
+    * come from (the base slice for the NSW upsert family) and `probeSrc`
+    * the table queries come from; `prefix` renames the emitted CTEs so
+    * two instantiations can coexist in one statement (the upserted-NSW
+    * oracle routes build seeding AND delta serving in one query). All
+    * defaults preserve every existing oracle byte for byte. */
+  private[ops] def assignProbeCtes(from: String, p: Int = P,
+      src: String = "embeddings", probeSrc: String = "embeddings",
+      prefix: String = ""): String =
+    s"""${prefix}assign AS (
        |  SELECT vec_id, embedding, cent_id FROM (
        |    SELECT e.vec_id, e.embedding, c.cent_id,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
        |                                     CAST(c.cent_vec AS DOUBLE[])) ASC,
        |        c.cent_id ASC) AS crn
-       |    FROM embeddings e CROSS JOIN $from c) z WHERE crn = 1),
-       |probes AS (
+       |    FROM $src e CROSS JOIN $from c) z WHERE crn = 1),
+       |${prefix}probes AS (
        |  SELECT qid, cent_id FROM (
        |    SELECT e.vec_id AS qid, c.cent_id,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
        |                                     CAST(c.cent_vec AS DOUBLE[])) ASC,
        |        c.cent_id ASC) AS prn
-       |    FROM embeddings e CROSS JOIN $from c) z WHERE prn <= $p)"""
+       |    FROM $probeSrc e CROSS JOIN $from c) z WHERE prn <= $p)"""
       .stripMargin
 
   /** assignment + probe + ranked-topk CTE chain against centroid CTE

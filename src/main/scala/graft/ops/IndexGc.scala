@@ -56,7 +56,8 @@ object IndexGc {
   val DefaultGraceMs: Long = 24L * 3600 * 1000
 
   /** One GC decision: `action` ∈ kept_serving | kept_recent |
-    * kept_grace | deleted | deleted_tmp | kept_tmp_grace. */
+    * kept_grace | deleted | deleted_tmp | kept_tmp_grace |
+    * kept_unknown. */
   final case class GcAction(path: String, family: String, action: String,
       committedAtMs: Long)
 
@@ -92,6 +93,19 @@ object IndexGc {
         .map(p => new Path(p).getName)
     }.toSet
 
+  /** Serving protection only applies to names `familyOf` classifies
+    * (the version sweep groups by family). If a live resolvable name
+    * ever fails to classify — a fingerprint-format change that outpaced
+    * this sweep — proceeding would age-delete a SERVING version. That
+    * must be a loud abort, never a silent sweep. */
+  private[graft] def assertServingClassifiable(serving: Set[String]): Unit = {
+    val unclassified = serving.filter(familyOf(_).isEmpty)
+    require(unclassified.isEmpty,
+      "IndexGc: serving version name(s) not classifiable by familyOf — " +
+        "refusing to sweep (update familyOf before GC): " +
+        unclassified.toSeq.sorted.mkString(", "))
+  }
+
   /** Run the retention GC over the index root. `serveDatasets` declares
     * the corpora this deployment still serves — their resolvable
     * versions are never deleted. Returns every decision taken (one row
@@ -104,6 +118,7 @@ object IndexGc {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     val serving = servingNames(s, serveDatasets)
+    assertServingClassifiable(serving)
     val now = System.currentTimeMillis()
 
     def committedAt(p: Path): Option[Long] = {
@@ -118,12 +133,18 @@ object IndexGc {
       (st.getPath, name, familyOf(name), committedAt(st.getPath), st)
     }
 
-    // non-version shapes: crashed-build temp dirs (and anything else
-    // unclassifiable) age out after the grace window
+    // non-version shapes: ONLY engine-owned crashed-build temp dirs
+    // (`__build_` in the name) age out after the grace window.
+    // Anything else the sweep cannot classify is NOT ours to delete —
+    // a foreign artifact, or a future version-name format this
+    // `familyOf` predates. Deleting it would be the maximal failure
+    // (VERDICT r14 item 5): report `kept_unknown` and leave it.
     val tmpActions = classified.collect {
       case (p, name, None, at, st) =>
         val ts = at.getOrElse(st.getModificationTime)
-        if (now - ts >= graceMs) {
+        if (!name.contains("__build_"))
+          GcAction(p.toString, "unknown", "kept_unknown", ts)
+        else if (now - ts >= graceMs) {
           fs.delete(p, true)
           GcAction(p.toString, "tmp", "deleted_tmp", ts)
         } else GcAction(p.toString, "tmp", "kept_tmp_grace", ts)

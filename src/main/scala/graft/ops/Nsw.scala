@@ -174,6 +174,13 @@ object Nsw {
     Ann.assignments(s, d).groupBy(col("cent_id"))
       .agg(count(lit(1)).as("sz")).agg(max(col("sz"))).head().getLong(0)
 
+  /** The shape signal censused over the BASE slice only — the beam
+    * decision of the base-only graph behind `ann_nsw_topk_upserted`. */
+  private[graft] def topCellSizeBase(s: SparkSession, d: String,
+      cut: Long): Long =
+    Ann.assignmentsBaseAt(s, d, Ann.C, cut).groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("sz")).agg(max(col("sz"))).head().getLong(0)
+
   /** The size-keyed step alone (no shape signal) — the upper bound the
     * shape rule discounts from. */
   private[graft] def stepB(n: Long): Int =
@@ -238,8 +245,19 @@ object Nsw {
     * arithmetic (both values are powers of two); at the declared seedC
     * this IS [[DescentRounds]], so declared builds and paths are
     * byte-stable. */
-  def descentRoundsFor(seedC: Int): Int =
+  def descentRoundsFor(seedC: Int): Int = {
+    // Guard the rule's domain (ADVICE r14): the retune only ever emits
+    // power-of-two seedC ≥ Ann.C. Outside that, the arithmetic is
+    // silently wrong (seedC < Ann.C → trailingZeros(0) = 32 → a
+    // ~34-round build; a non-power-of-two multiple silently floors) —
+    // and a typo'd CLI seedC would otherwise launch hours of build work
+    // at a bogus version dir. Fail loudly instead.
+    require(seedC >= Ann.C && Integer.bitCount(seedC) == 1,
+      s"seedC=$seedC is not a power-of-two ≥ Ann.C=${Ann.C} — " +
+        "descentRoundsFor is only defined on the retune rule's range " +
+        "(retunedSeedC emits pow2-floored 4*sqrt(n), clamped to Ann.C)")
     DescentRounds + Integer.numberOfTrailingZeros(seedC / Ann.C)
+  }
 
   /** BSteps row index of the LAST tier certified at the base hop count
     * [[H]]=4 (the 63k row, measured 0.9143). The 200k tier (k=4) is the
@@ -303,15 +321,26 @@ object Nsw {
     * ∪ the id-ring. `seedC` defaults to the declared [[Ann.C]] (every
     * declared query); [[retunedSeedC]] is the at-scale alternative. */
   private[graft] def seedCandidates(s: SparkSession, d: String,
-      seedC: Int = Ann.C): DataFrame = {
-    val probes = Ann.probesOf(s, d, Ann.centroidsAt(s, d, seedC), PAdj)
+      seedC: Int = Ann.C, baseN: Option[Long] = None): DataFrame = {
+    // baseN (r15, VERDICT r14 item 6): restrict the WHOLE build to the
+    // first baseN vectors — the base slice the upsert family's frozen
+    // serving artifacts are built over. Ids are contiguous 0..n−1
+    // (fixture contract), so the slice keeps the ring/far arithmetic
+    // exact with nn = baseN. None = the declared full-corpus build.
+    val probes = Ann.probesOf(s, d, Ann.centroidsAt(s, d, seedC), PAdj,
+        qWhere = baseN.map(c => col("vec_id") < c))
       .select(col("qid").as("u"), col("cent_id"))
-    val inv = Ann.assignmentsAt(s, d, seedC)
-      .select(col("cent_id"), col("vec_id").as("v"))
+    val inv = (baseN match {
+        case Some(cut) => Ann.assignmentsBaseAt(s, d, seedC, cut)
+        case None => Ann.assignmentsAt(s, d, seedC)
+      }).select(col("cent_id"), col("vec_id").as("v"))
     val cell = probes.join(inv.hint("shuffle_hash"), Seq("cent_id"))
       .select(col("u"), col("v"))
-    val nDf = Tables.embeddings(s, d).agg(count(lit(1)).as("nn"))
+    val nDf = Tables.embeddings(s, d)
+      .where(baseN.map(c => col("vec_id") < c).getOrElse(lit(true)))
+      .agg(count(lit(1)).as("nn"))
     val ring = Tables.embeddings(s, d).select(col("vec_id").as("u"))
+      .where(baseN.map(c => col("u") < c).getOrElse(lit(true)))
       .crossJoin(broadcast(nDf))
       .select(col("u"),
         explode(sequence(lit(-RingD), lit(RingD))).as("dlt"), col("nn"))
@@ -359,9 +388,11 @@ object Nsw {
     * localCheckpoint = the iterative-plan barrier (the Lloyd's/
     * star-contraction discipline). */
   private[graft] def adjacency(s: SparkSession, d: String,
-      seedC: Int = Ann.C): DataFrame =
-    cache.getOrBuild(s, s"$d#nswAdj@$seedC") {
-      val g0 = bestM(s, d, seedCandidates(s, d, seedC)).localCheckpoint(true)
+      seedC: Int = Ann.C, baseN: Option[Long] = None): DataFrame =
+    cache.getOrBuild(s,
+      s"$d#nswAdj@$seedC" + baseN.map(c => s"#b$c").getOrElse("")) {
+      val g0 = bestM(s, d, seedCandidates(s, d, seedC, baseN))
+        .localCheckpoint(true)
       (1 to descentRoundsFor(seedC)).foldLeft(g0)((g, _) =>
         descend(s, d, g).localCheckpoint(true))
     }
@@ -401,9 +432,12 @@ object Nsw {
     * 12 this IS part of the declared graph: nswTopk searches over
     * adjacency ∪ farLinks(F=8) (see [[F]]). */
   private[graft] def farLinks(s: SparkSession, d: String,
-      far: Int): DataFrame = {
-    val nDf = Tables.embeddings(s, d).agg(count(lit(1)).as("nn"))
+      far: Int, baseN: Option[Long] = None): DataFrame = {
+    val nDf = Tables.embeddings(s, d)
+      .where(baseN.map(c => col("vec_id") < c).getOrElse(lit(true)))
+      .agg(count(lit(1)).as("nn"))
     Tables.embeddings(s, d).select(col("vec_id").as("u"))
+      .where(baseN.map(c => col("u") < c).getOrElse(lit(true)))
       .crossJoin(broadcast(nDf))
       .select(col("u"), explode(sequence(lit(1), lit(far))).as("k"),
         col("nn"))
@@ -417,15 +451,17 @@ object Nsw {
     * the base adjacency — it is rebuilt once, not once per hop. */
   private[graft] def adjacencyWithFar(s: SparkSession, d: String,
       far: Int, adjOverride: Option[DataFrame] = None,
-      seedC: Int = Ann.C): DataFrame =
+      seedC: Int = Ann.C, baseN: Option[Long] = None): DataFrame =
     adjOverride match {
       case Some(base) =>
         if (far == 0) base
-        else base.unionByName(farLinks(s, d, far)).distinct()
+        else base.unionByName(farLinks(s, d, far, baseN)).distinct()
       case None =>
-        if (far == 0) adjacency(s, d, seedC)
-        else cache.getOrBuild(s, s"$d#nswAdjFar$far@$seedC") {
-          adjacency(s, d, seedC).unionByName(farLinks(s, d, far)).distinct()
+        if (far == 0) adjacency(s, d, seedC, baseN)
+        else cache.getOrBuild(s, s"$d#nswAdjFar$far@$seedC" +
+            baseN.map(c => s"#b$c").getOrElse("")) {
+          adjacency(s, d, seedC, baseN)
+            .unionByName(farLinks(s, d, far, baseN)).distinct()
         }
     }
 
@@ -638,10 +674,50 @@ object Nsw {
       nswTopkAt(s, d, hops, b, e, far, adjOverride)
         .select(col("qid"), col("cid")))
 
+  /** ann_nsw_topk_upserted (r15, VERDICT r14 item 6): the DELTA-SERVING
+    * topology the upsert contract below states in prose, now a graded
+    * query. The graph tier has no incremental edge maintenance (neighbor
+    * lists are global properties), so between retrains a deployment
+    * serves:
+    *
+    *   search(q) = top-K of ( NSW beam over the BASE-ONLY graph
+    *             ∪ IVF probe of the DELTA lists under the frozen
+    *               base-trained quantizer )
+    *
+    * Base graph: the same build chain restricted to the first
+    * [[Ann.upsertCut]] vectors (its own beam/hop decisions, keyed to the
+    * BASE size and the BASE occupancy census — the signals the serving
+    * version was actually built from). Delta side:
+    * [[Ann.ivfTopkDelta]] — exact within probed delta lists, so an
+    * arriving vector is searchable the moment its list row lands, no
+    * graph surgery. The union is re-ranked under the one (dist, cid)
+    * total order; overall top-K ⊆ union of the two sides' top-K, so
+    * K-deep sides suffice. Queries are the full corpus (delta vectors
+    * query too — leave-one-out, like every ANN key). At 100 TB: the
+    * base search is the measured sublinear serving trend; the delta
+    * term is O(n·P·|delta|/C) and |delta| is retrain-bounded at
+    * [[Ann.RetrainNum]]/[[Ann.RetrainDen]] of the base. */
+  def nswTopkUpserted(s: SparkSession, d: String): DataFrame = {
+    val cut = Ann.upsertCut(s, d)
+    val baseAdj = adjacencyWithFar(s, d, F, None, Ann.C, Some(cut))
+    val base = nswTopkAt(s, d, stepHops(cut),
+      beamFrom(cut, topCellSizeBase(s, d, cut)), E, far = 0,
+      adjOverride = Some(baseAdj))
+    val delta = Ann.ivfTopkDelta(s, d)
+    val cands = base.select(col("qid"), col("cid").as("cand"))
+      .unionByName(delta.select(col("qid"), col("cid").as("cand")))
+      .distinct()
+    rank(s, d, cands).where(col("rn") <= K)
+      .select(col("qid"), col("rn").as("rnk"), col("cand").as("cid"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_nsw_topk" -> (nswTopk _),
     "ann_nsw_recall" -> (nswRecall _),
     "ann_nsw_topk_indexed" -> (nswTopkIndexed _),
+    "ann_nsw_topk_upserted" -> (nswTopkUpserted _),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -657,7 +733,16 @@ object Nsw {
     * table at the graded tiers — the ENGINE never builds it. Each step
     * MATERIALIZED (the inlining lesson — g02/docEdgeSql). Leaves
     * `ranked` (qid, cid, dist, rnk). */
-  private def nswCtes: String = {
+  private def nswCtes: String = nswCtesOver("embeddings", withSeedCents = true)
+
+  /** The same chain over graph-source table `src` (the base slice for
+    * the upserted key; queries ALWAYS range over the full `embeddings`).
+    * `withSeedCents` = false when the surrounding statement already
+    * defines `cents0` (the upsert family's [[Ann.upsertBaseCtes]] does,
+    * identically: cells are vec_id < C, inside every legal base). With
+    * the defaults this IS the original text, byte for byte — the three
+    * certified nsw oracles cannot move. */
+  private def nswCtesOver(src: String, withSeedCents: Boolean): String = {
     // one best-M cut: candidates cte -> graph cte
     def bestMCte(name: String, from: String): String =
       s"""$name AS MATERIALIZED (
@@ -704,10 +789,10 @@ object Nsw {
          |  WHERE rn <= (SELECT bt FROM btuned))"""
         .stripMargin
     }.mkString(",\n")
+    val seedCents = if (withSeedCents) s"${Ann.seedCentsCte},\n" else ""
     s"""npairs AS MATERIALIZED (${Knn.cosPairs}),
-       |${Ann.seedCentsCte},
-       |${Ann.assignProbeCtes("cents0", PAdj)},
-       |nn1 AS (SELECT count(*) AS n FROM embeddings),
+       |$seedCents${Ann.assignProbeCtes("cents0", PAdj, src, src)},
+       |nn1 AS (SELECT count(*) AS n FROM $src),
        |bsize AS (
        |  SELECT n, CASE ${Nsw.BSteps.map { case (hi, bb) =>
                   s"WHEN n <= $hi THEN $bb" }.mkString(" ")}
@@ -729,7 +814,7 @@ object Nsw {
        |    UNION ALL
        |    SELECT e.vec_id AS u,
        |      ((e.vec_id + dd.d) % nn1.n + nn1.n) % nn1.n AS v
-       |    FROM embeddings e CROSS JOIN nn1
+       |    FROM $src e CROSS JOIN nn1
        |      CROSS JOIN (SELECT unnest(range(-$RingD, ${RingD + 1})) AS d) dd
        |    WHERE dd.d <> 0) x
        |  WHERE u <> v),
@@ -740,7 +825,7 @@ object Nsw {
        |    SELECT e.vec_id AS u,
        |      ((e.vec_id + (kk.k * nn1.n) // ${F + 1}) % nn1.n + nn1.n)
        |        % nn1.n AS v
-       |    FROM embeddings e CROSS JOIN nn1
+       |    FROM $src e CROSS JOIN nn1
        |      CROSS JOIN (SELECT unnest(range(1, ${F + 1})) AS k) kk) x
        |  WHERE u <> v),
        |adj AS (SELECT DISTINCT u, v FROM (
@@ -754,7 +839,7 @@ object Nsw {
        |    AS INTEGER) END AS okh FROM nn1),
        |b0 AS (
        |  SELECT q.vec_id AS qid, e.vec_id AS cand
-       |  FROM embeddings q CROSS JOIN embeddings e CROSS JOIN hguard
+       |  FROM embeddings q CROSS JOIN $src e CROSS JOIN hguard
        |  WHERE e.vec_id < $E AND e.vec_id <> q.vec_id
        |    AND hguard.okh = 1),
        |$hops,
@@ -779,5 +864,42 @@ object Nsw {
     "ann_nsw_recall" ->
       s"""WITH $nswCtes,
          |${Ann.recallSelect}""".stripMargin,
+    // delta serving (r15): upsertBaseCtes carves the base slice, trains
+    // the frozen quantizer over it and defines cents0 (≡ seedCentsCte:
+    // cells are vec_id < C ⊂ base); the nsw chain then builds/searches
+    // over `base` only (queries still range over ALL of embeddings),
+    // the delta side routes every query through the trained quantizer
+    // into the delta rows only, and the two K-deep sides re-rank under
+    // the one (dist, cid) order — the engine's union, mirrored.
+    "ann_nsw_topk_upserted" ->
+      s"""WITH ${Ann.upsertBaseCtes},
+         |${nswCtesOver("base", withSeedCents = false)},
+         |${Ann.assignProbeCtes(s"cents${Ann.LloydIters}", Ann.P,
+              "embeddings", "embeddings", "d")},
+         |dcand AS MATERIALIZED (
+         |  SELECT p.qid, a.vec_id AS cid,
+         |    1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                 CAST(a.embedding AS DOUBLE[])) AS dist
+         |  FROM dprobes p
+         |  JOIN dassign a ON p.cent_id = a.cent_id
+         |  JOIN embeddings q ON q.vec_id = p.qid
+         |  WHERE a.vec_id >= (SELECT count(*) FROM base)
+         |    AND a.vec_id <> p.qid),
+         |dtop AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist ASC, cid ASC) AS drn
+         |    FROM dcand) z WHERE drn <= $K),
+         |uni AS (
+         |  SELECT qid, cid FROM ranked
+         |  UNION
+         |  SELECT qid, cid FROM dtop),
+         |fin AS (
+         |  SELECT u.qid, u.cid, p.dist,
+         |    row_number() OVER (PARTITION BY u.qid
+         |      ORDER BY p.dist ASC, u.cid ASC) AS rnk
+         |  FROM uni u JOIN npairs p ON p.qid = u.qid AND p.cid = u.cid)
+         |SELECT qid, rnk, cid, round(dist, 6) AS dist
+         |FROM fin WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin,
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextHash
+import graft.functions.SketchExpressions
 
 /** LLM-training-data pipeline: deduplication + text analysis over the
   * `documents` table (SURVEY.md §2.C).
@@ -462,7 +462,9 @@ object TextOps {
     * shingles). Pure map-side projection. */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), TextHash.winnow_fingerprint(col("text"), lit(16)).as("fingerprint"))
+      .select(col("doc_id"),
+        SketchExpressions.winnow_fingerprint(s, col("text"), lit(16))
+          .as("fingerprint"))
       .orderBy(col("doc_id"))
 
   /** C2-scale (no oracle): MinHash-LSH dedup clustering. 32-perm
@@ -486,9 +488,9 @@ object TextOps {
     lshCache.getOrBuild(s, s"lsh_bands:$d") {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          TextHash.minhash_signature(tokens, lit(32)).as("sig"))
+          SketchExpressions.minhash_signature(s, tokens, lit(32)).as("sig"))
         .select(col("doc_id"),
-          posexplode(TextHash.lsh_bands(col("sig"), lit(4)))
+          posexplode(SketchExpressions.lsh_bands(s, col("sig"), lit(4)))
             .as(Seq("band", "bucket")))
         .repartition(Tables.parallelism(s), col("band"), col("bucket"))
     }
@@ -598,7 +600,8 @@ object TextOps {
     // repartition = exchange barrier so simhash64 (expensive) is
     // materialized once per doc, not re-expanded under the explode.
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), TextHash.simhash64(tokens).as("sh"))
+      .select(col("doc_id"), col("source"),
+        SketchExpressions.simhash64(s, tokens).as("sh"))
       .repartition(Tables.parallelism(s), col("source"))
     val bandCols = SimhashBandLayout.zipWithIndex.map { case ((off, w), i) =>
       struct(lit(i).as("band_no"),
@@ -688,7 +691,7 @@ object TextOps {
       .select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        round(graft.functions.Distances.l2_norm(col("embedding")), 6).as("l2_norm"),
+        round(SketchExpressions.l2_norm(s, col("embedding")), 6).as("l2_norm"),
         round(array_max(col("emb_d")), 6).as("vmax"),
         round(array_min(col("emb_d")), 6).as("vmin"),
         round(element_at(col("emb_d"), 1), 6).as("first"),

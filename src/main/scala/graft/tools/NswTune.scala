@@ -45,6 +45,18 @@ object NswTune {
     val nq = exact.select(col("qid")).distinct().count()
     println(s"[tune] ground truth: $nq queries")
 
+    // Fail fast when the (dir, seedC) artifact was never built:
+    // storedAdjacency would otherwise silently launch a from-scratch
+    // build — hours of unintended work on a big tier — for what is
+    // almost certainly a typo'd seedC (ADVICE r14). This tool reads
+    // only committed artifacts, per its contract above.
+    val builtPath = new org.apache.hadoop.fs.Path(
+      Nsw.livePath(spark, dir, seedC), "_BUILT")
+    val fs = builtPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(builtPath),
+      s"no committed NSW artifact for (dir=$dir, seedC=$seedC) — " +
+        s"expected $builtPath; NswTune builds nothing (run the build " +
+        "via ScaleCheck/ensureNswIndex first, or fix the seedC argument)")
     val adj = Nsw.storedAdjacency(spark, dir, seedC).localCheckpoint(true)
     val qids = qs.select(col("qid")).localCheckpoint(true)
     grid.foreach { case (h, b) =>

@@ -3,7 +3,6 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextHash
 
 /** Dev tool: stage-by-stage timing of the heavy queries.
   * Usage: runMain graft.tools.Profile [sfDir]
@@ -32,11 +31,11 @@ object Profile {
     time("docs cache")(docs.count())
 
     val sig = docs.select(col("doc_id"),
-      TextHash.minhash_signature(col("tok"), lit(32)).as("sig"))
+      graft.functions.SketchExpressions.minhash_signature(s, col("tok"), lit(32)).as("sig"))
     time("minhash signatures")(sig.count())
 
     val bands = sig.select(col("doc_id"),
-      posexplode(TextHash.lsh_bands(col("sig"), lit(4))).as(Seq("band", "bucket")))
+      posexplode(graft.functions.SketchExpressions.lsh_bands(s, col("sig"), lit(4))).as(Seq("band", "bucket")))
     bands.cache()
     time("bands")(bands.count())
 

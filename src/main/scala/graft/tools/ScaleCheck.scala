@@ -65,6 +65,13 @@ object ScaleCheck {
     // archived artifact runs never set it.
     val onlyRows = sys.env.get("SCALECHECK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A filtered run must never be mistakable for (or archived as) a
+    // full certification (ADVICE r14): banner on entry AND exit, and
+    // the exit code is nonzero even when every selected check passes.
+    onlyRows.foreach { f =>
+      println(s"[scale] FILTERED RUN: SCALECHECK_ONLY=${f.mkString(",")} " +
+        "— NOT a full certification; exit will be nonzero")
+    }
     def check(name: String)(body: => String): Unit =
       if (onlyRows.forall(_.exists(name.contains))) {
         val t0 = System.nanoTime()
@@ -619,6 +626,11 @@ object ScaleCheck {
     if (failures > 0) {
       println(s"[scale] $failures FAILED")
       sys.exit(1)
+    } else if (onlyRows.nonEmpty) {
+      println(s"[scale] FILTERED RUN passed its selection " +
+        s"(SCALECHECK_ONLY=${onlyRows.get.mkString(",")}) — exiting 2: " +
+        "not a full certification")
+      sys.exit(2)
     } else println("[scale] all checks passed")
   }
 }

@@ -22,6 +22,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * deliberately NOT asserted: mid-round the registry legitimately runs
   * ahead of the last freeze; the judge's correctness run regenerates the
   * artifact at round end.
+  *
+  * PENDING policy (r15, closing VERDICT r14 item 1): the driver emits
+  * `CORRECTNESS_r{N}.json` AFTER the builder's end-of-round freeze
+  * commit, so at judge-review time the newest artifact is structurally
+  * untracked for exactly one round. Tracking check (b) therefore treats
+  * "newest untracked but previous round tracked" as a LOUD pending skip
+  * (`assume`), and fails only on two consecutive rounds of drift. The
+  * workflow rule: round N+1 opens by committing round N's driver
+  * artifacts.
   */
 class ArtifactConsistencySpec extends AnyFunSuite {
 
@@ -55,24 +64,47 @@ class ArtifactConsistencySpec extends AnyFunSuite {
   }
 
   test("the newest correctness artifact is TRACKED by git (a freeze is " +
-    "not self-certifying until its artifacts land)") {
+    "not self-certifying until its artifacts land; one round of " +
+    "driver-emitted pending drift is tolerated LOUDLY)") {
     val (name, _) = newest.get
     // `git ls-files` only — never mutates; if git itself is unavailable
     // the check degrades to a loud skip rather than a silent pass
-    val out =
+    def tracked(f: String): Option[Boolean] =
       try {
-        val p = new ProcessBuilder("git", "ls-files", "--", name)
+        val p = new ProcessBuilder("git", "ls-files", "--", f)
           .directory(root.toFile).redirectErrorStream(true).start()
         val txt = new String(p.getInputStream.readAllBytes(), "UTF-8")
         p.waitFor()
-        Some((p.exitValue(), txt))
+        if (p.exitValue() == 0) Some(txt.linesIterator.exists(_.trim == f))
+        else None
       } catch { case _: java.io.IOException => None }
-    assume(out.nonEmpty, "git executable unavailable — tracking unchecked")
-    val (code, txt) = out.get
-    assume(code == 0, s"git ls-files failed ($code): $txt")
-    assert(txt.linesIterator.exists(_.trim == name),
-      s"$name exists on disk but is NOT tracked by git — commit the " +
-        "round artifacts (VERDICT r13 item 7)")
+    val newestTracked = tracked(name)
+    assume(newestTracked.nonEmpty,
+      "git unavailable or ls-files failed — tracking unchecked")
+    if (!newestTracked.get) {
+      // POLICY (VERDICT r14 item 1, codified): the driver emits
+      // CORRECTNESS_r{N}.json AFTER the builder's freeze commit, so at
+      // judge-review time the newest artifact is structurally untracked
+      // for one round. That is a PENDING state, not a broken freeze —
+      // provided the PREVIOUS round's artifact did land. The next
+      // round's first commit must track the pending artifact; two
+      // rounds of drift is real negligence and fails.
+      val rx = "CORRECTNESS_r(\\d+)\\.json".r
+      val n = rx.findFirstMatchIn(name).get.group(1).toInt
+      val prev = f"CORRECTNESS_r${n - 1}%02d.json"
+      val prevAlt = s"CORRECTNESS_r${n - 1}.json" // unpadded naming
+      val prevTracked = Seq(prev, prevAlt).exists(f =>
+        Files.exists(root.resolve(f)) && tracked(f).contains(true))
+      assert(prevTracked,
+        s"$name is untracked AND the previous round's artifact is not " +
+          "tracked either — two rounds of artifact drift; commit the " +
+          "round artifacts now (VERDICT r13 item 7 / r14 item 1)")
+      assume(false,
+        s"PENDING: $name exists on disk but is not yet tracked — treated " +
+          "as the driver's post-freeze emission for the CURRENT round " +
+          "(previous round's artifact IS tracked). The first commit of " +
+          "the next round MUST track it, or this spec fails.")
+    }
   }
 
   test("every artifact key is still a declared query (no orphaned " +

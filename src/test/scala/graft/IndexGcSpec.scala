@@ -71,6 +71,10 @@ class IndexGcSpec extends SparkSpec {
       }
       val tmpName = s"${liveNames.head}__build_deadbeef"
       fs.mkdirs(new Path(s"$root/$tmpName"))
+      // a FOREIGN directory the sweep cannot classify: never ours to
+      // delete, at any grace (VERDICT r14 item 5)
+      val foreignName = "li_bucketed"
+      fs.mkdirs(new Path(s"$root/$foreignName"))
 
       // (1) grace protects everything superseded, serving always kept
       val a1 = IndexGc.gcIndexRoot(spark, Seq(sf0001), keepN = 0,
@@ -87,6 +91,8 @@ class IndexGcSpec extends SparkSpec {
         a2.mkString("\n"))
       assert(a2.count(_.action == "deleted") === liveNames.size)
       assert(a2.count(_.action == "deleted_tmp") === 1)
+      assert(a2.count(_.action == "kept_unknown") === 1,
+        "foreign dir must be reported kept_unknown, never deleted")
       assert(!a2.exists(a => a.action.startsWith("deleted") &&
         liveNames(new Path(a.path).getName)),
         "GC deleted a resolvable (serving) version")
@@ -96,8 +102,9 @@ class IndexGcSpec extends SparkSpec {
         graceMs = 0L)
       assert(a3.count(_.action == "deleted") === liveNames.size)
       val left = fs.listStatus(new Path(root)).map(_.getPath.getName).toSet
-      assert(left === liveNames,
-        s"post-GC root must hold exactly the serving set, got $left")
+      assert(left === liveNames + foreignName,
+        s"post-GC root must hold exactly the serving set plus the " +
+          s"untouchable foreign dir, got $left")
 
       // (4) post-GC search is bit-identical (the committed serving
       // versions were never touched)
@@ -110,6 +117,14 @@ class IndexGcSpec extends SparkSpec {
       val a4 = IndexGc.gcIndexRoot(spark, Seq(sf0001), keepN = 0,
         graceMs = 0L)
       assert(!a4.exists(_.action.startsWith("deleted")), a4.mkString("\n"))
+
+      // (6) an unclassifiable SERVING name aborts the sweep loudly —
+      // serving protection must never silently lapse into aging
+      val ex = intercept[IllegalArgumentException] {
+        IndexGc.assertServingClassifiable(
+          Set(liveNames.head, "v9_FUTURE_FORMAT_no_fingerprint"))
+      }
+      assert(ex.getMessage.contains("v9_FUTURE_FORMAT_no_fingerprint"))
     } finally {
       oldRoot match {
         case Some(v) => spark.conf.set(Ann.IndexDirConf, v)

@@ -59,6 +59,54 @@ class NswSpec extends SparkSpec {
     info(s"nsw recall@10 = $r (E=${Nsw.E} B=${Nsw.B} H=${Nsw.H} M=${Nsw.M})")
   }
 
+  test("delta serving (ann_nsw_topk_upserted): union of base graph + " +
+    "IVF-served delta clears the bar, matches full-serving recall, and " +
+    "finds arriving vectors exactly within probed lists") {
+    import graft.ops.Ann
+    val cut = Ann.upsertCut(spark, sf0001)
+    val up = Nsw.nswTopkUpserted(spark, sf0001)
+      .select(col("qid"), col("cid")).localCheckpoint(true)
+    // (1) serving quality: the union's recall vs exact ground truth
+    // clears the production bar — exact ≡-to-rebuild CANNOT hold (the
+    // base graph never saw the delta vectors; the upsert contract says
+    // deltas are IVF-served between retrains), so the declared law is
+    // the recall bound, like every approximate tier.
+    val r = Ann.recallOf(spark, sf0001, up).head().getAs[Double]("recall")
+    assert(r >= 0.9, s"delta-serving recall@10 = $r < 0.9")
+    // (2) and within eps of what a full retrain (rebuilt graph over
+    // base ∪ delta — the nswTopk serving path) delivers: serving
+    // between retrains must not quietly degrade until the trigger.
+    val full = Ann.recallOf(spark, sf0001,
+        Nsw.nswTopk(spark, sf0001).select(col("qid"), col("cid")))
+      .head().getAs[Double]("recall")
+    assert(r >= full - 0.05,
+      s"delta-serving recall $r more than 0.05 under full-rebuild $full")
+    // (3) arriving vectors are immediately searchable, with EXACTLY the
+    // IVF tier's quality: the union's true-delta hits must EQUAL the
+    // maintained-index search's true-delta hits, pair for pair. ⊇ holds
+    // because a true top-K member can never be displaced by the union's
+    // re-rank (only true-better candidates outrank it); ⊆ because both
+    // sides read the same frozen quantizer and delta lists. So the
+    // graph tier's delta serving INHERITS ann_ivf_topk_upserted's
+    // delta recall by construction — the absolute number is the IVF
+    // tier's probed-lists trade, already recall-certified there.
+    val exact = Knn.knnTopk(spark, sf0001)
+      .select(col("qid"), col("cid")).where(col("cid") >= cut)
+      .localCheckpoint(true)
+    val nd = exact.count()
+    val upD = up.where(col("cid") >= cut).join(exact, Seq("qid", "cid"))
+    val ivfD = Ann.ivfTopkUpserted(spark, sf0001)
+      .select(col("qid"), col("cid")).where(col("cid") >= cut)
+      .join(exact, Seq("qid", "cid"))
+    assert(upD.exceptAll(ivfD).isEmpty && ivfD.exceptAll(upD).isEmpty,
+      "union's true-delta hit set diverged from the IVF tier's")
+    val hitD = upD.count()
+    assert(hitD > 0, "no delta vector was ever found — delta side dead")
+    info(f"delta serving: recall $r%.4f (full-rebuild $full%.4f), " +
+      f"delta hits $hitD/$nd ≡ ann_ivf_topk_upserted's, " +
+      f"inherited ratio ${hitD.toDouble / nd}%.4f")
+  }
+
   test("beam step table upper-bounds the fitted curve; graded fixtures " +
     "stay at the anchor beam") {
     // every step must be ≥ the fitted B·(n/n₀)^BExp at its own upper
@@ -222,6 +270,12 @@ class NswSpec extends SparkSpec {
     assert(Nsw.descentRoundsFor(graft.ops.Ann.C) === Nsw.DescentRounds)
     assert(Nsw.descentRoundsFor(512) === Nsw.DescentRounds + 1)
     assert(Nsw.descentRoundsFor(1024) === Nsw.DescentRounds + 2)
+    // domain guard (ADVICE r14): outside the retune rule's range the
+    // arithmetic is silently wrong (seedC<C → trailingZeros(0)=32 →
+    // a ~34-round build; non-pow2 floors) — must throw, never build
+    intercept[IllegalArgumentException](Nsw.descentRoundsFor(128))
+    intercept[IllegalArgumentException](Nsw.descentRoundsFor(768))
+    intercept[IllegalArgumentException](Nsw.descentRoundsFor(0))
     // size-keyed hop rule: every graded fixture and both certified
     // rehearsal tiers (20k/63k) keep the base H — declared hashes
     // cannot move — and one hop is added per BSteps row above the 63k

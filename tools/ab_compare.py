@@ -18,9 +18,15 @@ def main() -> None:
         old = json.loads([ln for ln in f if ln.strip().startswith("{")][-1])
     with open(new_p) as f:
         new = json.loads([ln for ln in f if ln.strip().startswith("{")][-1])
+    # identical labels would silently collide every f-string key below
+    # (totals/arms overwriting each other in the artifact)
+    assert old_l != new_l, f"old/new labels must differ, both are {old_l!r}"
     shared = sorted(set(old["queries"]) & set(new["queries"]))
     t_old = sum(old["queries"][q] for q in shared)
     t_new = sum(new["queries"][q] for q in shared)
+    assert shared and t_old > 0, (
+        f"old arm shared total is {t_old} over {len(shared)} shared "
+        "queries — refusing to divide; check the input artifacts")
     movers = {
         q: {old_l: round(old["queries"][q], 2),
             new_l: round(new["queries"][q], 2)}
