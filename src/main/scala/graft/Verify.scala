@@ -10,12 +10,18 @@ object Verify {
     // driver always passes exactly two args and gets every query)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_AQE=false: the plan-choice-independence sweep
+    // (VERDICT r14 item 7) — certify every golden hash with adaptive
+    // execution disabled, not just under the session default. Driver
+    // runs never set it.
+    sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
+      builder.config("spark.sql.adaptive.enabled", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

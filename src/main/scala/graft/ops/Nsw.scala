@@ -388,14 +388,21 @@ object Nsw {
     * localCheckpoint = the iterative-plan barrier (the Lloyd's/
     * star-contraction discipline). */
   private[graft] def adjacency(s: SparkSession, d: String,
-      seedC: Int = Ann.C, baseN: Option[Long] = None): DataFrame =
+      seedC: Int = Ann.C, baseN: Option[Long] = None,
+      dRounds: Option[Int] = None): DataFrame = {
+    // dRounds: DIAGNOSTIC override of the descent-round compensation
+    // rule (the r14/r15 "measure the rule's effect" ladder rows); the
+    // declared rule is always descentRoundsFor(seedC). An overridden
+    // build is version-isolated through the path's D segment.
+    val rounds = dRounds.getOrElse(descentRoundsFor(seedC))
     cache.getOrBuild(s,
-      s"$d#nswAdj@$seedC" + baseN.map(c => s"#b$c").getOrElse("")) {
+      s"$d#nswAdj@$seedC#D$rounds" + baseN.map(c => s"#b$c").getOrElse("")) {
       val g0 = bestM(s, d, seedCandidates(s, d, seedC, baseN))
         .localCheckpoint(true)
-      (1 to descentRoundsFor(seedC)).foldLeft(g0)((g, _) =>
+      (1 to rounds).foldLeft(g0)((g, _) =>
         descend(s, d, g).localCheckpoint(true))
     }
+  }
 
   /** The round-10 exact M-NN graph (O(n²) broadcast cross join) — kept
     * ONLY as the reference for the approximation-quality law (NswSpec:
@@ -451,16 +458,18 @@ object Nsw {
     * the base adjacency — it is rebuilt once, not once per hop. */
   private[graft] def adjacencyWithFar(s: SparkSession, d: String,
       far: Int, adjOverride: Option[DataFrame] = None,
-      seedC: Int = Ann.C, baseN: Option[Long] = None): DataFrame =
+      seedC: Int = Ann.C, baseN: Option[Long] = None,
+      dRounds: Option[Int] = None): DataFrame =
     adjOverride match {
       case Some(base) =>
         if (far == 0) base
         else base.unionByName(farLinks(s, d, far, baseN)).distinct()
       case None =>
-        if (far == 0) adjacency(s, d, seedC, baseN)
+        if (far == 0) adjacency(s, d, seedC, baseN, dRounds)
         else cache.getOrBuild(s, s"$d#nswAdjFar$far@$seedC" +
+            dRounds.map(r => s"#D$r").getOrElse("") +
             baseN.map(c => s"#b$c").getOrElse("")) {
-          adjacency(s, d, seedC, baseN)
+          adjacency(s, d, seedC, baseN, dRounds)
             .unionByName(farLinks(s, d, far, baseN)).distinct()
         }
     }
@@ -582,7 +591,7 @@ object Nsw {
   }
 
   private def nswIndexPath(s: SparkSession, d: String,
-      seedC: Int = Ann.C): String = {
+      seedC: Int = Ann.C, dRounds: Option[Int] = None): String = {
     val root = s.conf.getOption(Ann.IndexDirConf)
       .getOrElse("spark-warehouse/graft_ann_index")
     // versioned by EVERY constant the artifact depends on — the graph
@@ -595,7 +604,7 @@ object Nsw {
     // family (`_sc<seedC>`): the declared fixed-C path is byte-stable.
     val sc = if (seedC == Ann.C) "" else s"_sc$seedC"
     s"$root/nsw_v3_M${M}_F${F}_P${PAdj}_R${RingD}_" +
-      s"D${descentRoundsFor(seedC)}_" +
+      s"D${dRounds.getOrElse(descentRoundsFor(seedC))}_" +
       s"B${B}bs${bStepsDigest}m${ClusterShareMul}d${ClusterBeamDiv}" +
       s"c${Ann.C}$sc" +
       s"_${Ann.corpusFingerprint(s, d)}_${graft.Tables.dirTag(d)}"
@@ -604,22 +613,22 @@ object Nsw {
   /** The path the CURRENT resolution rule hands a reader — the NSW
     * serving version, protected absolutely by [[IndexGc]]. */
   private[graft] def livePath(s: SparkSession, d: String,
-      seedC: Int = Ann.C): String =
-    nswIndexPath(s, d, seedC)
+      seedC: Int = Ann.C, dRounds: Option[Int] = None): String =
+    nswIndexPath(s, d, seedC, dRounds)
 
   private val buildLock = new Object
 
   private[graft] def ensureNswIndex(s: SparkSession, d: String,
-      seedC: Int = Ann.C): String = {
+      seedC: Int = Ann.C, dRounds: Option[Int] = None): String = {
     import org.apache.hadoop.fs.Path
-    val path = nswIndexPath(s, d, seedC)
+    val path = nswIndexPath(s, d, seedC, dRounds)
     val marker = new Path(path, "_BUILT")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) buildLock.synchronized {
       if (!fs.exists(marker)) {
         val tmp = new Path(
           s"${path}__build_${java.util.UUID.randomUUID.toString.take(8)}")
-        adjacencyWithFar(s, d, F, seedC = seedC)
+        adjacencyWithFar(s, d, F, seedC = seedC, dRounds = dRounds)
           .write.mode("overwrite").parquet(s"$tmp/adjacency")
         // the beam decision is INDEX metadata (r13): the shape signal
         // (top seed-cell occupancy) is a property of the corpus the
@@ -647,8 +656,8 @@ object Nsw {
   /** The committed on-disk adjacency, bucketed-by-u shaped on a real
     * cluster exactly like the IVF lists by cent_id. */
   private[graft] def storedAdjacency(s: SparkSession, d: String,
-      seedC: Int = Ann.C): DataFrame =
-    s.read.parquet(s"${ensureNswIndex(s, d, seedC)}/adjacency")
+      seedC: Int = Ann.C, dRounds: Option[Int] = None): DataFrame =
+    s.read.parquet(s"${ensureNswIndex(s, d, seedC, dRounds)}/adjacency")
 
   /** The committed beam decision (one tiny meta file — see the build
     * comment in [[ensureNswIndex]]). Equals the live [[tunedB]] by
