@@ -233,6 +233,37 @@ object Nsw {
     val r = 4 * math.sqrt(n.toDouble).toLong
     math.max(Ann.C, java.lang.Long.highestOneBit(math.max(1L, r)).toInt)
   }
+  /** The retune rule under a CAPACITY CEILING (r15): seed volume is
+    * PAdj·n²/C candidate pairs, and every deployment has a per-build
+    * capacity — the aggregate shuffle/spill space a build may use. At
+    * 100 TB on a 1000-executor cluster the 4√n rule's O(n^1.5) volume
+    * fits long before the ceiling binds; on one rehearsal box it binds
+    * first (r15 measured: the 632k tier's rule volume of 1.56·10⁹
+    * pairs exhausted a ~90 GB-free disk that hosts 6–8·10⁸
+    * comfortably). The declared response is the same rule every
+    * capacity decision here follows: raise C to the smallest power of
+    * two whose volume fits the budget — never below the 4√n retune —
+    * and let [[descentRoundsFor]] compensate the thinner per-vector
+    * seed coverage with extra NN-descent rounds (the cheap O(n·(2M)²)
+    * term). Exact integer arithmetic; pure function of (n, budget). */
+  def capacitySeedC(n: Long, budgetPairs: Long): Int = {
+    require(n > 0 && budgetPairs > 0, s"bad capacitySeedC($n, $budgetPairs)")
+    val retuned = retunedSeedC(n)
+    // smallest pow2 C with PAdj·n²/C ≤ budget (guarding Long overflow
+    // via the division-first form: need C ≥ PAdj·n²/budget)
+    val needC = {
+      val nn = BigInt(n) * BigInt(n) * PAdj / budgetPairs
+      if (nn <= 1) 1L else nn.toLong
+    }
+    val capacity = java.lang.Long.highestOneBit(math.max(1L, needC)) match {
+      case p if p >= needC => p
+      case p => p << 1
+    }
+    val c = math.max(retuned.toLong, capacity)
+    require(c <= (1L << 30), s"capacity seedC $c exceeds Int range at n=$n")
+    c.toInt
+  }
+
   /** Descent-round compensation for a retuned seeding: every doubling
     * of seedC beyond the declared [[Ann.C]] halves the per-vector seed
     * COVERAGE FRACTION (PAdj cells of seedC), so the seed graph starts
@@ -351,20 +382,37 @@ object Nsw {
 
   /** Score candidate edges and keep each u's best M under the (dist, v)
     * total order — the one definition of "keep best M" shared by the
-    * seed cut and every descent round. */
+    * seed cut and every descent round. Callers pre-dedup (u, v): the
+    * bounded heap treats duplicates as distinct entries.
+    *
+    * Execution shape (r15, scale defect #4 of the tier ladder): the
+    * candidate set is the n·(2M)²-row big side (measured ≈1.5·10⁹ rows
+    * per descent round at 632k — Σ deg² over the symmetrized graph),
+    * so it must never be SORTED: the original window form spilled the
+    * full volume through UnsafeExternalSorter and ran the rehearsal
+    * box out of disk. Scoring joins against BROADCAST embeddings (the
+    * [[exactAdjacency]] shape — the vector table is the genuinely
+    * small side of the build; on a cluster it is also the bucketed
+    * side) keep the big side un-shuffled, and the top-M cut is the
+    * bounded-heap [[graft.functions.TopKAgg]] aggregate: partial
+    * (map-side) aggregation collapses every partition to ≤ M rows per
+    * u BEFORE the one exchange. Same (dist, v) comparator as the
+    * window (knn_topk ≡ knn_topk_agg precedent), so the selected edge
+    * SET — and every declared hash — is unchanged. */
   private def bestM(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
     val eu = Tables.embeddings(s, d)
       .select(col("vec_id").as("u"), col("embedding").as("uv"))
     val ev = Tables.embeddings(s, d)
       .select(col("vec_id").as("v"), col("embedding").as("vv"))
-    val w = Window.partitionBy(col("u"))
-      .orderBy(col("dist").asc, col("v").asc)
-    cands.join(eu, Seq("u")).join(ev, Seq("v"))
+    cands.join(broadcast(eu), Seq("u")).join(broadcast(ev), Seq("v"))
       .select(col("u"), col("v"),
         VectorExpressions.cosine_distance(s, col("uv"), col("vv"))
           .as("dist"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= M)
-      .select(col("u"), col("v"))
+      .groupBy(col("u"))
+      .agg(graft.functions.TopKAgg.top_k_by(s,
+        col("dist"), col("v"), lit(0), M).as("top"))
+      .select(col("u"), explode(col("top")).as("t"))
+      .select(col("u"), col("t.id").as("v"))
   }
 
   /** One NN-descent round: symmetrize, expand to 2-hop neighbors (a

@@ -24,6 +24,15 @@ object NswBuild {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(Ann.LutBroadcastConf, "false")
+      // Big-heap builds almost never trigger driver GC, so the
+      // ContextCleaner never reaps the shuffle files of ALREADY-DROPPED
+      // stages (each localCheckpoint barrier strands its upstream) and
+      // the box's disk fills with dead spill — measured r15: the 632k
+      // capacity-rule build (7.8·10⁸ seed pairs) ran ~78 GB of disk to
+      // no-space while its LIVE working set was one round's ~40 GB.
+      // Spark's own lever, tightened from the 30min default: reclaim
+      // dead shuffles every 2 minutes.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()

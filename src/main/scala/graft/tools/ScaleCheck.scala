@@ -46,6 +46,18 @@ object ScaleCheck {
     * of measuring it here. */
   val SeedVolumeBudget = 200000000L
 
+  /** The box's per-BUILD seed-pair capacity — the most candidate pairs
+    * one NSW build may materialize before its shuffle/sort spill
+    * exhausts this box's disk. Calibrated r15: the 632k tier's declared
+    * 4√n-rule volume of 1.56·10⁹ pairs ran a ~90 GB-free disk to
+    * no-space-left mid-build (the r14 failure mode, now at the RETUNED
+    * volume), while the 200k tier's 3.1·10⁸ built in ~35 GB of spill.
+    * Tiers whose retuned volume exceeds this build with
+    * [[graft.ops.Nsw.capacitySeedC]] — the same raise-C-to-capacity
+    * decision a real deployment makes at ITS ceiling, with the
+    * descent-round rule compensating coverage. */
+  val SeedBuildCapacity = 800000000L
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("localdata/sf1")
     val clusteredDir = args.lift(1)
@@ -57,6 +69,10 @@ object ScaleCheck {
       // the at-scale ADC branch: leave-one-out makes every corpus row a
       // query, so the per-query LUT must shuffle, not broadcast
       .config(Ann.LutBroadcastConf, "false")
+      // reclaim dead shuffle files promptly on big-heap runs (see
+      // NswBuild — the 632k build's disk exhaustion was STRANDED spill
+      // of already-dropped stages, not live working set)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failures = 0
@@ -513,7 +529,7 @@ object ScaleCheck {
     // the tier rows and the serving-cost trend
     def tierSeedC(n: Long): Int =
       if (Nsw.PAdj.toLong * n * n / Ann.C > SeedVolumeBudget)
-        Nsw.retunedSeedC(n)
+        Nsw.capacitySeedC(n, SeedBuildCapacity)
       else Ann.C
     extraTiers.zipWithIndex.foreach { case (cd2, i) =>
       check(s"nsw shape-beam tier ${i + 2} (sampled)") {

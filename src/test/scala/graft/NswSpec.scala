@@ -276,6 +276,22 @@ class NswSpec extends SparkSpec {
     intercept[IllegalArgumentException](Nsw.descentRoundsFor(128))
     intercept[IllegalArgumentException](Nsw.descentRoundsFor(768))
     intercept[IllegalArgumentException](Nsw.descentRoundsFor(0))
+    // capacity ceiling (r15): seedC raises past the 4√n retune exactly
+    // when the retuned volume exceeds the build budget, to the smallest
+    // pow2 whose volume fits; never below the retune; postcondition
+    // PAdj·n²/C ≤ budget
+    assert(Nsw.capacitySeedC(200000L, 800000000L) === 1024) // retune binds
+    assert(Nsw.capacitySeedC(632000L, 800000000L) === 4096) // capacity binds
+    Seq((63000L, 800000000L), (200000L, 800000000L),
+        (632000L, 800000000L), (5000000L, 800000000L)).foreach {
+      case (n, b) =>
+        val c = Nsw.capacitySeedC(n, b)
+        assert(c >= Nsw.retunedSeedC(n) && Integer.bitCount(c) === 1)
+        assert(BigInt(n) * n * Nsw.PAdj / c <= b,
+          s"volume postcondition broke at n=$n: C=$c")
+        // the compensation rule accepts every capacity decision
+        assert(Nsw.descentRoundsFor(c) >= Nsw.DescentRounds)
+    }
     // size-keyed hop rule: every graded fixture and both certified
     // rehearsal tiers (20k/63k) keep the base H — declared hashes
     // cannot move — and one hop is added per BSteps row above the 63k
