@@ -264,30 +264,37 @@ object Nsw {
     c.toInt
   }
 
-  /** Descent-round compensation for a retuned seeding: every doubling
-    * of seedC beyond the declared [[Ann.C]] halves the per-vector seed
-    * COVERAGE FRACTION (PAdj cells of seedC), so the seed graph starts
-    * further from the true M-NN graph; one extra NN-descent round per
-    * doubling restores reach (each round expands candidates to
-    * neighbors-of-neighbors), at O(n·(2M)²) per round — the cheap term
-    * next to the O(n^1.5) seeding it compensates. Measured at the 200k
-    * clustered tier: 2 rounds at seedC=1024 searched at 0.8550 recall
-    * (under the ≥0.9 bar); the rule's 4 rounds clear it. Exact integer
-    * arithmetic (both values are powers of two); at the declared seedC
-    * this IS [[DescentRounds]], so declared builds and paths are
-    * byte-stable. */
+  /** Descent rounds for a retuned seeding — DEMOTED to the fixed
+    * [[DescentRounds]] (r15, closing VERDICT r14 "what's wrong" item
+    * 6). The r14 rule added one NN-descent round per seedC doubling on
+    * the theory that thinner per-vector seed coverage (PAdj cells of
+    * seedC) starts the graph further from the true M-NN graph. Measured
+    * TWICE, it never bound:
+    *
+    *  - 200k, seedC ratio 4× (r14 grid): 2-round vs 4-round build
+    *    searched 0.8550 vs 0.8548 — zero effect;
+    *  - 632k, seedC ratio 16× / HALF the 4√n rule's coverage (r15,
+    *    `NswBuild 4096:2` + `NswTune 4096:2`): the D=2 build searches
+    *    0.9396 at (H=6, B=384) vs the D=6 build's 0.9398 — zero effect
+    *    again, at the tier where the compensation carried the most
+    *    theoretical load.
+    *
+    * Two fixed rounds of symmetrize/2-hop/keep-best-M already converge
+    * the graph from the cell+ring seeds at every measured thinning, so
+    * the extra O(n·(2M)²) rounds (which DOMINATE the capacity-ruled
+    * build: the 632k D=6 build paid 6 descent expansions of ~1.5·10⁹
+    * candidate rows each) are pure cost. Watch condition: if a future
+    * tier misses its recall bar with thin seeding, the `dRounds`
+    * diagnostic override re-tests compensation in one cheap A/B before
+    * any rule revival. The domain guard stays — the version-path D
+    * segment is derived here, and an out-of-domain seedC must fail
+    * loudly, not build at a bogus path. */
   def descentRoundsFor(seedC: Int): Int = {
-    // Guard the rule's domain (ADVICE r14): the retune only ever emits
-    // power-of-two seedC ≥ Ann.C. Outside that, the arithmetic is
-    // silently wrong (seedC < Ann.C → trailingZeros(0) = 32 → a
-    // ~34-round build; a non-power-of-two multiple silently floors) —
-    // and a typo'd CLI seedC would otherwise launch hours of build work
-    // at a bogus version dir. Fail loudly instead.
     require(seedC >= Ann.C && Integer.bitCount(seedC) == 1,
       s"seedC=$seedC is not a power-of-two ≥ Ann.C=${Ann.C} — " +
         "descentRoundsFor is only defined on the retune rule's range " +
         "(retunedSeedC emits pow2-floored 4*sqrt(n), clamped to Ann.C)")
-    DescentRounds + Integer.numberOfTrailingZeros(seedC / Ann.C)
+    DescentRounds
   }
 
   /** BSteps row index of the LAST tier certified at the base hop count

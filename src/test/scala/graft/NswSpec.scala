@@ -265,11 +265,13 @@ class NswSpec extends SparkSpec {
     // at scale: exact pow2-floored 4√n (the ScaleCheck tier decisions)
     assert(Nsw.retunedSeedC(63000L) === 512)
     assert(Nsw.retunedSeedC(200000L) === 1024)
-    // descent-round compensation: one extra round per seedC doubling;
-    // the declared seedC gets exactly the declared rounds
+    // descent rounds: DEMOTED to the fixed DescentRounds at every
+    // seedC (r15 — the compensation rule measured zero effect at both
+    // a 4x and a 16x seedC ratio; see descentRoundsFor's scaladoc)
     assert(Nsw.descentRoundsFor(graft.ops.Ann.C) === Nsw.DescentRounds)
-    assert(Nsw.descentRoundsFor(512) === Nsw.DescentRounds + 1)
-    assert(Nsw.descentRoundsFor(1024) === Nsw.DescentRounds + 2)
+    assert(Nsw.descentRoundsFor(512) === Nsw.DescentRounds)
+    assert(Nsw.descentRoundsFor(1024) === Nsw.DescentRounds)
+    assert(Nsw.descentRoundsFor(4096) === Nsw.DescentRounds)
     // domain guard (ADVICE r14): outside the retune rule's range the
     // arithmetic is silently wrong (seedC<C → trailingZeros(0)=32 →
     // a ~34-round build; non-pow2 floors) — must throw, never build
