@@ -253,7 +253,12 @@ case class WinnowFingerprintExpr(left: Expression, right: Expression)
   override def nullSafeEval(textAny: Any, kAny: Any): Any = {
     val u8 = textAny.asInstanceOf[UTF8String]
     val k = kAny.asInstanceOf[Int]
-    if (u8.numChars() < k) {
+    // Gate on UTF-16 length (String.length, code UNITS), not numChars
+    // (code points): the TextHash.winnow contract branches on the
+    // former, and for supplementary characters numChars < length — the
+    // two gates disagree exactly when numChars < k <= length.
+    val s16 = u8.toString
+    if (s16.length < k) {
       // fnv1a(text, seed = 7) over the UTF-8 bytes
       val bytes = u8.getBytes
       var h = 0xcbf29ce484222325L ^ (7L * 0x100000001b3L)
@@ -261,7 +266,7 @@ case class WinnowFingerprintExpr(left: Expression, right: Expression)
       while (j < bytes.length) { h ^= (bytes(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
       h
     } else {
-      val s = u8.toString
+      val s = s16
       val B = 0x100000001b3L
       var bk = 1L
       var i = 0
@@ -290,7 +295,8 @@ case class WinnowFingerprintExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       s"""
-         |if ($c.numChars() < $k) {
+         |final String $s = $c.toString();
+         |if ($s.length() < $k) {
          |  final byte[] $by = $c.getBytes();
          |  long $h = 0xcbf29ce484222325L ^ (7L * 0x100000001b3L);
          |  for (int $j = 0; $j < $by.length; $j++) {
@@ -299,7 +305,6 @@ case class WinnowFingerprintExpr(left: Expression, right: Expression)
          |  }
          |  ${ev.value} = $h;
          |} else {
-         |  final String $s = $c.toString();
          |  long $bk = 1L;
          |  for (int $i = 0; $i < $k; $i++) $bk *= 0x100000001b3L;
          |  long $h = 0L;

@@ -11,8 +11,17 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Bounded-heap neighbor buffer: keeps the k smallest (dist, id, label)
-  * triples, ordered by (dist, id). */
-final class TopKBuffer(val k: Int) extends Serializable {
+  * triples, ordered by (dist, id). With `distinctIds = true` the buffer
+  * additionally keeps AT MOST ONE entry per id (the one with the
+  * smallest (dist, label)) — so feeding it a multiset of candidate rows
+  * computes exactly `distinct-then-top-k` without the upstream
+  * `distinct()` exchange (VERDICT r15 item 5: the NSW descent fed its
+  * ~n·(2M)²-row 2-hop expansion through a full hash exchange just to
+  * dedup (u, v) pairs whose (dist, id) is a pure function of the pair
+  * anyway; the heap now absorbs duplicates map-side and the one
+  * exchange carries ≤ k rows per group per partition). */
+final class TopKBuffer(val k: Int, val distinctIds: Boolean = false)
+    extends Serializable {
   // max-heap on (dist, id) so the current worst neighbor is at the root
   val heap = new java.util.PriorityQueue[(Double, Long, Int)](
     k.max(1),
@@ -21,13 +30,42 @@ final class TopKBuffer(val k: Int) extends Serializable {
       if (c != 0) c else java.lang.Long.compare(b._2, a._2)
     })
 
+  // id → live heap entry; allocated only in distinct mode
+  private val byId: java.util.HashMap[java.lang.Long, (Double, Long, Int)] =
+    if (distinctIds) new java.util.HashMap[java.lang.Long, (Double, Long, Int)]()
+    else null
+
   def insert(dist: Double, id: Long, label: Int): Unit = {
     if (k <= 0) return
-    if (heap.size < k) heap.add((dist, id, label))
-    else {
+    if (distinctIds) {
+      val prev = byId.get(id)
+      if (prev != null) {
+        // one entry per id: keep the smaller (dist, label). Order-
+        // independent — equivalent to "min per id, then top-k".
+        if (dist < prev._1 || (dist == prev._1 && label < prev._3)) {
+          heap.remove(prev) // O(k); k is small by construction
+          byId.remove(id)
+          insertBounded(dist, id, label)
+        }
+        return
+      }
+    }
+    insertBounded(dist, id, label)
+  }
+
+  private def insertBounded(dist: Double, id: Long, label: Int): Unit = {
+    if (heap.size < k) {
+      heap.add((dist, id, label))
+      if (distinctIds) byId.put(id, (dist, id, label))
+    } else {
       val worst = heap.peek()
       if (dist < worst._1 || (dist == worst._1 && id < worst._2)) {
-        heap.poll(); heap.add((dist, id, label))
+        val evicted = heap.poll()
+        heap.add((dist, id, label))
+        if (distinctIds) {
+          byId.remove(evicted._2)
+          byId.put(id, (dist, id, label))
+        }
       }
     }
   }
@@ -67,6 +105,7 @@ case class TopKByAggregate(
     idExpr: Expression,
     labelExpr: Expression,
     k: Int,
+    distinctIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
@@ -91,7 +130,8 @@ case class TopKByAggregate(
     StructField("id", LongType, nullable = false),
     StructField("label", IntegerType, nullable = false))))
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(k, distinctIds)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val d = distExpr.eval(input)
@@ -130,7 +170,7 @@ case class TopKByAggregate(
     val bb = ByteBuffer.wrap(bytes)
     val kk = bb.getInt
     val n = bb.getInt
-    val buf = new TopKBuffer(kk)
+    val buf = new TopKBuffer(kk, distinctIds)
     var i = 0
     while (i < n) { buf.insert(bb.getDouble, bb.getLong, bb.getInt); i += 1 }
     buf
@@ -142,7 +182,8 @@ case class TopKByAggregate(
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(distExpr = c(0), idExpr = c(1), labelExpr = c(2))
-  override def prettyName: String = "top_k_by"
+  override def prettyName: String =
+    if (distinctIds) "top_k_distinct_by" else "top_k_by"
 }
 
 object TopKAgg {
@@ -170,5 +211,32 @@ object TopKAgg {
     register(spark)
     org.apache.spark.sql.functions.call_function("top_k_by", dist, id, label,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Register `top_k_distinct_by(dist, id, label, k)` — the
+    * [[TopKBuffer]] distinct-ids mode: at most one heap entry per id
+    * (min (dist, label) wins), so a caller may feed a raw candidate
+    * MULTISET and still get exactly `distinct-then-top-k`, with no
+    * upstream `distinct()` exchange of the full candidate volume. */
+  def registerDistinct(spark: SparkSession): Unit =
+    Registry.ensure(spark, "top_k_distinct_by")(
+      exprs => {
+        val k = exprs(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: java.lang.Integer, _) =>
+            v.intValue
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: java.lang.Long, _) =>
+            java.lang.Math.toIntExact(v.longValue)
+          case other => throw new IllegalArgumentException(
+            s"top_k_distinct_by k must be an integer literal, got $other")
+        }
+        TopKByAggregate(exprs(0), exprs(1), exprs(2), k, distinctIds = true)
+          .toAggregateExpression()
+      })
+
+  def top_k_distinct_by(spark: SparkSession, dist: Column, id: Column,
+      label: Column, k: Int): Column = {
+    registerDistinct(spark)
+    org.apache.spark.sql.functions.call_function("top_k_distinct_by",
+      dist, id, label, org.apache.spark.sql.functions.lit(k))
   }
 }

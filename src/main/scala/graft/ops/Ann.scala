@@ -655,7 +655,7 @@ object Ann {
       if (!fs.exists(marker)) {
         // build into a temp sibling, commit via one atomic rename
         val tmp = new Path(
-          s"${path}__build_${java.util.UUID.randomUUID.toString.take(8)}")
+          IndexGc.buildTmpPath(path))
         trainedCentroids(s, d)
           .write.mode("overwrite").parquet(s"$tmp/centroids")
         trainedAssignments(s, d)
@@ -758,7 +758,7 @@ object Ann {
       if (!fs.exists(marker)) {
         val cut = upsertCut(s, d)
         val tmp = new Path(
-          s"${path}__build_${java.util.UUID.randomUUID.toString.take(8)}")
+          IndexGc.buildTmpPath(path))
         baseTrainedCentroids(s, d)
           .write.mode("overwrite").parquet(s"$tmp/base/centroids")
         val stored = s.read.parquet(s"$tmp/base/centroids")
@@ -882,7 +882,7 @@ object Ann {
           .unionByName(listsAt(s, s"$upPath/delta/lists"))
           .select(col("vec_id"), col("embedding"))
         val tmp = new Path(
-          s"${path}__build_${java.util.UUID.randomUUID.toString.take(8)}")
+          IndexGc.buildTmpPath(path))
         trainOver(s, Tables.repartitioned(rows, s), C)
           .write.mode("overwrite").parquet(s"$tmp/centroids")
         val stored = s.read.parquet(s"$tmp/centroids")

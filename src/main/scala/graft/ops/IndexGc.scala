@@ -49,6 +49,18 @@ object IndexGc {
   /** Superseded versions kept per family beyond the serving one. */
   val DefaultKeepN = 1
 
+  /** The ONE temp-dir tag shared by every index builder and this GC's
+    * crash-debris predicate. Builders write into
+    * [[buildTmpPath]]`(committedPath)` and commit via atomic rename;
+    * the sweep ages out only names containing this tag. Centralized so
+    * a future naming change cannot silently turn crashed-build debris
+    * into permanently-kept `kept_unknown` junk (ADVICE r15). */
+  val BuildTmpTag = "__build_"
+
+  /** Temp sibling path for an in-progress build of `committedPath`. */
+  def buildTmpPath(committedPath: String): String =
+    s"$committedPath$BuildTmpTag${java.util.UUID.randomUUID.toString.take(8)}"
+
   /** Default deletion grace: a superseded version must have been
     * committed at least this long ago before GC may remove it — the
     * VACUUM retention window protecting concurrent readers that
@@ -142,7 +154,7 @@ object IndexGc {
     val tmpActions = classified.collect {
       case (p, name, None, at, st) =>
         val ts = at.getOrElse(st.getModificationTime)
-        if (!name.contains("__build_"))
+        if (!name.contains(BuildTmpTag))
           GcAction(p.toString, "unknown", "kept_unknown", ts)
         else if (now - ts >= graceMs) {
           fs.delete(p, true)

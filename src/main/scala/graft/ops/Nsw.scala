@@ -249,10 +249,14 @@ object Nsw {
   def capacitySeedC(n: Long, budgetPairs: Long): Int = {
     require(n > 0 && budgetPairs > 0, s"bad capacitySeedC($n, $budgetPairs)")
     val retuned = retunedSeedC(n)
-    // smallest pow2 C with PAdj·n²/C ≤ budget (guarding Long overflow
-    // via the division-first form: need C ≥ PAdj·n²/budget)
+    // smallest pow2 C with PAdj·n²/C ≤ budget — CEILING division, so a
+    // quotient that floors onto a power of two while the true ratio is
+    // fractionally above it still rounds C up and the postcondition
+    // PAdj·n²/C ≤ budget holds exactly (BigInt guards Long overflow)
     val needC = {
-      val nn = BigInt(n) * BigInt(n) * PAdj / budgetPairs
+      val nn = (BigInt(n) * BigInt(n) * PAdj + budgetPairs - 1) / budgetPairs
+      require(nn.isValidLong,
+        s"capacitySeedC($n, $budgetPairs): required C $nn exceeds Long range")
       if (nn <= 1) 1L else nn.toLong
     }
     val capacity = java.lang.Long.highestOneBit(math.max(1L, needC)) match {
@@ -353,6 +357,17 @@ object Nsw {
   private val cache = new graft.PersistedCache
   def clearCache(): Unit = cache.clear()
 
+  /** When "false", [[bestM]]'s embedding lookups join by key-partitioned
+    * shuffle-hash instead of broadcast — the at-scale branch for
+    * corpora past the broadcast ceiling (force-broadcast of the full
+    * vector table is ~160 MB at 632k·64-d, ~0.5 GB at 2M, and hits the
+    * 1 GB ceiling near 4M vectors — VERDICT r15 item 4, the predicted
+    * scale defect #5). Default broadcast: right at every rehearsal
+    * tier, and the broadcast is ONE shared relation reused for both
+    * endpoint lookups. Same edge set on both branches (same join,
+    * different exchange) — spec-asserted like [[Ann.LutBroadcastConf]]. */
+  val EmbBroadcastConf = "spark.graft.nsw.embBroadcast"
+
   /** Seed candidate edges (u, v), u ≠ v, deduped: IVF-cell-local pairs
     * (u meets every member of its PAdj nearest seed cells — one keyed
     * join against the assignment table the IVF tier already maintains)
@@ -384,39 +399,59 @@ object Nsw {
         explode(sequence(lit(-RingD), lit(RingD))).as("dlt"), col("nn"))
       .where(col("dlt") =!= 0)
       .select(col("u"), pmod(col("u") + col("dlt"), col("nn")).as("v"))
-    cell.unionByName(ring).where(col("u") =!= col("v")).distinct()
+    // NO distinct(): the multiset is nearly duplicate-free anyway (each
+    // v lives in exactly one cell, so a cell pair appears once; only
+    // ring ∩ cell overlaps repeat), and the old distinct() was a full
+    // hash exchange of the PAdj·n²/C seed volume. bestM's distinct-ids
+    // heap absorbs the few duplicates map-side (r16, VERDICT r15 item 5).
+    cell.unionByName(ring).where(col("u") =!= col("v"))
   }
 
   /** Score candidate edges and keep each u's best M under the (dist, v)
     * total order — the one definition of "keep best M" shared by the
-    * seed cut and every descent round. Callers pre-dedup (u, v): the
-    * bounded heap treats duplicates as distinct entries.
+    * seed cut and every descent round. Callers may feed a raw candidate
+    * MULTISET: the cut is the distinct-ids bounded heap
+    * ([[graft.functions.TopKAgg.top_k_distinct_by]]), which keeps at
+    * most one entry per (u, v) — and dist is a pure function of the
+    * pair, so every duplicate carries the identical (dist, v) and
+    * "dedup inside the heap" ≡ "distinct() then top-M" EXACTLY. That
+    * equivalence is what let r16 delete the upstream `distinct()`s
+    * that hash-exchanged the full n·(2M)²-row expansion every descent
+    * round (VERDICT r15 item 5, measured ≈1.5·10⁹ rows/round at 632k);
+    * duplicates now die in the map-side partial heaps and the one
+    * exchange carries ≤ M rows per u per partition.
     *
     * Execution shape (r15, scale defect #4 of the tier ladder): the
-    * candidate set is the n·(2M)²-row big side (measured ≈1.5·10⁹ rows
-    * per descent round at 632k — Σ deg² over the symmetrized graph),
-    * so it must never be SORTED: the original window form spilled the
-    * full volume through UnsafeExternalSorter and ran the rehearsal
-    * box out of disk. Scoring joins against BROADCAST embeddings (the
-    * [[exactAdjacency]] shape — the vector table is the genuinely
-    * small side of the build; on a cluster it is also the bucketed
-    * side) keep the big side un-shuffled, and the top-M cut is the
-    * bounded-heap [[graft.functions.TopKAgg]] aggregate: partial
-    * (map-side) aggregation collapses every partition to ≤ M rows per
-    * u BEFORE the one exchange. Same (dist, v) comparator as the
-    * window (knn_topk ≡ knn_topk_agg precedent), so the selected edge
-    * SET — and every declared hash — is unchanged. */
-  private def bestM(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
-    val eu = Tables.embeddings(s, d)
-      .select(col("vec_id").as("u"), col("embedding").as("uv"))
-    val ev = Tables.embeddings(s, d)
-      .select(col("vec_id").as("v"), col("embedding").as("vv"))
-    cands.join(broadcast(eu), Seq("u")).join(broadcast(ev), Seq("v"))
+    * candidate multiset is the big side, so it must never be SORTED:
+    * the original window form spilled the full volume through
+    * UnsafeExternalSorter and ran the rehearsal box out of disk. The
+    * embedding lookup is conf-gated ([[EmbBroadcastConf]], r16 —
+    * VERDICT r15 item 4): default BROADCAST of the (vec_id, embedding)
+    * relation for each endpoint — right while the corpus vectors fit
+    * the broadcast ceiling
+    * (~632k·64-d ≈ 160 MB; binds near 4M vectors). Past that, set the
+    * conf "false" and both lookups become key-partitioned shuffle-hash
+    * joins: the expansion exchanges by u then v, the embeddings table
+    * builds the hash side, nothing is replicated per executor — the
+    * [[Ann.LutBroadcastConf]] precedent. Same join, different
+    * exchange; edge set identical either way (spec-asserted). The
+    * top-M cut is the bounded-heap aggregate with map-side partial
+    * aggregation; same (dist, v) comparator as the window (knn_topk ≡
+    * knn_topk_agg precedent), so the selected edge SET — and every
+    * declared hash — is unchanged. */
+  private[graft] def bestM(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val embBroadcast =
+      !s.conf.getOption(EmbBroadcastConf).contains("false")
+    val side = if (embBroadcast) broadcast(e) else e.hint("shuffle_hash")
+    val eu = side.select(col("vec_id").as("u"), col("embedding").as("uv"))
+    val ev = side.select(col("vec_id").as("v"), col("embedding").as("vv"))
+    cands.join(eu, Seq("u")).join(ev, Seq("v"))
       .select(col("u"), col("v"),
         VectorExpressions.cosine_distance(s, col("uv"), col("vv"))
           .as("dist"))
       .groupBy(col("u"))
-      .agg(graft.functions.TopKAgg.top_k_by(s,
+      .agg(graft.functions.TopKAgg.top_k_distinct_by(s,
         col("dist"), col("v"), lit(0), M).as("top"))
       .select(col("u"), explode(col("top")).as("t"))
       .select(col("u"), col("t.id").as("v"))
@@ -425,14 +460,23 @@ object Nsw {
   /** One NN-descent round: symmetrize, expand to 2-hop neighbors (a
     * neighbor of my neighbor is my candidate), keep each u's best M of
     * old ∪ expanded. Candidate volume ≤ n·(2M)² — linear in n at fixed
-    * degree, the property that makes the build sub-quadratic. */
+    * degree, the property that makes the build sub-quadratic.
+    *
+    * `sym` keeps its distinct() — it is only 2·n·M rows and deduping it
+    * BEFORE the self-join stops mutual edges from multiplying the 2-hop
+    * expansion 4×. The expansion itself is NOT distinct()'d anymore
+    * (r16, VERDICT r15 item 5): that was a full hash exchange of the
+    * ~n·(2M)²-row multiset each round (≈1.5·10⁹ rows at 632k) whose
+    * only job was dedup — which bestM's distinct-ids bounded heap now
+    * does map-side for free. Identical edge set, one exchange of ≤ M
+    * rows per u instead of the expansion. */
   private def descend(s: SparkSession, d: String, g: DataFrame): DataFrame = {
     val sym = g.unionByName(
       g.select(col("v").as("u"), col("u").as("v"))).distinct()
     val hop2 = sym.as("a").join(sym.as("b"), col("a.v") === col("b.u"))
       .select(col("a.u").as("u"), col("b.v").as("v"))
     val cands = g.unionByName(hop2)
-      .where(col("u") =!= col("v")).distinct()
+      .where(col("u") =!= col("v"))
     bestM(s, d, cands)
   }
 
@@ -452,10 +496,35 @@ object Nsw {
     val rounds = dRounds.getOrElse(descentRoundsFor(seedC))
     cache.getOrBuild(s,
       s"$d#nswAdj@$seedC#D$rounds" + baseN.map(c => s"#b$c").getOrElse("")) {
-      val g0 = bestM(s, d, seedCandidates(s, d, seedC, baseN))
-        .localCheckpoint(true)
-      (1 to rounds).foldLeft(g0)((g, _) =>
-        descend(s, d, g).localCheckpoint(true))
+      withoutConstraintPropagation(s) {
+        val g0 = bestM(s, d, seedCandidates(s, d, seedC, baseN))
+          .localCheckpoint(true)
+        (1 to rounds).foldLeft(g0)((g, _) =>
+          descend(s, d, g).localCheckpoint(true))
+      }
+    }
+  }
+
+  /** Optimizer constraint propagation OFF for the (eager) build plans
+    * only. Two reasons, both r16: (a) with the expansion `distinct()`s
+    * gone (VERDICT r15 item 5) the bestM join sits directly on the
+    * candidate Union, and Spark 4.1's `UnionBase.rewriteConstraints`
+    * crashes (`key not found` in the attribute map) when
+    * `InferFiltersFromConstraints` forces constraints on a union whose
+    * children share an underlying relation — the Aggregate the old
+    * distinct() inserted was masking it; (b) constraints infer nothing
+    * useful in these plans (the only predicate is u ≠ v) while the
+    * constraint sets themselves grow combinatorially on deep unioned
+    * self-joins. Optimizer-level only — the edge set is untouched.
+    * Every build call is eager (localCheckpoint(true)), so the conf
+    * never leaks past the build. */
+  private def withoutConstraintPropagation[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.constraintPropagation.enabled"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try f finally old match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
     }
   }
 
@@ -682,7 +751,7 @@ object Nsw {
     if (!fs.exists(marker)) buildLock.synchronized {
       if (!fs.exists(marker)) {
         val tmp = new Path(
-          s"${path}__build_${java.util.UUID.randomUUID.toString.take(8)}")
+          IndexGc.buildTmpPath(path))
         adjacencyWithFar(s, d, F, seedC = seedC, dRounds = dRounds)
           .write.mode("overwrite").parquet(s"$tmp/adjacency")
         // the beam decision is INDEX metadata (r13): the shape signal

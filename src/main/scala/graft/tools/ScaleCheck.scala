@@ -527,8 +527,11 @@ object ScaleCheck {
     // fixed-C seeding where it fits the box, the documented C≈4√n
     // retune where it doesn't — the per-tier build decision, shared by
     // the tier rows and the serving-cost trend
+    // BigInt trigger: PAdj·n² overflows Long above n ≈ 1.07e9, and a
+    // silently-wrapped product would pick the wrong branch here while
+    // capacitySeedC itself is overflow-guarded
     def tierSeedC(n: Long): Int =
-      if (Nsw.PAdj.toLong * n * n / Ann.C > SeedVolumeBudget)
+      if (BigInt(Nsw.PAdj) * n * n / Ann.C > SeedVolumeBudget)
         Nsw.capacitySeedC(n, SeedBuildCapacity)
       else Ann.C
     extraTiers.zipWithIndex.foreach { case (cd2, i) =>

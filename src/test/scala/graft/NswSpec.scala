@@ -327,4 +327,37 @@ class NswSpec extends SparkSpec {
       "retuned adjacency must stay exactly M-regular")
     assert(Nsw.storedAdjacency(spark, sf0001, seedC).count() >= n * Nsw.M)
   }
+
+  test("bestM embedding lookup: broadcast and shuffle-hash branches " +
+    "produce the identical edge set, and each plans its declared join " +
+    "(the at-scale de-broadcast gate, VERDICT r15 item 4)") {
+    // synthetic candidate MULTISET (duplicates included — the raw
+    // expansion shape bestM now absorbs) so the physical plan contains
+    // ONLY bestM's two embedding joins, not the seed pipeline's
+    val ids = (0L until 60L)
+    val pairs = for (u <- ids; v <- ids; if u != v) yield (u, v)
+    val cands = (pairs ++ pairs.take(500)).toDF("u", "v").repartition(4)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select($"u", $"v").as[(Long, Long)].collect().sorted.toSeq
+    // default branch: broadcast for both endpoint lookups
+    spark.conf.unset(Nsw.EmbBroadcastConf)
+    val bc = Nsw.bestM(spark, sf0001, cands)
+    val bcPlan = bc.queryExecution.executedPlan.toString
+    assert(bcPlan.contains("BroadcastHashJoin"), bcPlan)
+    assert(!bcPlan.contains("ShuffledHashJoin"), bcPlan)
+    // at-scale branch: key-partitioned shuffle-hash, no broadcast of
+    // the corpus vectors anywhere
+    spark.conf.set(Nsw.EmbBroadcastConf, "false")
+    try {
+      val sh = Nsw.bestM(spark, sf0001, cands)
+      val shPlan = sh.queryExecution.executedPlan.toString
+      assert(shPlan.contains("ShuffledHashJoin"), shPlan)
+      assert(!shPlan.contains("BroadcastHashJoin"), shPlan)
+      assert(edges(sh) === edges(bc),
+        "edge set must be invariant under the exchange strategy")
+    } finally spark.conf.unset(Nsw.EmbBroadcastConf)
+    // and the heap dedup really bit: each u keeps exactly M distinct vs
+    assert(edges(bc).groupBy(_._1).forall { case (_, vs) =>
+      vs.size == Nsw.M && vs.distinct.size == Nsw.M })
+  }
 }

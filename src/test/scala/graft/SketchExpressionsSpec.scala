@@ -45,10 +45,19 @@ class SketchExpressionsSpec extends SparkSpec {
 
   test("winnow_fingerprint expression ≡ UDF (incl. the <k short-text " +
     "branch)") {
+    // the supplementary-plane rows pin the branch GATE to UTF-16 code
+    // UNITS (String.length — the TextHash.winnow contract), not code
+    // points: 10 emoji are 10 code points but 20 UTF-16 units, so a
+    // numChars()-gated expression forks to the short-text fallback
+    // while the UDF winnows — the ADVICE r15 divergence domain
+    val tenEmoji = "😀" * 10   // numChars 10 < k=16 ≤ length 20
+    val eightEmoji = "😀" * 8  // length 16 = k exactly
     val withShort = docs.select(col("text"))
       .union(spark.createDataFrame(Seq(
         Tuple1(""), Tuple1("short"), Tuple1("exactly sixteen!"),
-        Tuple1("seventeen chars!!"))).toDF("text"))
+        Tuple1("seventeen chars!!"), Tuple1(tenEmoji), Tuple1(eightEmoji),
+        Tuple1("mixed 😀 ascii and astral 🤖 text")))
+        .toDF("text"))
     val n = withShort.where(
       SketchExpressions.winnow_fingerprint(spark, col("text"), lit(16)) =!=
         TextHash.winnow_fingerprint(col("text"), lit(16))).count()

@@ -80,4 +80,53 @@ class TopKAggSpec extends SparkSpec {
     buf.insert(0.3, 1, 7); buf.insert(0.1, 2, 8); buf.insert(0.2, 3, 9)
     assert(buf.sorted.toSeq === Seq((0.1, 2L, 8), (0.2, 3L, 9)))
   }
+
+  test("top_k_distinct_by on a multiset ≡ distinct() then top_k_by — " +
+    "the law that let the NSW build drop its expansion exchanges") {
+    // duplicates with identical (dist, id) — the NSW candidate shape
+    // (dist is a pure function of the pair) — plus enough distinct ids
+    // to force evictions past k
+    val rows = for {
+      q <- 1L to 5L; id <- 1L to 20L; dup <- 1 to (1 + (id % 3).toInt)
+    } yield (q, (id * 7919 % 23).toDouble / 23.0 + q * 0.001, id * 100 + q, 0)
+    val df = rows.toDF("qid", "dist", "cid", "clabel").repartition(8)
+    val viaDistinct = df.distinct().groupBy($"qid")
+      .agg(TopKAgg.top_k_by(spark, $"dist", $"cid", $"clabel", 7).as("nbrs"))
+      .select($"qid", posexplode($"nbrs").as(Seq("pos", "nbr")))
+      .select($"qid", $"pos", $"nbr.id", $"nbr.dist")
+      .as[(Long, Int, Long, Double)].collect().sortBy(t => (t._1, t._2))
+    val viaHeap = df.groupBy($"qid")
+      .agg(TopKAgg.top_k_distinct_by(spark, $"dist", $"cid", $"clabel", 7)
+        .as("nbrs"))
+      .select($"qid", posexplode($"nbrs").as(Seq("pos", "nbr")))
+      .select($"qid", $"pos", $"nbr.id", $"nbr.dist")
+      .as[(Long, Int, Long, Double)].collect().sortBy(t => (t._1, t._2))
+    assert(viaHeap.sameElements(viaDistinct))
+  }
+
+  test("distinct buffer: duplicate id keeps the smaller (dist, label); " +
+    "eviction frees the id for a later better copy") {
+    val buf = new graft.functions.TopKBuffer(2, distinctIds = true)
+    buf.insert(0.3, 1, 7)
+    buf.insert(0.3, 1, 7)            // exact duplicate — absorbed
+    assert(buf.sorted.toSeq === Seq((0.3, 1L, 7)))
+    buf.insert(0.2, 1, 5)            // better copy of id 1 — replaces
+    assert(buf.sorted.toSeq === Seq((0.2, 1L, 5)))
+    buf.insert(0.1, 2, 0); buf.insert(0.05, 3, 0) // evicts id 1
+    assert(buf.sorted.toSeq === Seq((0.05, 3L, 0), (0.1, 2L, 0)))
+    buf.insert(0.2, 1, 5)            // evicted id re-offered, still worse
+    assert(buf.sorted.toSeq === Seq((0.05, 3L, 0), (0.1, 2L, 0)))
+    buf.insert(0.01, 1, 5)           // re-offered BETTER — re-enters
+    assert(buf.sorted.toSeq === Seq((0.01, 1L, 5), (0.05, 3L, 0)))
+  }
+
+  test("distinct buffer merge preserves one-entry-per-id across partial " +
+    "states (the map-side partial aggregation path)") {
+    val a = new graft.functions.TopKBuffer(3, distinctIds = true)
+    val b = new graft.functions.TopKBuffer(3, distinctIds = true)
+    a.insert(0.3, 1, 0); a.insert(0.2, 2, 0)
+    b.insert(0.3, 1, 0); b.insert(0.1, 3, 0)
+    a.mergeFrom(b)
+    assert(a.sorted.toSeq === Seq((0.1, 3L, 0), (0.2, 2L, 0), (0.3, 1L, 0)))
+  }
 }
