@@ -256,13 +256,32 @@ object Ann {
       .getOrElse(filtered)
     val e = Tables.repartitioned(restricted, s)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("cdist").asc, col("cent_id").asc)
+    // Top-p cut via the bounded heap, not a rank window (r16 — the r15
+    // sort-free-bestM lesson applied to routing BEFORE the 2M tier
+    // forces it): at build-tier seed counts the scored stream is
+    // n·seedC rows (1.3·10¹¹ at n=2·10⁶, seedC=65536 — the capacity
+    // rule makes seedC grow as n²/budget, so routing volume grows as
+    // n³/budget), and the window form local-sorts that full volume for
+    // WindowGroupLimit. The heap's map-side partial aggregation keeps
+    // ≤ p entries per qid with no sort; the crossJoin emits each qid's
+    // C rows contiguously, so the partial hash map holds only the
+    // partition's own qids. Same (cdist, cent_id) total order as the
+    // window ⇒ identical probe set (the knn_topk ≡ knn_topk_agg
+    // precedent). qv rides through the GROUPING KEY — it is
+    // functionally dependent on qid, so (qid, qv) groups ≡ qid groups
+    // and no join is needed to re-attach it (a re-attach join would
+    // either broadcast a corpus-sized side at test scale or add an
+    // exchange of e at build scale).
     e.crossJoin(broadcast(cents))
-      .select(col("qid"), col("qv"), col("cent_id"),
-        VectorExpressions.cosine_distance(s, col("qv"), col("cent_vec")).as("cdist"))
-      .withColumn("prn", row_number().over(wProbe)).where(col("prn") <= p)
-      .select(col("qid"), col("qv"), col("cent_id"))
+      .select(col("qid"), col("qv"),
+        VectorExpressions.cosine_distance(s, col("qv"), col("cent_vec"))
+          .as("cdist"),
+        col("cent_id"))
+      .groupBy(col("qid"), col("qv"))
+      .agg(graft.functions.TopKAgg.top_k_by(s,
+        col("cdist"), col("cent_id"), lit(0), p).as("pl"))
+      .select(col("qid"), col("qv"), explode(col("pl")).as("t"))
+      .select(col("qid"), col("qv"), col("t.id").as("cent_id"))
   }
 
   /** IVF approximate top-k under `cents`/`lists`: probe the `p` nearest

@@ -1,5 +1,7 @@
 package graft.tools
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.SparkSession
 
 import graft.ops.{Ann, Nsw}
@@ -24,15 +26,11 @@ object NswBuild {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(Ann.LutBroadcastConf, "false")
-      // Big-heap builds almost never trigger driver GC, so the
-      // ContextCleaner never reaps the shuffle files of ALREADY-DROPPED
-      // stages (each localCheckpoint barrier strands its upstream) and
-      // the box's disk fills with dead spill — measured r15: the 632k
-      // capacity-rule build (7.8·10⁸ seed pairs) ran ~78 GB of disk to
-      // no-space while its LIVE working set was one round's ~40 GB.
-      // Spark's own lever, tightened from the 30min default: reclaim
-      // dead shuffles every 2 minutes.
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // the ONE definition of the big-build session confs (shuffle-GC
+      // reap + ObjectHashAggregate fallback headroom) lives on
+      // Nsw.BuildSessionConfs with the measured rationale
+      .pipe(b => Nsw.BuildSessionConfs.foldLeft(b) {
+        case (bb, (k, v)) => bb.config(k, v) })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()

@@ -1,5 +1,7 @@
 package graft.tools
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -69,10 +71,11 @@ object ScaleCheck {
       // the at-scale ADC branch: leave-one-out makes every corpus row a
       // query, so the per-query LUT must shuffle, not broadcast
       .config(Ann.LutBroadcastConf, "false")
-      // reclaim dead shuffle files promptly on big-heap runs (see
-      // NswBuild — the 632k build's disk exhaustion was STRANDED spill
-      // of already-dropped stages, not live working set)
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // the ONE definition of the big-build session confs (shuffle-GC
+      // reap + ObjectHashAggregate fallback headroom) lives on
+      // Nsw.BuildSessionConfs with the measured rationale
+      .pipe(b => Nsw.BuildSessionConfs.foldLeft(b) {
+        case (bb, (k, v)) => bb.config(k, v) })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failures = 0
