@@ -22,66 +22,106 @@ import org.apache.spark.sql.types._
   * exchange carries ≤ k rows per group per partition). */
 final class TopKBuffer(val k: Int, val distinctIds: Boolean = false)
     extends Serializable {
-  // max-heap on (dist, id) so the current worst neighbor is at the root
-  val heap = new java.util.PriorityQueue[(Double, Long, Int)](
-    k.max(1),
-    (a: (Double, Long, Int), b: (Double, Long, Int)) => {
-      val c = java.lang.Double.compare(b._1, a._1)
-      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
-    })
+  // Parallel-PRIMITIVE-array binary max-heap on (dist, id): the root is
+  // the worst kept entry. ~20 B per slot + three array headers, vs the
+  // ~200 B/slot a PriorityQueue of boxed tuples costs — the footprint
+  // matters because ObjectHashAggregate's partial phase holds ONE
+  // buffer per group in its hash map, and the group count before the
+  // sort-based fallback (Nsw.BuildSessionConfs) is bounded by
+  // buffer-size × threshold ≤ heap. Measured consequence of the boxed
+  // form (r16, 2M-tier build attempt 1): ~500k distinct groups per
+  // partition blew past the fallback threshold and the "sort-free"
+  // build locally sorted its whole expansion into 74 GB of spill.
+  private var n = 0
+  private val hd = new Array[Double](math.max(k, 1))
+  private val hi = new Array[Long](math.max(k, 1))
+  private val hl = new Array[Int](math.max(k, 1))
 
-  // id → live heap entry; allocated only in distinct mode
-  private val byId: java.util.HashMap[java.lang.Long, (Double, Long, Int)] =
-    if (distinctIds) new java.util.HashMap[java.lang.Long, (Double, Long, Int)]()
-    else null
+  def size: Int = n
+
+  // entry a is WORSE than entry b under the (dist, id) total order
+  @inline private def worse(da: Double, ia: Long, db: Double, ib: Long)
+      : Boolean = da > db || (da == db && ia > ib)
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val d = hd(a); hd(a) = hd(b); hd(b) = d
+    val i = hi(a); hi(a) = hi(b); hi(b) = i
+    val l = hl(a); hl(a) = hl(b); hl(b) = l
+  }
+
+  private def siftUp(s0: Int): Unit = {
+    var s = s0
+    while (s > 0) {
+      val p = (s - 1) >> 1
+      if (worse(hd(s), hi(s), hd(p), hi(p))) { swap(s, p); s = p }
+      else return
+    }
+  }
+
+  private def siftDown(s0: Int): Unit = {
+    var s = s0
+    while (true) {
+      val l = 2 * s + 1
+      val r = l + 1
+      var w = s
+      if (l < n && worse(hd(l), hi(l), hd(w), hi(w))) w = l
+      if (r < n && worse(hd(r), hi(r), hd(w), hi(w))) w = r
+      if (w == s) return
+      swap(s, w); s = w
+    }
+  }
 
   def insert(dist: Double, id: Long, label: Int): Unit = {
     if (k <= 0) return
     if (distinctIds) {
-      val prev = byId.get(id)
-      if (prev != null) {
-        // one entry per id: keep the smaller (dist, label). Order-
-        // independent — equivalent to "min per id, then top-k".
-        if (dist < prev._1 || (dist == prev._1 && label < prev._3)) {
-          heap.remove(prev) // O(k); k is small by construction
-          byId.remove(id)
-          insertBounded(dist, id, label)
+      // one entry per id: keep the smaller (dist, label) — order-
+      // independent, ≡ "min per id, then top-k". Linear scan: the
+      // distinct mode's k is the graph degree (M = 16), so the scan is
+      // a handful of primitive compares and allocates nothing.
+      var s = 0
+      while (s < n) {
+        if (hi(s) == id) {
+          if (dist < hd(s) || (dist == hd(s) && label < hl(s))) {
+            // remove slot s, then re-insert the better copy
+            n -= 1
+            if (s != n) {
+              hd(s) = hd(n); hi(s) = hi(n); hl(s) = hl(n)
+              siftDown(s); siftUp(s)
+            }
+            insertBounded(dist, id, label)
+          }
+          return
         }
-        return
+        s += 1
       }
     }
     insertBounded(dist, id, label)
   }
 
   private def insertBounded(dist: Double, id: Long, label: Int): Unit = {
-    if (heap.size < k) {
-      heap.add((dist, id, label))
-      if (distinctIds) byId.put(id, (dist, id, label))
-    } else {
-      val worst = heap.peek()
-      if (dist < worst._1 || (dist == worst._1 && id < worst._2)) {
-        val evicted = heap.poll()
-        heap.add((dist, id, label))
-        if (distinctIds) {
-          byId.remove(evicted._2)
-          byId.put(id, (dist, id, label))
-        }
-      }
+    if (n < k) {
+      hd(n) = dist; hi(n) = id; hl(n) = label
+      n += 1
+      siftUp(n - 1)
+    } else if (worse(hd(0), hi(0), dist, id)) {
+      hd(0) = dist; hi(0) = id; hl(0) = label
+      siftDown(0)
     }
   }
 
   def mergeFrom(other: TopKBuffer): Unit = {
-    val it = other.heap.iterator()
-    while (it.hasNext) { val t = it.next(); insert(t._1, t._2, t._3) }
+    var s = 0
+    while (s < other.n) {
+      insert(other.hd(s), other.hi(s), other.hl(s))
+      s += 1
+    }
   }
 
   /** ascending (dist, id) */
   def sorted: Array[(Double, Long, Int)] = {
-    val arr = new Array[(Double, Long, Int)](heap.size)
-    var i = arr.length - 1
-    val copy = new java.util.PriorityQueue[(Double, Long, Int)](heap)
-    while (i >= 0) { arr(i) = copy.poll(); i -= 1 }
-    arr
+    val idx = Array.range(0, n).sortWith((a, b) =>
+      hd(a) < hd(b) || (hd(a) == hd(b) && hi(a) < hi(b)))
+    idx.map(s => (hd(s), hi(s), hl(s)))
   }
 }
 

@@ -124,24 +124,31 @@ object Ann {
     * index, not from the fixture table. */
   private def assignOver(s: SparkSession, e: DataFrame,
       cents: DataFrame): DataFrame = {
-    // argmin as min_by over the unique (cdist, cent_id) order — an
-    // AGGREGATE, so the n·C candidate rows collapse map-side (partial
-    // HashAggregate, one surviving row per vec_id through the exchange)
-    // instead of all being shuffled and sorted for a window rank. Same
-    // winner, same tie-break, hash-identical output (golden-verified);
-    // neutral at local fixture scale where the C distance evaluations
-    // dominate, but the exchange shrinks from n·C rows to n at 100 TB.
-    // cdist stays: consumers (e.g. the exact cell-blocked similarity
-    // join) derive per-cell radii from the assignment angle.
+    // argmin as an AGGREGATE so the n·C candidate rows collapse
+    // map-side and the exchange carries n rows, not n·C. The aggregate
+    // must be the bounded HEAP at k=1, NOT min_by (r16, found by the 2M
+    // tier's first build attempt): min_by's buffer holds a STRUCT,
+    // which HashAggregateExec cannot mutate, and a DeclarativeAggregate
+    // is not eligible for ObjectHashAggregate either — so Spark plans
+    // SortAggregate, whose partial phase SORTS the full n·C scored
+    // stream per partition (1.3·10¹¹ rows × ~300 B at n=2·10⁶,
+    // seedC=65536 — ran the box's 77 GB of disk to zero in 9 minutes).
+    // top_k_by(k=1) is a TypedImperativeAggregate → ObjectHashAggregate
+    // → true map-side hash collapse; its (cdist, cent_id) order is
+    // min_by's exact comparator, so the winner — and every hash — is
+    // unchanged. The embedding rides through the grouping key
+    // (functionally dependent on vec_id, the probesOf trick). cdist
+    // stays: consumers (e.g. the exact cell-blocked similarity join)
+    // derive per-cell radii from the assignment angle.
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         VectorExpressions.cosine_distance(s, col("embedding"), col("cent_vec"))
           .as("cdist"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cent_id"), col("embedding"), col("cdist")),
-        struct(col("cdist"), col("cent_id"))).as("m"))
-      .select(col("vec_id"), col("m.cent_id").as("cent_id"),
-        col("m.embedding").as("embedding"), col("m.cdist").as("cdist"))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(graft.functions.TopKAgg.top_k_by(s,
+        col("cdist"), col("cent_id"), lit(0), 1).as("m"))
+      .select(col("vec_id"), col("m").getItem(0).getField("id").as("cent_id"),
+        col("embedding"), col("m").getItem(0).getField("dist").as("cdist"))
   }
 
   /** One Lloyd's round: argmin-assign to `cents`, then the quantized
@@ -151,16 +158,20 @@ object Ann {
     * distributed k-means. */
   private def refineOnce(s: SparkSession, e: DataFrame,
       cents: DataFrame): DataFrame = {
-    // same min_by argmin as buildAssignments (one definition of the
-    // assignment rule would be circular here: this one drops cdist)
+    // same heap-argmin as buildAssignments (one definition of the
+    // assignment rule would be circular here: this one drops cdist) —
+    // and the same SortAggregate trap (see assignOver): at the retuned
+    // training C of a rehearsal tier this runs per Lloyd iteration, so
+    // a min_by here sorts n·C rows four times per build
     val assign = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         VectorExpressions.cosine_distance(s, col("embedding"), col("cent_vec"))
           .as("cdist"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cent_id"), col("embedding")),
-        struct(col("cdist"), col("cent_id"))).as("m"))
-      .select(col("m.cent_id").as("cent_id"), col("m.embedding").as("embedding"))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(graft.functions.TopKAgg.top_k_by(s,
+        col("cdist"), col("cent_id"), lit(0), 1).as("m"))
+      .select(col("m").getItem(0).getField("id").as("cent_id"),
+        col("embedding"))
     val means = quantizedMeans(assign, "cent_id").withColumnRenamed("mean_vec", "new_vec")
     cents.join(means, Seq("cent_id"), "left")
       .select(col("cent_id"),

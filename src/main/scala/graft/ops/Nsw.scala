@@ -390,12 +390,18 @@ object Nsw {
     *    SORT-based aggregation once the in-memory map passes this many
     *    GROUPS — at default, any build-tier partial aggregation
     *    degenerates into exactly the big sort the heap form exists to
-    *    avoid. 262144 entries × ~3 KB/buffer ≈ 0.8 GB per task bounds
-    *    the map while covering every per-partition group count the
-    *    tiers produce (n/partitions qids for routing). */
+    *    avoid (measured r16, 2M tier attempt 1: bestM's partial phase
+    *    sees ~n·PAdj/partitions ≈ 500k distinct u per partition, blew a
+    *    262144 threshold, and local-sorted the whole expansion into
+    *    74 GB of spill). 2097152 covers the worst case (every u in one
+    *    partition) up to n = 2·10⁶ at ~400 B per primitive-array
+    *    [[graft.functions.TopKBuffer]] (M = 16) ≈ 0.8 GB per task —
+    *    which is why build sessions must also run with a real driver
+    *    heap (`SPARK_DRIVER_MEM=48g`; build.sbt's default 8g fits the
+    *    graded tiers, not a rehearsal build). */
   val BuildSessionConfs: Map[String, String] = Map(
     "spark.cleaner.periodicGC.interval" -> "2min",
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "262144")
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2097152")
 
   /** Seed candidate edges (u, v), u ≠ v, deduped: IVF-cell-local pairs
     * (u meets every member of its PAdj nearest seed cells — one keyed

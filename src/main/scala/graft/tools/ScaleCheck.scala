@@ -71,6 +71,12 @@ object ScaleCheck {
       // the at-scale ADC branch: leave-one-out makes every corpus row a
       // query, so the per-query LUT must shuffle, not broadcast
       .config(Ann.LutBroadcastConf, "false")
+      // the at-scale bestM branch (VERDICT r15 item 4): rehearsal
+      // builds run the shuffle-hash embedding lookup — the 20k
+      // sub-quadratic build row below therefore EXERCISES the
+      // de-broadcast build shape every certification run (its
+      // M-regularity law and the approx-graph search law gate it)
+      .config(Nsw.EmbBroadcastConf, "false")
       // the ONE definition of the big-build session confs (shuffle-GC
       // reap + ObjectHashAggregate fallback headroom) lives on
       // Nsw.BuildSessionConfs with the measured rationale
