@@ -437,11 +437,18 @@ object Ann {
 
   /** (vec_id, code0..code{M−1}): the compressed index — one argmin per
     * subspace over the shared sub-distance rows, collapsed map-side by
-    * M min_by aggregates in ONE grouped pass (the exchange carries n
-    * rows, not n·Cw). */
+    * M bounded-heap argmins in ONE grouped pass (the exchange carries n
+    * rows, not n·Cw). Heap at k=1, not min_by (r16): min_by's struct
+    * buffer forces SortAggregate — a per-partition sort of the full
+    * n·Cw sub-distance stream that a 100 TB PQ build cannot afford —
+    * while the TypedImperativeAggregate heap hash-collapses map-side
+    * with the identical (s_m, cw_id) comparator (same code words,
+    * hash-verified). */
   private[graft] def pqCodes(s: SparkSession, d: String): DataFrame = {
     val aggs = (0 until PqM).map { m =>
-      min_by(col("cw_id"), struct(col(s"s$m"), col("cw_id"))).as(s"code$m")
+      element_at(graft.functions.TopKAgg.top_k_by(s,
+        col(s"s$m"), col("cw_id"), lit(0), 1), 1)
+        .getField("id").as(s"code$m")
     }
     pqSubDists(s, d).groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
   }

@@ -233,19 +233,21 @@ object Nsw {
     val r = 4 * math.sqrt(n.toDouble).toLong
     math.max(Ann.C, java.lang.Long.highestOneBit(math.max(1L, r)).toInt)
   }
-  /** The retune rule under a CAPACITY CEILING (r15): seed volume is
-    * PAdj·n²/C candidate pairs, and every deployment has a per-build
-    * capacity — the aggregate shuffle/spill space a build may use. At
-    * 100 TB on a 1000-executor cluster the 4√n rule's O(n^1.5) volume
-    * fits long before the ceiling binds; on one rehearsal box it binds
-    * first (r15 measured: the 632k tier's rule volume of 1.56·10⁹
-    * pairs exhausted a ~90 GB-free disk that hosts 6–8·10⁸
-    * comfortably). The declared response is the same rule every
-    * capacity decision here follows: raise C to the smallest power of
-    * two whose volume fits the budget — never below the 4√n retune —
-    * and let [[descentRoundsFor]] compensate the thinner per-vector
-    * seed coverage with extra NN-descent rounds (the cheap O(n·(2M)²)
-    * term). Exact integer arithmetic; pure function of (n, budget). */
+  /** The retune rule under a CAPACITY CEILING (r15) — **RETIRED as the
+    * tier decision in r16**, kept as the pinned pure function its specs
+    * anchor. History: r15 introduced it because the 4√n rule's seed
+    * pairs (1.56·10⁹ at 632k) exhausted the rehearsal disk — but what
+    * hit disk was the pair EXCHANGES (the expansion `distinct()`s and
+    * the SortAggregate argmin), all removed in r16: the heap build
+    * streams pairs through broadcast joins into map-side bounded heaps
+    * and exchanges only ≤ M rows per u. With the disk term gone, the
+    * capacity C's own ROUTING term (n·seedC, growing as n³/budget) is
+    * what binds, and it was measured wall-clock-infeasible at the 2M
+    * tier (seedC=65536: 2¼ h inside the first 1.3·10¹¹-row routing
+    * pass, disk flat). The declared tier rule is [[retunedSeedC]]'s
+    * 4√n again — it balances the two CPU terms (routing n·C, pairs
+    * PAdj·n²/C, both O(n^1.5)). Exact integer arithmetic; pure
+    * function of (n, budget). */
   def capacitySeedC(n: Long, budgetPairs: Long): Int = {
     require(n > 0 && budgetPairs > 0, s"bad capacitySeedC($n, $budgetPairs)")
     val retuned = retunedSeedC(n)

@@ -48,16 +48,14 @@ object ScaleCheck {
     * of measuring it here. */
   val SeedVolumeBudget = 200000000L
 
-  /** The box's per-BUILD seed-pair capacity — the most candidate pairs
-    * one NSW build may materialize before its shuffle/sort spill
-    * exhausts this box's disk. Calibrated r15: the 632k tier's declared
-    * 4√n-rule volume of 1.56·10⁹ pairs ran a ~90 GB-free disk to
-    * no-space-left mid-build (the r14 failure mode, now at the RETUNED
-    * volume), while the 200k tier's 3.1·10⁸ built in ~35 GB of spill.
-    * Tiers whose retuned volume exceeds this build with
-    * [[graft.ops.Nsw.capacitySeedC]] — the same raise-C-to-capacity
-    * decision a real deployment makes at ITS ceiling, with the
-    * descent-round rule compensating coverage. */
+  /** The r15 per-BUILD seed-pair disk capacity — RETIRED as a build
+    * decision in r16 (see `tierSeedC` below: the heap build no longer
+    * puts seed pairs on disk, and the capacity C it prescribed was
+    * measured routing-infeasible at the 2M tier). Kept as the pinned
+    * calibration constant of [[graft.ops.Nsw.capacitySeedC]]'s specs
+    * and of the r15 record: the 632k 4√n volume of 1.56·10⁹ pairs ran
+    * a ~90 GB disk to no-space when pairs still EXCHANGED; 3.1·10⁸
+    * built in ~35 GB. */
   val SeedBuildCapacity = 800000000L
 
   def main(args: Array[String]): Unit = {
@@ -537,11 +535,23 @@ object ScaleCheck {
     // retune where it doesn't — the per-tier build decision, shared by
     // the tier rows and the serving-cost trend
     // BigInt trigger: PAdj·n² overflows Long above n ≈ 1.07e9, and a
-    // silently-wrapped product would pick the wrong branch here while
-    // capacitySeedC itself is overflow-guarded
+    // silently-wrapped product would pick the wrong branch.
+    //
+    // Above the fixed-C volume budget the retune is the 4√n rule, NOT
+    // the r15 capacity ceiling (RETIRED r16, falsified by the 2M tier):
+    // capacitySeedC raised C to fit seed pairs on disk, but the r16
+    // heap build never puts seed pairs on disk (dedup-in-heap removed
+    // the pair exchanges; argmin assignment no longer SortAggregates),
+    // while the capacity C's ROUTING term n·seedC — which grows as
+    // n³/budget — was measured wall-clock-infeasible: the 2M tier at
+    // capacity seedC=65536 sat 2¼ hours inside the FIRST of its two
+    // 1.3·10¹¹-row routing passes (~1.8 µs/row, 16 cores) with disk
+    // flat at 1 GB. 4√n balances the two CPU terms (routing n·C vs
+    // pairs PAdj·n²/C, both O(n^1.5)) — the binding constraint is CPU
+    // now, and 4√n minimizes it.
     def tierSeedC(n: Long): Int =
       if (BigInt(Nsw.PAdj) * n * n / Ann.C > SeedVolumeBudget)
-        Nsw.capacitySeedC(n, SeedBuildCapacity)
+        Nsw.retunedSeedC(n)
       else Ann.C
     extraTiers.zipWithIndex.foreach { case (cd2, i) =>
       check(s"nsw shape-beam tier ${i + 2} (sampled)") {

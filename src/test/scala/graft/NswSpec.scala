@@ -278,10 +278,12 @@ class NswSpec extends SparkSpec {
     intercept[IllegalArgumentException](Nsw.descentRoundsFor(128))
     intercept[IllegalArgumentException](Nsw.descentRoundsFor(768))
     intercept[IllegalArgumentException](Nsw.descentRoundsFor(0))
-    // capacity ceiling (r15): seedC raises past the 4√n retune exactly
-    // when the retuned volume exceeds the build budget, to the smallest
-    // pow2 whose volume fits; never below the retune; postcondition
-    // PAdj·n²/C ≤ budget
+    // capacity ceiling (r15; RETIRED as the tier decision in r16 — the
+    // heap build exchanges no seed pairs, so the 4√n retune is the
+    // declared rule again — but the function stays pinned): seedC
+    // raises past the 4√n retune exactly when the retuned volume
+    // exceeds the build budget, to the smallest pow2 whose volume
+    // fits; never below the retune; postcondition PAdj·n²/C ≤ budget
     assert(Nsw.capacitySeedC(200000L, 800000000L) === 1024) // retune binds
     assert(Nsw.capacitySeedC(632000L, 800000000L) === 4096) // capacity binds
     Seq((63000L, 800000000L), (200000L, 800000000L),
