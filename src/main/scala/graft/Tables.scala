@@ -132,4 +132,23 @@ object Tables {
       try r.getRecordCount finally r.close()
     }.sum
   }
+
+  /** Strict boolean conf gate (ADVICE r16): the graft.* branch confs
+    * (Ann.LutBroadcastConf, Nsw.EmbBroadcastConf) pick between a
+    * broadcast and a shuffle plan where choosing the WRONG branch past
+    * a scale ceiling is the failure the conf exists to avoid — so
+    * "FALSE"/"0"/"off" silently falling through to the default is
+    * unacceptable. Literal true/false (any case, trimmed) or a loud
+    * error; absent → `default`. */
+  private[graft] def strictBoolConf(s: org.apache.spark.sql.SparkSession,
+      key: String, default: Boolean = true): Boolean =
+    s.conf.getOption(key) match {
+      case None => default
+      case Some(v) => v.trim.toLowerCase(java.util.Locale.ROOT) match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"$key must be 'true' or 'false', got '$other'")
+      }
+    }
 }

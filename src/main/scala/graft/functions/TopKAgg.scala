@@ -39,9 +39,18 @@ final class TopKBuffer(val k: Int, val distinctIds: Boolean = false)
 
   def size: Int = n
 
-  // entry a is WORSE than entry b under the (dist, id) total order
+  // entry a is WORSE than entry b under the (dist, id) total order.
+  // java.lang.Double.compare — NOT primitive `>` — so NaN sorts
+  // greater-than-everything, exactly Spark's DoubleType ordering
+  // (min_by / ORDER BY / row_number). Under primitive compares a NaN
+  // dist (cosine_distance of a zero-norm embedding) is unordered: once
+  // inside a non-full heap it can never be evicted and never bubbles,
+  // making results arrival-order-dependent (ADVICE r16, medium).
   @inline private def worse(da: Double, ia: Long, db: Double, ib: Long)
-      : Boolean = da > db || (da == db && ia > ib)
+      : Boolean = {
+    val c = java.lang.Double.compare(da, db)
+    c > 0 || (c == 0 && ia > ib)
+  }
 
   @inline private def swap(a: Int, b: Int): Unit = {
     val d = hd(a); hd(a) = hd(b); hd(b) = d
@@ -81,7 +90,8 @@ final class TopKBuffer(val k: Int, val distinctIds: Boolean = false)
       var s = 0
       while (s < n) {
         if (hi(s) == id) {
-          if (dist < hd(s) || (dist == hd(s) && label < hl(s))) {
+          val c = java.lang.Double.compare(dist, hd(s))
+          if (c < 0 || (c == 0 && label < hl(s))) {
             // remove slot s, then re-insert the better copy
             n -= 1
             if (s != n) {
@@ -117,10 +127,12 @@ final class TopKBuffer(val k: Int, val distinctIds: Boolean = false)
     }
   }
 
-  /** ascending (dist, id) */
+  /** ascending (dist, id), NaN greater-than-all (Spark's DoubleType order) */
   def sorted: Array[(Double, Long, Int)] = {
-    val idx = Array.range(0, n).sortWith((a, b) =>
-      hd(a) < hd(b) || (hd(a) == hd(b) && hi(a) < hi(b)))
+    val idx = Array.range(0, n).sortWith { (a, b) =>
+      val c = java.lang.Double.compare(hd(a), hd(b))
+      c < 0 || (c == 0 && hi(a) < hi(b))
+    }
     idx.map(s => (hd(s), hi(s), hl(s)))
   }
 }
@@ -257,7 +269,17 @@ object TopKAgg {
     * [[TopKBuffer]] distinct-ids mode: at most one heap entry per id
     * (min (dist, label) wins), so a caller may feed a raw candidate
     * MULTISET and still get exactly `distinct-then-top-k`, with no
-    * upstream `distinct()` exchange of the full candidate volume. */
+    * upstream `distinct()` exchange of the full candidate volume.
+    *
+    * PRECONDITION (ADVICE r16): the `distinct ≡` equivalence above holds
+    * only when (dist, label) is a pure function of id within each group —
+    * the NSW shape, where dist is a deterministic distance between the
+    * group key's embedding and id's embedding. Fed VARYING dists per id,
+    * the aggregate computes "min-(dist,label)-per-id, then top-k" — a
+    * well-defined, order-independent semantics, but NOT the same as
+    * `distinct()` + `top_k_by` (which would keep each (dist,id,label)
+    * variant as its own candidate). Callers with non-functional dists
+    * should use `top_k_by` over a pre-deduplicated input instead. */
   def registerDistinct(spark: SparkSession): Unit =
     Registry.ensure(spark, "top_k_distinct_by")(
       exprs => {

@@ -500,7 +500,7 @@ object Ann {
     // executor. Results identical either way (same join, different
     // exchange) — plan-asserted in AnnSpec for both branches.
     val lutBroadcast =
-      !s.conf.getOption(LutBroadcastConf).contains("false")
+      graft.Tables.strictBoolConf(s, LutBroadcastConf)
     val lutSide = if (lutBroadcast) broadcast(lut) else lut.hint("shuffle_hash")
     // The positional element_at assumes codeword ids are contiguous from
     // 0 (true by construction: the codebook is `vec_id < PqCw`). If that

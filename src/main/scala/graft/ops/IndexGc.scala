@@ -81,7 +81,7 @@ object IndexGc {
     * segments VARY across versions of one family; kind, lifecycle role
     * and the dataset tag identify the artifact a deployment serves. */
   private[graft] def familyOf(name: String): Option[String] = {
-    if (name.contains("__build_")) return None
+    if (name.contains(BuildTmpTag)) return None
     val kind =
       if (name.startsWith("nsw_")) "nsw"
       else if (name.startsWith("v")) "ivf"

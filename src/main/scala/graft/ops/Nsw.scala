@@ -377,8 +377,13 @@ object Nsw {
     * session that lazily triggers a build re-hits the defects these
     * confs fix). ONE definition here; `tools.NswBuild` and
     * `tools.ScaleCheck` apply it verbatim, and a deployment must do the
-    * same (these are SparkContext-construction-time settings — they
-    * cannot be applied after the session exists):
+    * same for the FIRST entry — `spark.cleaner.periodicGC.interval` is
+    * a SparkContext-construction-time setting that cannot be applied
+    * after the session exists. The SECOND entry is a runtime SQL conf
+    * and is ADDITIONALLY scoped around every build by
+    * [[withBuildSqlConfs]] (ADVICE r16), so a lazily-triggered build in
+    * a session that never applied this map still gets it; it stays in
+    * this map so dedicated build sessions carry it from the start:
     *
     *  - `spark.cleaner.periodicGC.interval=2min`: big-heap builds
     *    almost never trigger driver GC, so the ContextCleaner never
@@ -478,8 +483,10 @@ object Nsw {
     * declared hash — is unchanged. */
   private[graft] def bestM(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val embBroadcast =
-      !s.conf.getOption(EmbBroadcastConf).contains("false")
+    // strict parse, loud failure (ADVICE r16): "FALSE"/"0"/"off" silently
+    // taking the broadcast branch is exactly the at-scale failure the
+    // conf exists to avoid, so anything but a literal boolean is an error
+    val embBroadcast = graft.Tables.strictBoolConf(s, EmbBroadcastConf)
     val side = if (embBroadcast) broadcast(e) else e.hint("shuffle_hash")
     val eu = side.select(col("vec_id").as("u"), col("embedding").as("uv"))
     val ev = side.select(col("vec_id").as("v"), col("embedding").as("vv"))
@@ -533,7 +540,7 @@ object Nsw {
     val rounds = dRounds.getOrElse(descentRoundsFor(seedC))
     cache.getOrBuild(s,
       s"$d#nswAdj@$seedC#D$rounds" + baseN.map(c => s"#b$c").getOrElse("")) {
-      withoutConstraintPropagation(s) {
+      withBuildSqlConfs(s) {
         val g0 = bestM(s, d, seedCandidates(s, d, seedC, baseN))
           .localCheckpoint(true)
         (1 to rounds).foldLeft(g0)((g, _) =>
@@ -542,28 +549,50 @@ object Nsw {
     }
   }
 
-  /** Optimizer constraint propagation OFF for the (eager) build plans
-    * only. Two reasons, both r16: (a) with the expansion `distinct()`s
-    * gone (VERDICT r15 item 5) the bestM join sits directly on the
-    * candidate Union, and Spark 4.1's `UnionBase.rewriteConstraints`
-    * crashes (`key not found` in the attribute map) when
-    * `InferFiltersFromConstraints` forces constraints on a union whose
-    * children share an underlying relation — the Aggregate the old
-    * distinct() inserted was masking it; (b) constraints infer nothing
-    * useful in these plans (the only predicate is u ≠ v) while the
-    * constraint sets themselves grow combinatorially on deep unioned
-    * self-joins. Optimizer-level only — the edge set is untouched.
-    * Every build call is eager (localCheckpoint(true)), so the conf
-    * never leaks past the build. */
-  private def withoutConstraintPropagation[T](s: SparkSession)(f: => T): T = {
-    val key = "spark.sql.constraintPropagation.enabled"
-    val old = s.conf.getOption(key)
-    s.conf.set(key, "false")
-    try f finally old match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+  /** Runtime SQL confs scoped around every eager build, save/restored
+    * under [[buildLock]] (reentrant from [[ensureNswIndex]]'s hold).
+    *
+    * 1. Constraint propagation OFF — two reasons, both r16: (a) with
+    * the expansion `distinct()`s gone (VERDICT r15 item 5) the bestM
+    * join sits directly on the candidate Union, and Spark 4.1's
+    * `UnionBase.rewriteConstraints` crashes (`key not found` in the
+    * attribute map) when `InferFiltersFromConstraints` forces
+    * constraints on a union whose children share an underlying relation
+    * — the Aggregate the old distinct() inserted was masking it; (b)
+    * constraints infer nothing useful in these plans (the only
+    * predicate is u ≠ v) while the constraint sets themselves grow
+    * combinatorially on deep unioned self-joins.
+    *
+    * 2. `objectHashAggregate.sortBased.fallbackThreshold` raised to the
+    * [[BuildSessionConfs]] value — it is a RUNTIME SQL conf (unlike the
+    * construction-time cleaner conf), so scoping it here means a
+    * long-lived serving session that lazily triggers a rehearsal-tier
+    * build gets the raised threshold even though its builder never
+    * applied BuildSessionConfs (ADVICE r16: relying on
+    * session-construction discipline alone recreated the documented
+    * 74 GB sort-fallback spill in exactly that scenario).
+    *
+    * Both are optimizer/execution-level only — the edge set is
+    * untouched; every build call is eager (localCheckpoint(true)), so
+    * nothing leaks past the restore. The [[buildLock]] guard
+    * serializes the save/mutate/restore against a concurrent build on
+    * the same session (ADVICE r16). A concurrent SERVING query planned
+    * during the window merely compiles without constraint propagation
+    * (and with a bigger hash-fallback budget) — an optimization
+    * delta, never a correctness one. */
+  private def withBuildSqlConfs[T](s: SparkSession)(f: => T): T =
+    buildLock.synchronized {
+      val keys = Seq(
+        "spark.sql.constraintPropagation.enabled" -> "false",
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" ->
+          BuildSessionConfs("spark.sql.objectHashAggregate.sortBased.fallbackThreshold"))
+      val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      try f finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
-  }
 
   /** The round-10 exact M-NN graph (O(n²) broadcast cross join) — kept
     * ONLY as the reference for the approximation-quality law (NswSpec:

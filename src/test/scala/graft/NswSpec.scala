@@ -362,4 +362,26 @@ class NswSpec extends SparkSpec {
     assert(edges(bc).groupBy(_._1).forall { case (_, vs) =>
       vs.size == Nsw.M && vs.distinct.size == Nsw.M })
   }
+
+  test("branch confs refuse non-literal booleans loudly (ADVICE r16): " +
+    "'FALSE'/'0'/'off' must not silently take the broadcast branch") {
+    val cands = Seq((0L, 1L), (1L, 0L)).toDF("u", "v")
+    for (bad <- Seq("FALSE ", "0", "off", "no")) {
+      spark.conf.set(Nsw.EmbBroadcastConf, bad)
+      try {
+        val e = bad.trim.toLowerCase(java.util.Locale.ROOT) match {
+          case "true" | "false" => None // accepted spellings — not bad
+          case _ => Some(intercept[IllegalArgumentException] {
+            Nsw.bestM(spark, sf0001, cands).queryExecution.executedPlan
+          })
+        }
+        e.foreach(ex => assert(ex.getMessage.contains(Nsw.EmbBroadcastConf)))
+      } finally spark.conf.unset(Nsw.EmbBroadcastConf)
+    }
+    // case/whitespace-tolerant literals ARE accepted, on both branches
+    spark.conf.set(Nsw.EmbBroadcastConf, " False ")
+    try assert(Nsw.bestM(spark, sf0001, cands).queryExecution
+      .executedPlan.toString.contains("ShuffledHashJoin"))
+    finally spark.conf.unset(Nsw.EmbBroadcastConf)
+  }
 }

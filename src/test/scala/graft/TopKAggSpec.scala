@@ -120,6 +120,56 @@ class TopKAggSpec extends SparkSpec {
     assert(buf.sorted.toSeq === Seq((0.01, 1L, 5), (0.05, 3L, 0)))
   }
 
+  test("NaN dists sort greater-than-everything and are evictable — " +
+    "the heap matches Spark's DoubleType total order (ADVICE r16)") {
+    // buffer level: a NaN that enters a non-full heap must be the first
+    // evicted, and arrival order must not matter
+    val nan = Double.NaN
+    for (order <- Seq(
+        Seq((nan, 1L), (0.5, 2L), (0.3, 3L)),
+        Seq((0.5, 2L), (nan, 1L), (0.3, 3L)),
+        Seq((0.5, 2L), (0.3, 3L), (nan, 1L)))) {
+      val buf = new graft.functions.TopKBuffer(2)
+      order.foreach { case (d, id) => buf.insert(d, id, 0) }
+      assert(buf.sorted.toSeq === Seq((0.3, 3L, 0), (0.5, 2L, 0)),
+        s"order $order kept the NaN")
+    }
+    // a heap of ONLY NaNs still orders by id, and a real dist evicts one
+    val buf = new graft.functions.TopKBuffer(2)
+    buf.insert(nan, 5L, 0); buf.insert(nan, 4L, 0); buf.insert(nan, 6L, 0)
+    assert(buf.sorted.toSeq.map(_._2) === Seq(4L, 5L))
+    buf.insert(0.9, 7L, 0)
+    assert(buf.sorted.toSeq.map(_._2) === Seq(7L, 4L))
+    // distinct mode: a NaN copy of an id never beats a finite copy
+    val dbuf = new graft.functions.TopKBuffer(2, distinctIds = true)
+    dbuf.insert(0.4, 1L, 0); dbuf.insert(nan, 1L, 0)
+    assert(dbuf.sorted.toSeq === Seq((0.4, 1L, 0)))
+    // k=1 argmin (the IVF assignment shape): NaN loses to any finite
+    // dist regardless of arrival order — min_by semantics
+    for (order <- Seq(Seq((nan, 9L), (0.2, 8L)), Seq((0.2, 8L), (nan, 9L)))) {
+      val m = new graft.functions.TopKBuffer(1)
+      order.foreach { case (d, id) => m.insert(d, id, 0) }
+      assert(m.sorted.toSeq === Seq((0.2, 8L, 0)), s"argmin broke at $order")
+    }
+    // SQL level: agrees with the window row_number form on a NaN fixture
+    val df = Seq(
+      (1L, nan, 10L, 0), (1L, 0.5, 20L, 0), (1L, 0.7, 30L, 0),
+      (2L, nan, 40L, 0), (2L, nan, 50L, 0), (2L, 0.1, 60L, 0),
+    ).toDF("qid", "dist", "cid", "clabel").repartition(4)
+    val viaHeap = df.groupBy($"qid")
+      .agg(TopKAgg.top_k_by(spark, $"dist", $"cid", $"clabel", 2).as("nbrs"))
+      .select($"qid", posexplode($"nbrs").as(Seq("pos", "nbr")))
+      .select($"qid", $"pos", $"nbr.id").as[(Long, Int, Long)]
+      .collect().sortBy(t => (t._1, t._2))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"dist".asc, $"cid".asc)
+    val viaWin = df.withColumn("rn", row_number().over(w))
+      .where($"rn" <= 2)
+      .select($"qid", ($"rn" - 1).cast("int").as("pos"), $"cid")
+      .as[(Long, Int, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(viaHeap.sameElements(viaWin))
+  }
+
   test("distinct buffer merge preserves one-entry-per-id across partial " +
     "states (the map-side partial aggregation path)") {
     val a = new graft.functions.TopKBuffer(3, distinctIds = true)
