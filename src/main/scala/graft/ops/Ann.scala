@@ -253,7 +253,7 @@ object Ann {
     * query vector drop `qv`. Shared by the exact-within-lists IVF tier
     * and the IVFPQ composition so a tie-break or P change can never
     * drift between them. */
-  private[ops] def probesOf(s: SparkSession, d: String, cents: DataFrame,
+  private[graft] def probesOf(s: SparkSession, d: String, cents: DataFrame,
       p: Int, qWhere: Option[org.apache.spark.sql.Column] = None,
       qOnly: Option[DataFrame] = None): DataFrame = {
     val all = Tables.embeddings(s, d)
@@ -291,6 +291,74 @@ object Ann {
       .groupBy(col("qid"), col("qv"))
       .agg(graft.functions.TopKAgg.top_k_by(s,
         col("cdist"), col("cent_id"), lit(0), p).as("pl"))
+      .select(col("qid"), col("qv"), explode(col("pl")).as("t"))
+      .select(col("qid"), col("qv"), col("t.id").as("cent_id"))
+  }
+
+  /** Hierarchical (two-stage) probe routing — the declared successor of
+    * flat [[probesOf]] past the ~8M-vector tier (SCALE_r16 §3's
+    * "IVF-on-the-centroids"; VERDICT r16 item 7). Flat routing scores
+    * n·seedC rows, and under the 4√n retune that term grows as n^1.5 —
+    * measured ~2h wall-clock per pass at n·seedC ≈ 1.3·10¹¹ (r16, the
+    * capacity-rule autopsy). This form scores
+    * n·(coarseC + pCoarse·seedC/coarseC) rows: route each query over a
+    * COARSE prefix of the centroid set first, then score only the
+    * centroids assigned to its pCoarse nearest coarse cells (~16× less
+    * at seedC=8192, coarseC=256, pCoarse=8).
+    *
+    * Determinism is free: the coarse level is `centroidsAt(coarseC)` —
+    * a PREFIX SUBSET of the seed centroids (`vec_id < coarseC <
+    * seedC`), zero training, so the whole route is a pure function of
+    * the corpus (the unrolled-CTE oracle discipline extends: both
+    * stages are the same argmin-top-p with (dist, id) tie-breaks DuckDB
+    * already mirrors for flat routing).
+    *
+    * Stage shapes, both scale-safe: stage 1 IS [[probesOf]] at
+    * (coarseC, pCoarse) — one definition, no drift; the
+    * centroid→coarse-cell assignment reuses [[assignOver]] (seedC
+    * rows, ~2 MB at 8192 — broadcast), so stage 2 is a broadcast
+    * equi-join of the n·pCoarse stage-1 rows against it and a second
+    * bounded-heap cut. No exchange anywhere but the map-side-collapsed
+    * heap aggregations.
+    *
+    * THE EXACTNESS LAW (spec-asserted): with `pCoarse = coarseC`
+    * (probe every coarse cell) stage 2 scores ALL seedC centroids, so
+    * the result is row-identical to flat `probesOf(seedC, p)` — the
+    * reduced-pCoarse form is the measured approximation, gated by its
+    * own tier recall row before any build relies on it. */
+  private[graft] def hierProbesOf(s: SparkSession, d: String, seedC: Int,
+      coarseC: Int, pCoarse: Int, p: Int,
+      qWhere: Option[org.apache.spark.sql.Column] = None,
+      qOnly: Option[DataFrame] = None): DataFrame = {
+    require(coarseC < seedC && Integer.bitCount(coarseC) == 1,
+      s"coarseC=$coarseC must be a power of two below seedC=$seedC")
+    val coarse = centroidsAt(s, d, coarseC)
+    // stage 1: each query's pCoarse nearest coarse cells (n·coarseC
+    // scored rows) — literally probesOf over the coarse prefix
+    val s1 = probesOf(s, d, coarse, pCoarse, qWhere, qOnly)
+      .select(col("qid"), col("qv"), col("cent_id").as("coarse_id"))
+    // the centroid→coarse inverted list: every seed centroid argmin-
+    // assigned to a coarse cell (seedC·coarseC rows — trivial); the
+    // seed centroids play the vector role in the ONE assignment body
+    val centToCoarse = assignOver(s,
+        centroidsAt(s, d, seedC)
+          .select(col("cent_id").as("vec_id"), col("cent_vec").as("embedding")),
+        coarse)
+      .select(col("cent_id").as("coarse_id"),
+        col("vec_id").as("fine_id"), col("embedding").as("fine_vec"))
+    // stage 2: score only centroids inside the probed coarse cells,
+    // keep the p nearest under the SAME (cdist, cent_id) order as flat
+    // plain top_k_by, not the distinct mode: each seed centroid lives in
+    // exactly ONE coarse cell (argmin assignment), so (qid, fine_id)
+    // pairs are already unique and the cut is flat probesOf's exact twin
+    s1.join(broadcast(centToCoarse), Seq("coarse_id"))
+      .select(col("qid"), col("qv"),
+        VectorExpressions.cosine_distance(s, col("qv"), col("fine_vec"))
+          .as("cdist"),
+        col("fine_id"))
+      .groupBy(col("qid"), col("qv"))
+      .agg(graft.functions.TopKAgg.top_k_by(s,
+        col("cdist"), col("fine_id"), lit(0), p).as("pl"))
       .select(col("qid"), col("qv"), explode(col("pl")).as("t"))
       .select(col("qid"), col("qv"), col("t.id").as("cent_id"))
   }

@@ -233,6 +233,34 @@ object Nsw {
     val r = 4 * math.sqrt(n.toDouble).toLong
     math.max(Ann.C, java.lang.Long.highestOneBit(math.max(1L, r)).toInt)
   }
+
+  /** Hierarchical seed-routing activation rule (VERDICT r16 item 7;
+    * SCALE_r16 §3's declared fix for the ~8M tier). Flat routing's
+    * n·seedC volume grows as n^1.5 under the 4√n retune: measured fine
+    * at the 2M tier (n·4096 ≈ 8·10⁹ scored rows inside the committed
+    * sc4096 build) but ~1.3·10¹¹ rows took >2¼ h per pass in the r16
+    * capacity autopsy. The threshold is the first retune step PAST the
+    * last certified tier: seedC ≥ 8192 ⇔ n ≳ 4.2·10⁶ — every certified
+    * tier (≤ 2M, seedC ≤ 4096) stays flat and byte-stable, and the 8M
+    * tier (seedC 8192) routes hierarchically via
+    * [[graft.ops.Ann.hierProbesOf]] with NO new constants: pCoarse and
+    * the final probe count are both the declared [[PAdj]], and
+    * [[coarseCFor]] is the same 4√· shape as the seed retune itself.
+    * The decision is a pure function of seedC, versioned through the
+    * index path's `h<coarseC>` segment, and gated by its own tier
+    * recall row before any build relies on it (the ladder doctrine). */
+  val HierRoutingMinSeedC = 8192
+  def seedRoutingIsHier(seedC: Int): Boolean = seedC >= HierRoutingMinSeedC
+
+  /** Coarse-level size for hierarchical routing: pow2-floored 4√seedC —
+    * balances the two per-vector scoring terms (coarseC vs
+    * PAdj·seedC/coarseC, e.g. 256 + 256 at seedC=8192 vs 8192 flat). */
+  def coarseCFor(seedC: Int): Int = {
+    require(seedRoutingIsHier(seedC) && Integer.bitCount(seedC) == 1,
+      s"coarseCFor is only defined on the hier rule's range " +
+        s"(pow2 seedC ≥ $HierRoutingMinSeedC), got $seedC")
+    Integer.highestOneBit((4 * math.sqrt(seedC.toDouble)).toInt)
+  }
   /** The retune rule under a CAPACITY CEILING (r15) — **RETIRED as the
     * tier decision in r16**, kept as the pinned pure function its specs
     * anchor. History: r15 introduced it because the 4√n rule's seed
@@ -422,8 +450,15 @@ object Nsw {
     // serving artifacts are built over. Ids are contiguous 0..n−1
     // (fixture contract), so the slice keeps the ring/far arithmetic
     // exact with nn = baseN. None = the declared full-corpus build.
-    val probes = Ann.probesOf(s, d, Ann.centroidsAt(s, d, seedC), PAdj,
-        qWhere = baseN.map(c => col("vec_id") < c))
+    // routing plan is a pure function of seedC: flat below the hier
+    // threshold (every certified tier — byte-stable), two-stage above
+    // it (the ~8M path; same PAdj at both stages, no new constants)
+    val qW = baseN.map(c => col("vec_id") < c)
+    val probes = (if (seedRoutingIsHier(seedC))
+        Ann.hierProbesOf(s, d, seedC, coarseCFor(seedC), PAdj, PAdj,
+          qWhere = qW)
+      else Ann.probesOf(s, d, Ann.centroidsAt(s, d, seedC), PAdj,
+        qWhere = qW))
       .select(col("qid").as("u"), col("cent_id"))
     val inv = (baseN match {
         case Some(cut) => Ann.assignmentsBaseAt(s, d, seedC, cut)
@@ -792,7 +827,12 @@ object Nsw {
     // digest of the FULL step table (r14), not just its last row. A
     // non-default seed retune ([[retunedSeedC]]) is its own version
     // family (`_sc<seedC>`): the declared fixed-C path is byte-stable.
-    val sc = if (seedC == Ann.C) "" else s"_sc$seedC"
+    // a hier-routed seed set is its own version family: the h segment
+    // is rule-derived (coarseCFor), so the path stays a pure function
+    // of (constants, seedC, corpus) — no new caller-supplied knob
+    val sc = if (seedC == Ann.C) ""
+      else s"_sc$seedC" +
+        (if (seedRoutingIsHier(seedC)) s"h${coarseCFor(seedC)}" else "")
     s"$root/nsw_v3_M${M}_F${F}_P${PAdj}_R${RingD}_" +
       s"D${dRounds.getOrElse(descentRoundsFor(seedC))}_" +
       s"B${B}bs${bStepsDigest}m${ClusterShareMul}d${ClusterBeamDiv}" +

@@ -363,6 +363,64 @@ class NswSpec extends SparkSpec {
       vs.size == Nsw.M && vs.distinct.size == Nsw.M })
   }
 
+  test("hierarchical seed routing: exhaustive-coarse form is row-" +
+    "identical to flat routing (the exactness law), reduced form is " +
+    "deterministic and coherent (VERDICT r16 item 7)") {
+    // the rule's own domain starts at seedC=8192 (beyond any fixture),
+    // but hierProbesOf is a pure function of (seedC, coarseC, pCoarse,
+    // p) — the laws are asserted at fixture scale with the same shapes
+    val (seedC, coarseC, p) = (64, 16, 8)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"cent_id").as[(Long, Long)].collect().sorted.toSeq
+    // exactness: pCoarse = coarseC probes every coarse cell, so stage 2
+    // scores ALL seedC centroids — must equal flat probesOf exactly
+    val flat = canon(ops.Ann.probesOf(spark, sf0001,
+      ops.Ann.centroidsAt(spark, sf0001, seedC), p))
+    val exhaustive = canon(ops.Ann.hierProbesOf(spark, sf0001,
+      seedC, coarseC, pCoarse = coarseC, p = p))
+    assert(exhaustive === flat,
+      "exhaustive-coarse hier routing diverged from flat routing")
+    // reduced pCoarse: deterministic (two runs identical), exactly p
+    // probes per query, and every probe is a real centroid id
+    val reduced = canon(ops.Ann.hierProbesOf(spark, sf0001,
+      seedC, coarseC, pCoarse = 4, p = p))
+    val reduced2 = canon(ops.Ann.hierProbesOf(spark, sf0001,
+      seedC, coarseC, pCoarse = 4, p = p))
+    assert(reduced === reduced2, "hier routing is not deterministic")
+    val n = graft.Tables.embeddings(spark, sf0001).count()
+    assert(reduced.size === n * p)
+    assert(reduced.forall { case (_, c) => c >= 0 && c < seedC })
+    // the approximation keeps a healthy share of the exact probe set
+    // even on this near-isotropic fixture at a 4/16 coarse budget (the
+    // tier bar is the 8M rehearsal's recall row, not this floor)
+    val overlap = (reduced.toSet intersect flat.toSet).size.toDouble / flat.size
+    info(f"reduced-pCoarse probe overlap vs flat: $overlap%.4f")
+    assert(overlap >= 0.5, f"overlap $overlap%.4f collapsed")
+  }
+
+  test("hier-routing tier rules: flat at every certified tier, " +
+    "activating at seedC 8192 with the rule-derived coarse level and " +
+    "its own version-path family") {
+    // every certified ladder tier stays flat — byte-stable paths
+    for (n <- Seq(500L, 2000L, 20000L, 63000L, 200000L, 632000L, 2000000L))
+      assert(!Nsw.seedRoutingIsHier(Nsw.retunedSeedC(n)),
+        s"hier routing fired below its threshold at n=$n")
+    // the ~8M tier activates with coarseC = pow2(4*sqrt(seedC))
+    assert(Nsw.retunedSeedC(8000000L) === 8192)
+    assert(Nsw.seedRoutingIsHier(8192))
+    assert(Nsw.coarseCFor(8192) === 256)
+    assert(Nsw.coarseCFor(16384) === 512)
+    assert(Nsw.coarseCFor(65536) === 1024)
+    // out-of-domain coarseCFor fails loudly, like descentRoundsFor
+    intercept[IllegalArgumentException] { Nsw.coarseCFor(4096) }
+    // the version path carries the h segment ONLY when the rule fires
+    val flatPath = Nsw.livePath(spark, sf0001, 4096)
+    val hierPath = Nsw.livePath(spark, sf0001, 8192)
+    assert(flatPath.contains("_sc4096_") && !flatPath.contains("_sc4096h"),
+      flatPath.substring(flatPath.lastIndexOf("/")))
+    assert(hierPath.contains("_sc8192h256_"), hierPath)
+  }
+
   test("branch confs refuse non-literal booleans loudly (ADVICE r16): " +
     "'FALSE'/'0'/'off' must not silently take the broadcast branch") {
     val cands = Seq((0L, 1L), (1L, 0L)).toDF("u", "v")
