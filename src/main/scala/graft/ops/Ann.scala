@@ -350,7 +350,15 @@ object Ann {
     // keep the p nearest under the SAME (cdist, cent_id) order as flat
     // plain top_k_by, not the distinct mode: each seed centroid lives in
     // exactly ONE coarse cell (argmin assignment), so (qid, fine_id)
-    // pairs are already unique and the cut is flat probesOf's exact twin
+    // pairs are already unique and the cut is flat probesOf's exact twin.
+    // `pos` (rank under the (cdist, cent_id) order) is emitted because
+    // ONE routing pass serves both seed-candidate sides at a hier tier:
+    // pos 0 IS the vector's hier cell ASSIGNMENT (argmin within the
+    // probed coarse cells — the "changes the seed assignment" half of
+    // SCALE_r16 §3: flat assignmentsAt is its own n·seedC scan, the
+    // same volume hier routing exists to avoid), and all p rows are the
+    // probe set. With pCoarse = coarseC, pos 0 equals the flat global
+    // argmin exactly (spec law).
     s1.join(broadcast(centToCoarse), Seq("coarse_id"))
       .select(col("qid"), col("qv"),
         VectorExpressions.cosine_distance(s, col("qv"), col("fine_vec"))
@@ -359,8 +367,8 @@ object Ann {
       .groupBy(col("qid"), col("qv"))
       .agg(graft.functions.TopKAgg.top_k_by(s,
         col("cdist"), col("fine_id"), lit(0), p).as("pl"))
-      .select(col("qid"), col("qv"), explode(col("pl")).as("t"))
-      .select(col("qid"), col("qv"), col("t.id").as("cent_id"))
+      .select(col("qid"), col("qv"), posexplode(col("pl")).as(Seq("pos", "t")))
+      .select(col("qid"), col("qv"), col("pos"), col("t.id").as("cent_id"))
   }
 
   /** IVF approximate top-k under `cents`/`lists`: probe the `p` nearest

@@ -452,18 +452,33 @@ object Nsw {
     // exact with nn = baseN. None = the declared full-corpus build.
     // routing plan is a pure function of seedC: flat below the hier
     // threshold (every certified tier — byte-stable), two-stage above
-    // it (the ~8M path; same PAdj at both stages, no new constants)
+    // it (the ~8M path; same PAdj at both stages, no new constants).
+    // The hier branch pays ONE routing pass for BOTH sides of the cell
+    // pair join: flat needs separate n·seedC scans for the probe set
+    // (probesOf) and the cell membership (assignmentsAt — the argmin
+    // assignment), and at a hier tier each scan is the volume the plan
+    // exists to avoid. hierProbesOf's pos-0 row IS the hier assignment
+    // (argmin within the probed coarse cells; ≡ the flat global argmin
+    // when every coarse cell is probed — spec law), so membership
+    // derives from the same checkpointed pass that yields the probes.
     val qW = baseN.map(c => col("vec_id") < c)
-    val probes = (if (seedRoutingIsHier(seedC))
-        Ann.hierProbesOf(s, d, seedC, coarseCFor(seedC), PAdj, PAdj,
-          qWhere = qW)
-      else Ann.probesOf(s, d, Ann.centroidsAt(s, d, seedC), PAdj,
-        qWhere = qW))
-      .select(col("qid").as("u"), col("cent_id"))
-    val inv = (baseN match {
-        case Some(cut) => Ann.assignmentsBaseAt(s, d, seedC, cut)
-        case None => Ann.assignmentsAt(s, d, seedC)
-      }).select(col("cent_id"), col("vec_id").as("v"))
+    val (probes, inv) =
+      if (seedRoutingIsHier(seedC)) {
+        val hp = Ann.hierProbesOf(s, d, seedC, coarseCFor(seedC), PAdj,
+            PAdj, qWhere = qW)
+          .select(col("qid"), col("pos"), col("cent_id"))
+          .localCheckpoint(true)
+        (hp.select(col("qid").as("u"), col("cent_id")),
+          hp.where(col("pos") === 0)
+            .select(col("cent_id"), col("qid").as("v")))
+      } else (
+        Ann.probesOf(s, d, Ann.centroidsAt(s, d, seedC), PAdj,
+            qWhere = qW)
+          .select(col("qid").as("u"), col("cent_id")),
+        (baseN match {
+          case Some(cut) => Ann.assignmentsBaseAt(s, d, seedC, cut)
+          case None => Ann.assignmentsAt(s, d, seedC)
+        }).select(col("cent_id"), col("vec_id").as("v")))
     val cell = probes.join(inv.hint("shuffle_hash"), Seq("cent_id"))
       .select(col("u"), col("v"))
     val nDf = Tables.embeddings(s, d)

@@ -376,10 +376,19 @@ class NswSpec extends SparkSpec {
     // scores ALL seedC centroids — must equal flat probesOf exactly
     val flat = canon(ops.Ann.probesOf(spark, sf0001,
       ops.Ann.centroidsAt(spark, sf0001, seedC), p))
-    val exhaustive = canon(ops.Ann.hierProbesOf(spark, sf0001,
-      seedC, coarseC, pCoarse = coarseC, p = p))
-    assert(exhaustive === flat,
+    val exhaustiveDf = ops.Ann.hierProbesOf(spark, sf0001,
+      seedC, coarseC, pCoarse = coarseC, p = p)
+    assert(canon(exhaustiveDf) === flat,
       "exhaustive-coarse hier routing diverged from flat routing")
+    // and its pos-0 row is the flat GLOBAL argmin assignment — the law
+    // that lets one hier routing pass replace assignmentsAt's own
+    // n·seedC scan on the membership side of the seed-candidate join
+    val hierAssign = exhaustiveDf.where($"pos" === 0)
+      .select($"qid", $"cent_id").as[(Long, Long)].collect().sorted.toSeq
+    val flatAssign = ops.Ann.assignmentsAt(spark, sf0001, seedC)
+      .select($"vec_id", $"cent_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(hierAssign === flatAssign,
+      "exhaustive-coarse pos-0 diverged from the flat argmin assignment")
     // reduced pCoarse: deterministic (two runs identical), exactly p
     // probes per query, and every probe is a real centroid id
     val reduced = canon(ops.Ann.hierProbesOf(spark, sf0001,
