@@ -405,13 +405,15 @@ object Nsw {
     * session that lazily triggers a build re-hits the defects these
     * confs fix). ONE definition here; `tools.NswBuild` and
     * `tools.ScaleCheck` apply it verbatim, and a deployment must do the
-    * same for the FIRST entry — `spark.cleaner.periodicGC.interval` is
-    * a SparkContext-construction-time setting that cannot be applied
-    * after the session exists. The SECOND entry is a runtime SQL conf
-    * and is ADDITIONALLY scoped around every build by
-    * [[withBuildSqlConfs]] (ADVICE r16), so a lazily-triggered build in
-    * a session that never applied this map still gets it; it stays in
-    * this map so dedicated build sessions carry it from the start:
+    * same for the construction-time entries —
+    * `spark.cleaner.periodicGC.interval` and
+    * `spark.driver.maxResultSize` are SparkContext-construction-time
+    * settings that cannot be applied after the session exists. The SQL
+    * conf (`objectHashAggregate…fallbackThreshold`) is ADDITIONALLY
+    * scoped around every build by [[withBuildSqlConfs]] (ADVICE r16),
+    * so a lazily-triggered build in a session that never applied this
+    * map still gets it; it stays in this map so dedicated build
+    * sessions carry it from the start:
     *
     *  - `spark.cleaner.periodicGC.interval=2min`: big-heap builds
     *    almost never trigger driver GC, so the ContextCleaner never
@@ -436,7 +438,23 @@ object Nsw {
     *    graded tiers, not a rehearsal build). */
   val BuildSessionConfs: Map[String, String] = Map(
     "spark.cleaner.periodicGC.interval" -> "2min",
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2097152")
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2097152",
+    // r17, measured at the 6.32M tier's first build attempt: bestM's
+    // embedding broadcast is ~300 B/vector ≈ 1.9 GB at 6.32M, and in
+    // local mode the broadcast build COLLECTS the relation through task
+    // results — the default spark.driver.maxResultSize=1g killed stage
+    // 23 ("Tasks result size has exceeded maxResultSize") ~9 min in.
+    // This is the documented ~4M broadcast ceiling arriving exactly
+    // where predicted; on one box the right lever is the result-size
+    // cap (one shared in-heap copy, 48 GB build heap carries it), NOT
+    // the shuffle branch, whose expansion-with-payload exchange is
+    // TB-class at this tier (SCALE_r16 §2's analysis — that branch is
+    // for clusters with bucketed/co-partitioned lists). 8g bounds the
+    // one-box broadcast path to ~25M vectors, past which a single
+    // machine is the wrong deployment anyway. Construction-time conf
+    // (scheduler reads it at context creation), like the cleaner
+    // interval.
+    "spark.driver.maxResultSize" -> "8g")
 
   /** Seed candidate edges (u, v), u ≠ v, deduped: IVF-cell-local pairs
     * (u meets every member of its PAdj nearest seed cells — one keyed

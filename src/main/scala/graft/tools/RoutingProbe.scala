@@ -18,18 +18,26 @@ import graft.ops.{Ann, Nsw}
   * measurement beside a command (house doctrine).
   *
   * Usage: runMain graft.tools.RoutingProbe <dir> <seedC>[,<seedC>…]
-  * Prints one JSON line per seedC:
-  * {"tool":"routing_probe","dir":…,"n":…,"seedC":…,"rows_scored":…,
-  *  "probe_rows":…,"sec":…}
-  * (min of 2 runs per seedC; session caches cleared between runs so
-  * every run re-scores the full n·seedC stream).
+  * A seedC suffixed `h` (e.g. `8192h`) times the HIERARCHICAL router
+  * instead ([[graft.ops.Ann.hierProbesOf]] at the rule-derived
+  * coarseC and pCoarse = PAdj — exactly the hier branch of
+  * `seedCandidates`), so the flat-vs-hier routing cost claim can be
+  * measured AT a hier tier rather than extrapolated.
+  * Prints one JSON line per entry:
+  * {"tool":"routing_probe","dir":…,"n":…,"seedC":…,"mode":…,
+  *  "rows_scored":…,"probe_rows":…,"sec":…}
+  * (min of 2 runs per entry; session caches cleared between runs so
+  * every run re-scores its full stream).
   */
 object RoutingProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: RoutingProbe <dir> <seedC>[,<seedC>...]")
     val dir = args(0)
-    val seedCs = args(1).split(",").map(_.trim.toInt).toSeq
+    val seedCs = args(1).split(",").map(_.trim).map { s =>
+      if (s.endsWith("h")) (s.dropRight(1).toInt, true)
+      else (s.toInt, false)
+    }.toSeq
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -39,18 +47,26 @@ object RoutingProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val n = graft.Tables.embeddings(spark, dir).count()
-    seedCs.foreach { c =>
+    seedCs.foreach { case (c, hier) =>
       def once(): (Long, Double) = {
         Ann.clearCache(); Nsw.clearCache()
         val t0 = System.nanoTime()
-        val rows = Ann.probesOf(spark, dir,
-          Ann.centroidsAt(spark, dir, c), Nsw.PAdj).count()
+        val rows =
+          if (hier) Ann.hierProbesOf(spark, dir, c, Nsw.coarseCFor(c),
+            Nsw.PAdj, Nsw.PAdj).count()
+          else Ann.probesOf(spark, dir,
+            Ann.centroidsAt(spark, dir, c), Nsw.PAdj).count()
         (rows, (System.nanoTime() - t0) / 1e9)
       }
       val (rows1, t1) = once()
       val (_, t2) = once()
+      val scored =
+        if (hier) n * (Nsw.coarseCFor(c) +
+          Nsw.PAdj.toLong * c / Nsw.coarseCFor(c))
+        else n * c.toLong
       println(s"""{"tool":"routing_probe","dir":"$dir","n":$n,""" +
-        s""""seedC":$c,"rows_scored":${n * c.toLong},""" +
+        s""""seedC":$c,"mode":"${if (hier) "hier" else "flat"}",""" +
+        s""""rows_scored":$scored,""" +
         s""""probe_rows":$rows1,"sec":${math.min(t1, t2)}}""")
     }
     spark.stop()
