@@ -33,10 +33,22 @@ import graft.functions.Distances
 object Knn {
   val K = 10
 
-  /** (qid, cid, dist) pair stream, leave-one-out, cosine. */
+  /** (qid, cid, dist) pair stream, leave-one-out, cosine.
+    *
+    * The query side is hash-repartitioned BY qid (not round-robin): the
+    * broadcast join preserves the streamed side's partitioning, so every
+    * downstream per-query operator — the top-k window, the vote
+    * aggregate, the bounded-heap aggregate — finds its ClusteredDistribution
+    * already satisfied and plans ZERO further exchanges. With round-robin
+    * the window path paid Sort+Exchange+Sort over the pair stream (r17
+    * plan audit: knn_topk Exchange hashpartitioning(qid) between two full
+    * per-partition sorts); keyed repartition deletes the exchange and one
+    * of the sorts at every scale, for the same one-shuffle cost of the
+    * 2000-row query-side rebalance itself (guide §2.4: establish the
+    * partitioning once, let every keyed consumer reuse it). */
   private def pairs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val q = Tables.repartitioned(e, s)
+    val q = e.repartition(Tables.parallelism(s), col("vec_id"))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
       col("label").as("clabel"))
@@ -145,7 +157,8 @@ object Knn {
     * squared-L2 path (sqrt kept so the oracle can use list_distance). */
   def knnTopkL2(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val q = Tables.repartitioned(e, s)
+    // keyed repartition: same zero-downstream-exchange shape as [[pairs]]
+    val q = e.repartition(Tables.parallelism(s), col("vec_id"))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val p = q.crossJoin(broadcast(c)).where(col("qid") =!= col("cid"))
