@@ -83,10 +83,22 @@ final class TopKBuffer(val k: Int, val distinctIds: Boolean = false)
   def insert(dist: Double, id: Long, label: Int): Unit = {
     if (k <= 0) return
     if (distinctIds) {
+      // Fast path (r17): when the heap is FULL and the candidate is
+      // STRICTLY worse than the root under (dist, id), it provably is
+      // not in the heap — dist is a pure function of id within a group
+      // (the registered precondition), so a kept copy of this id would
+      // carry the identical (dist, id) pair, which cannot be both ≤ the
+      // root (kept) and > the root (this candidate). Dropping without
+      // the scan is therefore exact. This bounds the per-insert cost:
+      // only candidates that BEAT the current root pay the O(k) scan —
+      // without it, beam-width heaps (k = NSW's B, up to 1536 at the
+      // 6.3M tier) would pay k/2 compares on every one of the
+      // B·(M+F) candidate rows per query per hop.
+      if (n == k && worse(dist, id, hd(0), hi(0))) return
       // one entry per id: keep the smaller (dist, label) — order-
-      // independent, ≡ "min per id, then top-k". Linear scan: the
-      // distinct mode's k is the graph degree (M = 16), so the scan is
-      // a handful of primitive compares and allocates nothing.
+      // independent, ≡ "min per id, then top-k". Linear scan only for
+      // candidates at-or-better than the root (ties included: an equal
+      // (dist, id) may still need its label reconciled).
       var s = 0
       while (s < n) {
         if (hi(s) == id) {

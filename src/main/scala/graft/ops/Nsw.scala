@@ -733,18 +733,70 @@ object Nsw {
     }
 
   /** One beam-search step: grow by out-neighbors, union the old beam
-    * (monotone best-so-far), dedup, re-score, keep top-B. */
+    * (monotone best-so-far), re-score, keep the best b DISTINCT
+    * candidates per query in ONE bounded-heap aggregation.
+    *
+    * r17 (optimization round, guide §2.3/§2.4): this was
+    * `.distinct()` then [[rank]] then `rn <= b` — a full hash exchange
+    * of the grown multiset (n_q·B·(M+F) rows) for the dedup plus a
+    * second full exchange + two per-partition sorts for the ranking
+    * window, EVERY hop. `top_k_distinct_by` (the same heap that already
+    * replaced the build path's expansion distinct in r16) does dedup
+    * and top-b in the aggregate buffer: dist is a pure function of
+    * (qid, cand), so min-per-id ≡ distinct, and the heap's NaN-total
+    * (dist, id) comparator is exactly the window's (dist, cand) total
+    * order — identical beam, law-held monotonicity, hash-identical
+    * results. Per hop the only remaining exchange is the partial-heap
+    * merge (≤ b rows per query per map partition); the scoring joins
+    * stay broadcast-hash at fixture scale and cent-bucketed at 100 TB. */
   private def hop(s: SparkSession, d: String, beam: DataFrame,
       b: Int = B, far: Int = 0,
       adjOverride: Option[DataFrame] = None): DataFrame = {
     val adj = adjacencyWithFar(s, d, far, adjOverride)
+    // Join-strategy by measured size (r17, guide §3.1): the adjacency is
+    // plan-time sized from Catalyst stats (cached relation / parquet
+    // footer — no job). Under the session's autoBroadcastJoinThreshold
+    // it is broadcast — the beam then crosses ZERO exchanges in the grow
+    // join; past the threshold (the 100 TB tier: n·(M+F) edges, e.g.
+    // ~768 MB at 2M vectors) the previous shuffle-hash layout is kept
+    // verbatim (sort-merge would add two sorts for nothing). The
+    // unconditional shuffle_hash hint was paying two per-hop exchanges
+    // (beam by cand + adjacency by u, every hop a fresh job) at every
+    // tier where the graph fits the broadcast budget.
+    val bcThreshold = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      .map(v => scala.util.Try(v.trim.toLong) // bare long, incl. -1 = off
+        .getOrElse(org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(v)))
+      .getOrElse(10L << 20) // Spark's own default
+    // Catalyst stats are useless here — the cached graph sits behind a
+    // localCheckpoint (LogicalRDD: unknown size). But the edge count is
+    // known BY CONSTRUCTION: ≤ n·(M+F+1) rows of two longs (the +1
+    // absorbs rounding in the ring/far arithmetic); 48 B/row prices the
+    // built HashedRelation, not the raw payload, so the estimate errs
+    // toward shuffle-hash. n comes from the parquet footer — a driver
+    // metadata read, no job (the Knn.candidateBlocks precedent).
+    val adjBytes = Tables.footerRowCount(s, s"$d/embeddings.parquet") *
+      (M + F + 1) * 48L
+    val adjSized = // threshold <= 0 = broadcast disabled by the session
+      if (bcThreshold > 0 && adjBytes <= bcThreshold) broadcast(adj)
+      else adj.hint("shuffle_hash")
     val grown = beam
-      .join(adj.hint("shuffle_hash"), beam("cand") === adj("u"))
+      .join(adjSized, beam("cand") === adj("u"))
       .select(col("qid"), col("v").as("cand"))
       .unionByName(beam)
       .where(col("cand") =!= col("qid"))
-      .distinct()
-    rank(s, d, grown).where(col("rn") <= b).select(col("qid"), col("cand"))
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = Tables.embeddings(s, d)
+      .select(col("vec_id").as("cand"), col("embedding").as("cv"))
+    grown.join(q, "qid").join(c, "cand")
+      .select(col("qid"), col("cand"),
+        VectorExpressions.cosine_distance(s, col("qv"), col("cv")).as("dist"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.top_k_distinct_by(s,
+        col("dist"), col("cand"), lit(0), b).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("cand"))
   }
 
   /** Score (qid, cand) against the corpus vectors and rank per query

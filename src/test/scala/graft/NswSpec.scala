@@ -157,26 +157,52 @@ class NswSpec extends SparkSpec {
     assert(e.getMessage.contains("declared max"))
   }
 
-  test("search plan: beam grows through a shuffled hash join of the " +
-    "adjacency, never a broadcast of it (AQE on and off)") {
-    // the per-hop localCheckpoint barrier hides interior hops from the
-    // final plan, so assert on an unbarriered search plan; the barrier
-    // is a lineage device, not a plan change (results bit-identical)
+  test("search plan: the beam-grow join is size-gated — broadcast under " +
+    "the session threshold, shuffled-hash past it, rows identical (AQE " +
+    "on and off)") {
+    // r17: the grow join picks its strategy from the CONSTRUCTIVE
+    // adjacency size bound (n·(M+F+1) edges) against
+    // autoBroadcastJoinThreshold — broadcast while the graph fits (no
+    // per-hop exchanges of the beam), the r16 shuffle-hash layout past
+    // the ceiling. Assert BOTH branches and that they return identical
+    // rows. The per-hop localCheckpoint barrier hides interior hops
+    // from the final plan, so assert on an unbarriered search plan; the
+    // barrier is a lineage device, not a plan change.
     val key = graft.ops.Ann.IterativeCheckpointConf
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.getOption(key)
+    val oldBc = spark.conf.getOption(bcKey)
+    def unbarriered() =
+      Nsw.nswTopkAt(spark, sf0001, Nsw.H, Nsw.tunedB(spark, sf0001))
     try {
       spark.conf.set(key, "false")
       withAqeBothWays {
-        val plan = Nsw.nswTopkAt(spark, sf0001, Nsw.H,
-            Nsw.tunedB(spark, sf0001))
-          .queryExecution.executedPlan.toString
-        assert(plan.contains("ShuffledHashJoin"),
-          s"adjacency joins must honor the shuffle_hash hint:\n" +
+        // sf0.001 (500 vectors): the bound is ~600 KB — broadcast branch
+        val plan = unbarriered().queryExecution.executedPlan.toString
+        assert(!plan.contains("ShuffledHashJoin"),
+          s"under the threshold the grow join must broadcast:\n" +
             plan.take(3000))
+        val bRows = unbarriered().collect().map(_.toString)
+        // force the at-scale branch: threshold below any graph
+        spark.conf.set(bcKey, "-1")
+        val plan2 = unbarriered().queryExecution.executedPlan.toString
+        assert(plan2.contains("ShuffledHashJoin"),
+          s"past the threshold the grow join must stay shuffle-hash:\n" +
+            plan2.take(3000))
+        val sRows = unbarriered().collect().map(_.toString)
+        assert(bRows.sameElements(sRows),
+          "grow-join branches must be result-invariant")
+        spark.conf.unset(bcKey)
       }
-    } finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      oldBc match {
+        case Some(v) => spark.conf.set(bcKey, v)
+        case None => spark.conf.unset(bcKey)
+      }
     }
   }
 

@@ -120,6 +120,26 @@ class TopKAggSpec extends SparkSpec {
     assert(buf.sorted.toSeq === Seq((0.01, 1L, 5), (0.05, 3L, 0)))
   }
 
+  test("distinct buffer full-heap fast path (r17): a strictly-worse " +
+    "candidate is dropped scan-free without corrupting the kept set; a " +
+    "root tie still reconciles the label") {
+    val buf = new graft.functions.TopKBuffer(3, distinctIds = true)
+    buf.insert(0.1, 1, 0); buf.insert(0.2, 2, 0); buf.insert(0.3, 3, 9)
+    // full heap, root = (0.3, 3). Strictly-worse duplicates of kept ids
+    // cannot exist under the purity precondition, but strictly-worse NEW
+    // ids must be dropped (fast path) with the kept set intact:
+    buf.insert(0.4, 4, 0)
+    buf.insert(0.31, 5, 0)
+    assert(buf.sorted.toSeq === Seq((0.1, 1L, 0), (0.2, 2L, 0), (0.3, 3L, 9)))
+    // (dist, id) EQUAL to the root ties the worse() compare — it must
+    // take the scan path and reconcile the smaller label
+    buf.insert(0.3, 3, 4)
+    assert(buf.sorted.toSeq === Seq((0.1, 1L, 0), (0.2, 2L, 0), (0.3, 3L, 4)))
+    // a better copy of a kept non-root id still replaces through the scan
+    buf.insert(0.05, 2, 0)
+    assert(buf.sorted.toSeq === Seq((0.05, 2L, 0), (0.1, 1L, 0), (0.3, 3L, 4)))
+  }
+
   test("NaN dists sort greater-than-everything and are evictable — " +
     "the heap matches Spark's DoubleType total order (ADVICE r16)") {
     // buffer level: a NaN that enters a non-full heap must be the first
