@@ -371,6 +371,51 @@ object Ann {
       .select(col("qid"), col("qv"), col("pos"), col("t.id").as("cent_id"))
   }
 
+  /** Final exact top-K per query over scored (qid, cid, dist) rows —
+    * the ONE heap-form cut every ANN serving tier shares (r17,
+    * optimization round; the knn_topk ≡ knn_topk_agg precedent applied
+    * to the serving cuts). The window form this replaces local-sorted
+    * the FULL scored candidate stream per partition (WindowGroupLimit
+    * needs sorted input) and paid a second sort after its exchange; the
+    * bounded heap keeps ≤ K entries per query map-side, so the exchange
+    * carries partial heaps and nothing is ever sorted. Same NaN-total
+    * (dist, cid) comparator as the window ⇒ identical rows, ranks and
+    * hashes. */
+  private def heapTopK(s: SparkSession, scored: DataFrame): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.top_k_by(s,
+        col("dist"), col("cid"), lit(0), K).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "nbr")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
+        col("nbr.id").as("cid"), round(col("nbr.dist"), 6).as("dist"))
+      .orderBy(col("qid"), col("rnk"))
+
+  /** The quantized-scan cut limit — greatest(PqRerankMin,
+    * n·cutNum DIV cutDen) — as a PLAN-TIME literal from the parquet
+    * footer row count (driver metadata read, no job; footer count ≡
+    * count(1) — no filter ever precedes it). r17: as a runtime column
+    * (agg + crossJoin) no WindowGroupLimit/heap bound could see it, so
+    * the ADC/SDC cut sorted and shuffled the FULL scored pair stream. */
+  private def rerankLimit(s: SparkSession, d: String,
+      cutNum: Int, cutDen: Int): Int = {
+    val n = Tables.footerRowCount(s, s"$d/embeddings.parquet")
+    math.max(PqRerankMin.toLong, n * cutNum / cutDen)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
+  /** Keep each query's `rlim` best candidates under the (score, cid)
+    * total order — the quantized-tier pre-cut, heap form (map-side
+    * partial collapse; nothing sorted, the exchange carries ≤ rlim
+    * entries per query per partition). Long scores cast to double are
+    * exact here (SDC ≤ dim·255² ≪ 2⁵³), so the order is unchanged. */
+  private def heapCut(s: SparkSession, scored: DataFrame,
+      score: String, rlim: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.top_k_by(s,
+        col(score).cast("double"), col("cid"), lit(0), rlim).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("cid"))
+
   /** IVF approximate top-k under `cents`/`lists`: probe the `p` nearest
     * lists per query, exact cosine within the probed lists. Leave-one-out
     * like knn_topk. */
@@ -381,20 +426,19 @@ object Ann {
     val probes = probesOf(s, d, cents, p, qWhere, qOnly)
     val inv = lists
       .select(col("cent_id"), col("vec_id").as("cid"), col("embedding").as("cv"))
-    val wTop = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cid").asc)
     // The inverted lists are the DATASET — never broadcast them. A
     // shuffle-hash join partitions both sides by cent_id, i.e. each probe
     // is routed to exactly the partitions holding its P lists; on a
     // cluster `lists` would be bucketed by cent_id so only the probe side
     // moves. (The hint also stops the optimizer from choosing broadcast
     // at test scale, keeping the physical shape scale-faithful.)
-    probes.join(inv.hint("shuffle_hash"), Seq("cent_id"))
+    // Top-K via the bounded heap (r17): the probed candidate stream is
+    // n·p/C rows per query and the window form sorted ALL of it per
+    // partition; see [[heapTopK]].
+    heapTopK(s, probes.join(inv.hint("shuffle_hash"), Seq("cent_id"))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        VectorExpressions.cosine_distance(s, col("qv"), col("cv")).as("dist"))
-      .withColumn("rnk", row_number().over(wTop)).where(col("rnk") <= K)
-      .select(col("qid"), col("rnk"), col("cid"), round(col("dist"), 6).as("dist"))
-      .orderBy(col("qid"), col("rnk"))
+        VectorExpressions.cosine_distance(s, col("qv"), col("cv")).as("dist")))
   }
 
   def ivfTopk(s: SparkSession, d: String): DataFrame =
@@ -592,28 +636,18 @@ object Ann {
         coalesce(adcSum, raise_error(lit(
           "ADC LUT lookup returned null - non-contiguous codeword ids?"))
           .cast("double")).as("adc"))
-    val wAdc = Window.partitionBy(col("qid"))
-      .orderBy(col("adc").asc, col("cid").asc)
-    val rlim = Tables.embeddings(s, d).agg(
-      expr(s"greatest(CAST($PqRerankMin AS BIGINT), " +
-        s"count(1) * $cutNum DIV $cutDen)").as("rlim"))
-    val cands = scored.withColumn("arn", row_number().over(wAdc))
-      .crossJoin(broadcast(rlim))
-      .where(col("arn") <= col("rlim"))
-      .select(col("qid"), col("cid"))
+    // ADC cut + exact re-rank, both heap form with plan-time limits
+    // (r17): the old runtime-column rlim (agg + crossJoin) blinded every
+    // bound pushdown, so the full ADC-scored pair stream was sorted per
+    // partition, exchanged whole, and sorted again — see [[rerankLimit]].
+    val cands = heapCut(s, scored, "adc", rerankLimit(s, d, cutNum, cutDen))
     val q = Tables.embeddings(s, d).select(col("vec_id").as("qid"),
       col("embedding").as("qv"))
     val c = Tables.embeddings(s, d).select(col("vec_id").as("cid"),
       col("embedding").as("cv"))
-    val wTop = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("cid").asc)
-    cands.join(q, Seq("qid")).join(c, Seq("cid"))
+    heapTopK(s, cands.join(q, Seq("qid")).join(c, Seq("cid"))
       .select(col("qid"), col("cid"),
-        VectorExpressions.cosine_distance(s, col("qv"), col("cv")).as("dist"))
-      .withColumn("rnk", row_number().over(wTop)).where(col("rnk") <= K)
-      .select(col("qid"), col("rnk"), col("cid"),
-        round(col("dist"), 6).as("dist"))
-      .orderBy(col("qid"), col("rnk"))
+        VectorExpressions.cosine_distance(s, col("qv"), col("cv")).as("dist")))
   }
 
   def pqTopk(s: SparkSession, d: String): DataFrame = pqRerankTopk(s, d)
@@ -1147,15 +1181,19 @@ object Ann {
     val qs = recallSampleOf(s, d, cap)
     val c = Tables.repartitioned(Tables.embeddings(s, d), s)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("cid").asc)
+    // exact ground truth for the sample, heap cut (r17): the n_s·n
+    // scored stream is never sorted; same (dist, cid) order as the
+    // window it replaces
     val exact = c.crossJoin(broadcast(qs))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         VectorExpressions.cosine_distance(s, col("qv"), col("cv"))
           .as("dist"))
-      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= K)
-      .select(col("qid"), col("cid"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.top_k_by(s,
+        col("dist"), col("cid"), lit(0), K).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("cid"))
     val approx = ivfTopkFrom(s, d, trainedCentroids(s, d),
       trainedAssignments(s, d), P,
       qOnly = Some(qs.select(col("qid").as("vec_id"))))
@@ -1395,28 +1433,17 @@ object Ann {
     * composition (cut scaled to the PROBED volume, the ivfpq lesson). */
   private def sq8RerankTopk(s: SparkSession, d: String, scored: DataFrame,
       cutNum: Int = 1, cutDen: Int = PqRerankDiv): DataFrame = {
-    val wS = Window.partitionBy(col("qid"))
-      .orderBy(col("sdc").asc, col("cid").asc)
-    val rlim = Tables.embeddings(s, d).agg(
-      expr(s"greatest(CAST($PqRerankMin AS BIGINT), " +
-        s"count(1) * $cutNum DIV $cutDen)").as("rlim"))
-    val cands = scored.withColumn("srn", row_number().over(wS))
-      .crossJoin(broadcast(rlim))
-      .where(col("srn") <= col("rlim"))
-      .select(col("qid"), col("cid"))
+    // SDC cut + exact re-rank, heap form with a plan-time limit (r17,
+    // the adcRerankTopk twin — see [[rerankLimit]]/[[heapCut]]). The
+    // long→double cast inside heapCut is exact: sdc ≤ dim·255² ≪ 2⁵³.
+    val cands = heapCut(s, scored, "sdc", rerankLimit(s, d, cutNum, cutDen))
     val q = Tables.embeddings(s, d).select(col("vec_id").as("qid"),
       col("embedding").as("qv"))
     val c = Tables.embeddings(s, d).select(col("vec_id").as("cid"),
       col("embedding").as("cv"))
-    val wTop = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("cid").asc)
-    cands.join(q, Seq("qid")).join(c, Seq("cid"))
+    heapTopK(s, cands.join(q, Seq("qid")).join(c, Seq("cid"))
       .select(col("qid"), col("cid"),
-        VectorExpressions.cosine_distance(s, col("qv"), col("cv")).as("dist"))
-      .withColumn("rnk", row_number().over(wTop)).where(col("rnk") <= K)
-      .select(col("qid"), col("rnk"), col("cid"),
-        round(col("dist"), 6).as("dist"))
-      .orderBy(col("qid"), col("rnk"))
+        VectorExpressions.cosine_distance(s, col("qv"), col("cv")).as("dist")))
   }
 
   def sq8Recall(s: SparkSession, d: String): DataFrame =
