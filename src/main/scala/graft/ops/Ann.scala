@@ -265,7 +265,13 @@ object Ann {
     val restricted = qOnly.map(ids => filtered.join(
         broadcast(ids.select(col("vec_id"))), Seq("vec_id"), "left_semi"))
       .getOrElse(filtered)
-    val e = Tables.repartitioned(restricted, s)
+    // keyed repartition (r17, the Knn.pairs move): hashing the query
+    // side by vec_id up front lets the broadcast cross join preserve the
+    // partitioning, so the top-p heap below plans ONE complete
+    // aggregation with zero exchanges (round-robin forced a
+    // partial/final split around a buffer shuffle). Same one up-front
+    // shuffle either way.
+    val e = restricted.repartition(Tables.parallelism(s), col("vec_id"))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     // Top-p cut via the bounded heap, not a rank window (r16 — the r15
     // sort-free-bestM lesson applied to routing BEFORE the 2M tier
@@ -535,6 +541,10 @@ object Ann {
   /** (id, cw_id, s0..s{M−1}) for M = [[PqM]]: per-subspace euclidean distances of every
     * vector against every codeword — shared by encoding (argmin per
     * subspace) and the query LUT (squares). n·Cw map-side rows. */
+  /** [[pqSubDists]] handle for the PqProf diagnostic (no query path). */
+  private[graft] def pqSubDistsProbe(s: SparkSession, d: String): DataFrame =
+    pqSubDists(s, d)
+
   private def pqSubDists(s: SparkSession, d: String): DataFrame =
     // session-cached: every PQ query consumes this table TWICE (the
     // code argmin and the query LUT are both views of it) and Spark
@@ -578,7 +588,13 @@ object Ann {
     * [[PqM]] hash joins against the code table — the Spark rendering of
     * PQ's table-lookup scan loop. */
   private def pqRerankTopk(s: SparkSession, d: String): DataFrame = {
+    // keyed repartition (r17): the bare scan arrives as ONE input
+    // partition at fixture scale, so the whole n² ADC pair scan ran in
+    // a single task; hashing by qid both parallelizes it and (the
+    // Knn.pairs move) lets the ADC heap cut aggregate with zero
+    // exchanges below the BNLJ.
     val queries = Tables.embeddings(s, d).select(col("vec_id").as("qid"))
+      .repartition(Tables.parallelism(s), col("qid"))
     val pairs = queries.join(pqCodes(s, d).withColumnRenamed("vec_id", "cid"),
       col("qid") =!= col("cid"))
     adcRerankTopk(s, d, pairs)
@@ -1415,8 +1431,11 @@ object Ann {
     * re-rank — (qid, rnk, cid, dist), the ann_*_topk contract. */
   def sq8Topk(s: SparkSession, d: String): DataFrame = {
     val codes = sq8Codes(s, d)
-    val qside = Tables.repartitioned(
-      codes.select(col("vec_id").as("qid"), col("codes").as("qc")), s)
+    // keyed repartition (r17): the SDC heap cut groups by qid; hashing
+    // the query side by it here means zero exchanges downstream of the
+    // BNLJ (the Knn.pairs move)
+    val qside = codes.select(col("vec_id").as("qid"), col("codes").as("qc"))
+      .repartition(Tables.parallelism(s), col("qid"))
     val cside = codes.select(col("vec_id").as("cid"), col("codes").as("cc"))
     // the knn_topk shape: repartitioned queries × broadcast compressed
     // corpus (the code table is 4× smaller than the float vectors the
