@@ -1105,7 +1105,14 @@ object TextOps {
     * packed into a struct, so no second window pass is needed. */
   def repetitionStats(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
+    // keyed repartition (r17): the bare scan is ONE input partition at
+    // fixture scale, and `uni` is referenced twice (bigram branch +
+    // final join), so the split/distinct/bigram transform ran twice in
+    // a single task. Hashing by doc_id parallelizes the per-row work
+    // AND satisfies every downstream clustering ((doc_id, bg) and
+    // doc_id aggregates, the uni⋈agg join) — zero further exchanges.
     val uni = Tables.documents(s, d)
+      .repartition(Tables.parallelism(s), col("doc_id"))
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n_tok"),
         size(array_distinct(col("toks"))).as("n_tok_distinct"),
