@@ -549,7 +549,11 @@ object Nsw {
     * aggregation; same (dist, v) comparator as the window (knn_topk ≡
     * knn_topk_agg precedent), so the selected edge SET — and every
     * declared hash — is unchanged. */
-  private[graft] def bestM(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
+  /** Score candidate (u, v) pairs against the corpus embeddings — the
+    * conf-gated lookup half of [[bestM]], reusable on its own so the
+    * descent can score each unordered 2-hop pair ONCE (r18). */
+  private def scoredPairs(s: SparkSession, d: String,
+      cands: DataFrame): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // strict parse, loud failure (ADVICE r16): "FALSE"/"0"/"off" silently
     // taking the broadcast branch is exactly the at-scale failure the
@@ -562,12 +566,20 @@ object Nsw {
       .select(col("u"), col("v"),
         VectorExpressions.cosine_distance(s, col("uv"), col("vv"))
           .as("dist"))
+  }
+
+  /** The best-M cut over a pre-scored (u, v, dist) stream — the heap
+    * half of [[bestM]]. */
+  private def heapBestM(s: SparkSession, scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("u"))
       .agg(graft.functions.TopKAgg.top_k_distinct_by(s,
         col("dist"), col("v"), lit(0), M).as("top"))
       .select(col("u"), explode(col("top")).as("t"))
       .select(col("u"), col("t.id").as("v"))
-  }
+
+  private[graft] def bestM(s: SparkSession, d: String, cands: DataFrame): DataFrame =
+    heapBestM(s, scoredPairs(s, d, cands))
 
   /** One NN-descent round: symmetrize, expand to 2-hop neighbors (a
     * neighbor of my neighbor is my candidate), keep each u's best M of
@@ -585,11 +597,30 @@ object Nsw {
   private def descend(s: SparkSession, d: String, g: DataFrame): DataFrame = {
     val sym = g.unionByName(
       g.select(col("v").as("u"), col("u").as("v"))).distinct()
-    val hop2 = sym.as("a").join(sym.as("b"), col("a.v") === col("b.u"))
+    // Symmetry halving (r18, guide §2.3 "shuffle/score fewer bytes"):
+    // the 2-hop expansion is a SYMMETRIC multiset — sym is a symmetric
+    // edge set, so for every path x→m→y there is y→m→x, and
+    // cosine_distance is bit-exactly symmetric in its arguments (the
+    // dot products commute term by term, the two norm factors swap).
+    // Scoring only the canonical a.u < b.v half and re-emitting each
+    // scored row in both directions through one inline explode (ONE
+    // subtree — no recompute) halves the expansion's embedding-lookup
+    // joins and cosine kernels, the dominant per-round work. The heap
+    // cut is multiplicity- and order-insensitive (distinct-ids mode), so
+    // the selected edge set is unchanged. g's own M·n edges are scored
+    // separately (they are not symmetric and are 1/(2M) of the volume).
+    val hop2Half = sym.as("a").join(sym.as("b"),
+        col("a.v") === col("b.u") && col("a.u") < col("b.v"))
       .select(col("a.u").as("u"), col("b.v").as("v"))
-    val cands = g.unionByName(hop2)
-      .where(col("u") =!= col("v"))
-    bestM(s, d, cands)
+    val mirrored = scoredPairs(s, d, hop2Half)
+      .select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("p"),
+        col("dist"))
+      .select(col("p.u").as("u"), col("p.v").as("v"), col("dist"))
+    val scored = mirrored.unionByName(
+      scoredPairs(s, d, g.where(col("u") =!= col("v"))))
+    heapBestM(s, scored)
   }
 
   /** (u, v): each vector's approximate M nearest neighbors — the
@@ -732,9 +763,10 @@ object Nsw {
         }
     }
 
-  /** One beam-search step: grow by out-neighbors, union the old beam
-    * (monotone best-so-far), re-score, keep the best b DISTINCT
-    * candidates per query in ONE bounded-heap aggregation.
+  /** One beam-search step: grow by out-neighbors (the self-loop row per
+    * vertex re-emits the old beam — monotone best-so-far), re-score,
+    * keep the best b DISTINCT candidates per query in ONE bounded-heap
+    * aggregation.
     *
     * r17 (optimization round, guide §2.3/§2.4): this was
     * `.distinct()` then [[rank]] then `rn <= b` — a full hash exchange
@@ -746,9 +778,21 @@ object Nsw {
     * (qid, cand), so min-per-id ≡ distinct, and the heap's NaN-total
     * (dist, id) comparator is exactly the window's (dist, cand) total
     * order — identical beam, law-held monotonicity, hash-identical
-    * results. Per hop the only remaining exchange is the partial-heap
-    * merge (≤ b rows per query per map partition); the scoring joins
-    * stay broadcast-hash at fixture scale and cent-bucketed at 100 TB. */
+    * results.
+    *
+    * r18 (guide §2.4): the old-beam union is folded into the grow join
+    * as a (u, u) self-loop per vertex — the identical candidate multiset
+    * (each beam row re-emitted exactly once, as the union did), but the
+    * output is ONE stream that provably keeps the beam's qid hash
+    * partitioning through the broadcast joins, so the heap plans as a
+    * single COMPLETE aggregation: zero per-hop exchanges (the partial/
+    * final split it replaces reduced nothing at beam widths where
+    * rows-per-qid-per-partition < b — it double-inserted and
+    * round-tripped every candidate through buffer serde). The scoring
+    * joins stay broadcast-hash at fixture scale and cent-bucketed at
+    * 100 TB; past the adjacency broadcast ceiling the shuffle-hash grow
+    * join re-keys the stream and the heap takes its one exchange as
+    * before. */
   private def hop(s: SparkSession, d: String, beam: DataFrame,
       b: Int = B, far: Int = 0,
       adjOverride: Option[DataFrame] = None): DataFrame = {
@@ -770,20 +814,36 @@ object Nsw {
       .getOrElse(10L << 20) // Spark's own default
     // Catalyst stats are useless here — the cached graph sits behind a
     // localCheckpoint (LogicalRDD: unknown size). But the edge count is
-    // known BY CONSTRUCTION: ≤ n·(M+F+1) rows of two longs (the +1
-    // absorbs rounding in the ring/far arithmetic); 48 B/row prices the
-    // built HashedRelation, not the raw payload, so the estimate errs
-    // toward shuffle-hash. n comes from the parquet footer — a driver
-    // metadata read, no job (the Knn.candidateBlocks precedent).
+    // known BY CONSTRUCTION: ≤ n·(M+F+2) rows of two longs (+1 absorbs
+    // rounding in the ring/far arithmetic, +1 is the self-loop row per
+    // vertex added below); 48 B/row prices the built HashedRelation, not
+    // the raw payload, so the estimate errs toward shuffle-hash. n comes
+    // from the parquet footer — a driver metadata read, no job (the
+    // Knn.candidateBlocks precedent).
+    // Self-loop fold (r18, guide §2.4): the monotone "old beam ∪ grown"
+    // union used to be a physical Union of the qid-partitioned beam with
+    // the qid-partitioned grow output — which DESTROYS the recognized
+    // partitioning, so the per-hop heap planned a partial/final split
+    // with an Exchange between. At beam widths where rows-per-qid-per-
+    // partition < b (every fixture tier) the partial heap reduces
+    // NOTHING: it double-inserts every candidate, serializes whole
+    // buffers, and merges them again post-exchange. Adding one (u, u)
+    // self-loop per vertex to the JOIN side makes the grow join itself
+    // emit the old beam (exactly one copy per beam row — the same
+    // multiset the union produced), so the one qid-partitioned stream
+    // flows straight into ONE complete heap aggregation: zero per-hop
+    // exchanges, single insertion per candidate, no buffer serde.
+    val selfLoops = Tables.embeddings(s, d)
+      .select(col("vec_id").as("u"), col("vec_id").as("v"))
+    val adjPlus = adj.unionByName(selfLoops)
     val adjBytes = Tables.footerRowCount(s, s"$d/embeddings.parquet") *
-      (M + F + 1) * 48L
+      (M + F + 2) * 48L
     val adjSized = // threshold <= 0 = broadcast disabled by the session
-      if (bcThreshold > 0 && adjBytes <= bcThreshold) broadcast(adj)
-      else adj.hint("shuffle_hash")
+      if (bcThreshold > 0 && adjBytes <= bcThreshold) broadcast(adjPlus)
+      else adjPlus.hint("shuffle_hash")
     val grown = beam
-      .join(adjSized, beam("cand") === adj("u"))
+      .join(adjSized, beam("cand") === adjSized("u"))
       .select(col("qid"), col("v").as("cand"))
-      .unionByName(beam)
       .where(col("cand") =!= col("qid"))
     val q = Tables.embeddings(s, d)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -823,7 +883,16 @@ object Nsw {
     // restriction exact, and a caller evaluating a 1/60 sample must not
     // pay 60× the beam work (the Ann.probesOf qOnly twin). Declared
     // queries pass None: leave-one-out over the whole corpus.
-    val qsAll = Tables.repartitioned(Tables.embeddings(s, d), s)
+    // keyed repartition (r18, guide §2.4 — the Knn.pairs precedent): hash
+    // the query side by its future aggregate/window key so EVERY
+    // downstream per-qid operator (each hop's bounded-heap cut, the final
+    // rank window) sees its ClusteredDistribution already satisfied. The
+    // broadcast grow/scoring joins preserve the partitioning, and
+    // localCheckpoint carries outputPartitioning through the per-hop
+    // barrier (LogicalRDD.fromDataset keeps it), so the whole unrolled
+    // search plans ZERO mid-stream exchanges.
+    val qsAll = Tables.embeddings(s, d)
+      .repartition(Tables.parallelism(s), col("vec_id"))
       .select(col("vec_id").as("qid"))
     val qs = qOnly.map(ids => qsAll.join(
         broadcast(ids.select(col("qid"))), Seq("qid"), "left_semi"))
