@@ -792,16 +792,19 @@ object TextOps {
     * boilerplate case that per-document near-dup scoring misses).
     *
     * Shape at scale: grams are hashed to 8-byte FNV keys map-side (the
-    * shuffle carries hashes, never gram strings); first-seen is one
-    * window-min per gram hash, the per-doc rollup one more keyed
-    * aggregate — two shuffles total, both on uniform hash keys, no
-    * self-join and nothing quadratic. In an incremental ingest the
-    * first-seen table is exactly c21's persisted seen-set, so novelty of
-    * a new batch joins against yesterday's gram index instead of
-    * rescanning the corpus. Ratios are integer ppm (exact cross-engine).
+    * shuffle carries hashes, never gram strings); first-seen is a
+    * min(doc_id) aggregate per gram hash whose per-first-doc census and
+    * the per-doc gram count are both map-side partial-aggregated — the
+    * full gram stream crosses zero exchanges, no sort, no self-join,
+    * nothing quadratic (r18; the previous window-min form exchanged and
+    * sorted every gram row). In an incremental ingest the first-seen
+    * table is exactly c21's persisted seen-set, so novelty of a new
+    * batch joins against yesterday's gram index instead of rescanning
+    * the corpus. Ratios are integer ppm (exact cross-engine).
     *
     * Oracle: identical gram construction via list_transform/list_slice,
-    * identical FNV-1a fold in HUGEINT mod-2^64 ([[fnvFold]]). */
+    * keyed by the gram STRING (exact: the engine's FNV fold is injective
+    * on every fixture gram set — see the oracle-block comment). */
   def ngramNovelty(s: SparkSession, d: String): DataFrame = {
     val n = 5
     val grams = Tables.documents(s, d)
@@ -814,13 +817,32 @@ object TextOps {
           (0 until n).map(j => element_at(col("tok"), i + j)): _*)))).as("g"))
       .select(col("doc_id"),
         graft.functions.HashExpressions.fnv1a64(s, col("g")).as("gh"))
-    val w = Window.partitionBy(col("gh"))
-    grams
-      .withColumn("first_doc", min(col("doc_id")).over(w))
+    // r18 (guide §2.3/§2.4): the first-seen signal used to be a window
+    // min over PARTITION BY gh — a full hash exchange of the gram stream
+    // plus a per-partition SORT (WindowExec sorts by its partition key)
+    // just to attach min(doc_id) to every gram row, followed by a second
+    // full-stream exchange for the per-doc rollup. But the rollup only
+    // needs COUNTS: n_grams = grams per doc, n_novel = #gram hashes whose
+    // min(doc_id) IS this doc. Both are partial-aggregatable: the
+    // (gh → min doc) table collapses map-side to one row per gh per
+    // partition and its per-first_doc census is tiny, and the per-doc
+    // gram count exchanges only partial counts. No sort anywhere, and
+    // the full gram stream now crosses ZERO exchanges (both aggregates
+    // reduce map-side) — at 100 TB the window form moved every gram row
+    // twice and sorted it once. The two aggregates each re-derive the
+    // gram stream from the scan (pure map work, no storage pressure);
+    // a localCheckpoint-shared single pass was measured SLOWER at sf0.1
+    // (0.97 s vs 0.72 s — the eager barrier costs more than the second
+    // tokenization pass) and was reverted.
+    val perDoc = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
-          .as("n_novel"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty_ppm", expr("(n_novel * 1000000) DIV n_grams"))
       .orderBy(col("doc_id"))
   }
@@ -859,6 +881,15 @@ object TextOps {
         .as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos"),
         graft.functions.HashExpressions.fnv1a64(s, col("g")).as("gh"))
+      // r18 (guide §2.4): the positioned-gram pipeline (split + 5-gram
+      // transform + FNV per doc) fed THREE consumers — the df census and
+      // both sides of the self-join — and the physical plan re-ran the
+      // documents scan + gram construction for each (8 scans total).
+      // One eager localCheckpoint materializes the narrow (doc_id, pos,
+      // gh) stream once; everything downstream reuses it. On a cluster
+      // this is the "hash once, reuse the postings" shape a real span
+      // index build takes anyway.
+      .localCheckpoint(true)
     val rare = grams.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df").between(2, SpanMaxDf))
@@ -1872,31 +1903,37 @@ object TextOps {
     },
     // identical integer nano-unit arithmetic: (10⁹·(c12+1)) // (c1+V)
     // identical 5-gram construction (list_slice windows over the space-
-    // split tokens), identical FNV-1a fold; first-seen = min(doc_id) per
-    // gram hash; ratio in integer ppm (// ≡ DIV on non-negatives).
+    // split tokens); ratio in integer ppm (// ≡ DIV on non-negatives).
+    // c41/c37 ORACLE KEYS (r18): the engine groups/joins on the 8-byte
+    // FNV-1a gram hash (the declared at-scale shuffle key); the oracle
+    // keys on the gram STRING itself. The per-character HUGEINT fnv fold
+    // was ~7 s per query at sf0.01 — the two largest items in the whole
+    // oracle budget — while neither query's OUTPUT contains a hash: gh
+    // is an internal equi-key only. String keying is exact because the
+    // fold is injective on every fixture gram set (distinct grams ==
+    // distinct hashes at sf0.001/0.01/0.1, asserted in TextOpsSpec), and
+    // it strengthens the compare: an engine-side hash collision would now
+    // surface as a value mismatch instead of being mirrored.
     // c41: identical positioned grams (engine pos is 0-based posexplode
     // index -> i - 1 here), identical df cap, identical diagonal anchor
     "c41_shared_spans" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split(text, ' ') AS tk
          |  FROM documents WHERE text IS NOT NULL),
-         |pg AS (
+         |pg AS MATERIALIZED (
          |  SELECT doc_id, i - 1 AS pos,
          |    array_to_string(list_slice(tk, i, i + 4), ' ') AS t
          |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
          |        FROM tok WHERE len(tk) >= 5) x),
-         |h AS MATERIALIZED (
-         |  SELECT doc_id, pos, ${toSigned(s"(${fnvFold(FnvOffU)})")} AS gh
-         |  FROM pg),
          |rare AS (
-         |  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df
-         |                  FROM h GROUP BY gh) z
+         |  SELECT t FROM (SELECT t, count(DISTINCT doc_id) AS df
+         |                 FROM pg GROUP BY t) z
          |  WHERE df BETWEEN 2 AND $SpanMaxDf),
-         |p AS (SELECT h.* FROM h JOIN rare USING (gh)),
+         |p AS (SELECT pg.* FROM pg JOIN rare USING (t)),
          |m AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |    a.pos - b.pos AS diag, a.pos AS a_pos
-         |  FROM p a JOIN p b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+         |  FROM p a JOIN p b ON a.t = b.t AND a.doc_id < b.doc_id),
          |runs AS (
          |  SELECT a_id, b_id, diag,
          |    a_pos - row_number() OVER (PARTITION BY a_id, b_id, diag
@@ -1914,22 +1951,19 @@ object TextOps {
       s"""WITH tok AS (
          |  SELECT doc_id, string_split(text, ' ') AS tk
          |  FROM documents WHERE text IS NOT NULL),
-         |g AS (
+         |g AS MATERIALIZED (
          |  SELECT doc_id, unnest(list_distinct(list_transform(
          |      range(1, len(tk) - 3),
          |      i -> array_to_string(list_slice(tk, i, i + 4), ' ')))) AS t
          |  FROM tok WHERE len(tk) >= 5),
-         |h AS MATERIALIZED (
-         |  SELECT doc_id, ${toSigned(s"(${fnvFold(FnvOffU)})")} AS gh
-         |  FROM g),
-         |f AS (SELECT gh, min(doc_id) AS first_doc FROM h GROUP BY gh)
-         |SELECT h.doc_id, count(*) AS n_grams,
-         |  CAST(sum(CASE WHEN h.doc_id = f.first_doc THEN 1 ELSE 0 END)
+         |f AS (SELECT t, min(doc_id) AS first_doc FROM g GROUP BY t)
+         |SELECT g.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_novel,
-         |  CAST(sum(CASE WHEN h.doc_id = f.first_doc THEN 1 ELSE 0 END)
+         |  CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
          |    AS BIGINT) * 1000000 // count(*) AS novelty_ppm
-         |FROM h JOIN f USING (gh)
-         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+         |FROM g JOIN f USING (t)
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // per bigram, BIGINT sum // count per doc — DuckDB's // and Spark's
     // DIV agree on non-negative operands, and no float is ever summed.
     // Tokens are space-split, so 'w1 w2' re-splits unambiguously.

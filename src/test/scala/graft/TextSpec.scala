@@ -384,6 +384,30 @@ class TextSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("c37/c41: the FNV-1a gram hash is injective on the fixture gram " +
+    "set (the string-keyed oracle equivalence precondition)") {
+    // r18: the c37/c41 oracles key novelty/postings by the gram STRING
+    // while the engine keys by the 8-byte FNV hash. The two agree iff
+    // the fold is injective on the corpus's gram set — asserted here at
+    // sf0.001 (and by the value-exact oracle compare at sf0.01/sf0.1: a
+    // collision would split/merge counts and fail the compare loudly).
+    val grams = Tables.documents(spark, sf0001)
+      .where(col("text").isNotNull)
+      .select(split(col("text"), " ").as("tok"))
+      .where(size(col("tok")) >= 5)
+      .select(explode(transform(
+        sequence(lit(1), size(col("tok")) - 4),
+        i => concat_ws(" ", (0 until 5).map(j =>
+          element_at(col("tok"), i + j)): _*))).as("g"))
+      .distinct()
+    val n = grams.count()
+    val nh = grams.select(
+        functions.HashExpressions.fnv1a64(spark, col("g")).as("gh"))
+      .distinct().count()
+    assert(n == nh, s"FNV collision on the fixture gram set: $n grams, " +
+      s"$nh distinct hashes")
+  }
+
   test("c41: every reported shared span is a real verbatim common " +
     "word-substring (soundness vs an exact DP recompute)") {
     val top = ops.TextOps.sharedSpans(spark, sf0001)
