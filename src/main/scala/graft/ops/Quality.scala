@@ -634,11 +634,17 @@ object Quality {
     val j = TextOps.lmScore(s, d).select(col("doc_id"), col("score_nano"))
       .join(TextOps.dsirWeights(s, d).select(col("doc_id"), col("score_ppm")),
         "doc_id")
+    // r18 (guide §2, VERDICT r17 item 5): the running-count window here
+    // had no PARTITION BY, so WindowExec moved the whole per-value count
+    // table to ONE partition — and distinct score values grow with the
+    // corpus (nano-scale scores are near-unique), making this a
+    // single-task sort of ~n rows at scale. The range-partitioned
+    // two-pass prefix sum computes the identical strictly-before count
+    // with no single-partition exchange.
     def ranked2(vcol: String, out: String): DataFrame = {
       val vc = j.groupBy(col(vcol)).agg(count(lit(1)).as("c"))
-      val w = Window.orderBy(col(vcol))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      vc.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+      PrefixSum.strictlyBefore(vc, Seq(vcol), "c", "cb",
+        graft.Tables.parallelism(s))
         .select(col(vcol), (lit(2L) * col("cb") + col("c") + 1).as(out))
     }
     j.join(ranked2("score_nano", "rx"), "score_nano")

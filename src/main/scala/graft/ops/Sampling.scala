@@ -100,20 +100,50 @@ object Sampling {
     * "sort examples easy→hard, batch by difficulty" prep step. ntile's
     * distribution rule (first n mod b tiles get the extra row) is SQL
     * standard and identical in both engines; the doc_id tie-break makes
-    * the decile edges exact. Scale: a global ntile means a global sort —
-    * on a cluster this becomes a range-partitioned sort (Spark's orderBy
-    * already range-partitions), after which tile assignment is per-
-    * partition arithmetic; the declared output is the 10-row census, so
-    * nothing but group stats ever collects. */
+    * the decile edges exact.
+    *
+    * r18 (guide §2, VERDICT r17 item 5): the literal `ntile(10) OVER
+    * (ORDER BY ...)` form moved ALL documents to ONE partition
+    * (WindowExec's unpartitioned-window behavior — the previous scaladoc's
+    * "orderBy range-partitions" claim was wrong for window sorts), a
+    * scale-killer over the 100 TB documents table. The census never
+    * needs per-DOC tiles: rows that share an n_chars value are
+    * interchangeable for every reported stat (count / min / max / sum of
+    * n_chars — the doc_id tie-break only decides WHICH equal-valued docs
+    * straddle a boundary, never the census), so the per-VALUE count
+    * table (one keyed aggregate, map-side partials) plus a
+    * range-partitioned two-pass prefix sum ([[PrefixSum]]) places each
+    * value run at its global row range, and exact integer ntile
+    * arithmetic splits runs across decile boundaries. No single-partition
+    * exchange anywhere; the only full-table pass is the map-side count.
+    * Identical output to the ntile form (oracle-verified). */
   def curriculumBuckets(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("n_chars").asc, col("doc_id").asc)
-    Tables.documents(s, d)
-      .withColumn("decile", ntile(10).over(w))
+    val vc = Tables.documents(s, d)
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+    val withCb = PrefixSum.strictlyBefore(vc, Seq("n_chars"), "c", "cb",
+      graft.Tables.parallelism(s))
+    val consts = vc.agg(sum(col("c")).as("n"))
+    // SQL-standard ntile row ranges: tile t of b over n rows spans
+    // [(t-1)·q + min(t-1, r) + 1, t·q + min(t, r)] with q = n DIV b,
+    // r = n MOD b — the first r tiles get one extra row.
+    val tiles = s.range(1, 11).select(col("id").as("decile"))
+      .crossJoin(broadcast(consts))
+      .select(col("decile"),
+        expr("(decile - 1) * (n DIV 10) + least(decile - 1, n % 10) + 1")
+          .as("lo"),
+        expr("decile * (n DIV 10) + least(decile, n % 10)").as("hi"))
+    withCb.crossJoin(broadcast(tiles))
+      .select(col("decile"), col("n_chars"),
+        (least(col("hi"), col("cb") + col("c")) -
+          greatest(col("lo"), col("cb") + 1) + 1).as("m"))
+      .where(col("m") > 0)
       .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(sum(col("m")).as("n_docs"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"),
-        sum(col("n_chars")).as("sum_chars"))
+        sum(col("n_chars") * col("m")).as("sum_chars"))
+      .select(col("decile").cast("int").as("decile"), col("n_docs"),
+        col("min_chars"), col("max_chars"), col("sum_chars"))
       .orderBy(col("decile"))
   }
 

@@ -259,4 +259,45 @@ class SamplingSpec extends SparkSpec {
     }
     assert(radii.forall(r => r > 0.0 && r <= 2.0))
   }
+
+  test("PrefixSum.strictlyBefore equals the single-partition window form " +
+    "and s05 equals its literal ntile(10) rendering") {
+    // law: the range-partitioned two-pass prefix sum (r18) is exactly
+    // sum(c) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)
+    // on a unique-keyed table — at several partition counts, including
+    // ones that force multi-row and near-empty range partitions
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 257).map(i => (rnd.nextInt(10000).toLong, i.toLong))
+      .distinctBy(_._1).map { case (k, _) => (k, (k % 7) + 1) }
+    val df = rows.toDF("k", "c")
+    val expect = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      df.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    Seq(1, 3, 8, 64).foreach { p =>
+      val got = ops.PrefixSum.strictlyBefore(df, Seq("k"), "c", "cb", p)
+        .select(col("k"), col("c"), col("cb"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == expect, s"partitions=$p")
+    }
+    // s05's census must equal the literal ntile(10) form it replaced
+    val viaNtile = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      Tables.documents(spark, sf0001)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.min(col("n_chars")).as("min_chars"),
+          org.apache.spark.sql.functions.max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("decile"))
+        .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    }
+    val got = ops.Sampling.curriculumBuckets(spark, sf0001)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == viaNtile)
+  }
 }
