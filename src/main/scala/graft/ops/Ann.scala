@@ -136,17 +136,21 @@ object Ann {
     // top_k_by(k=1) is a TypedImperativeAggregate → ObjectHashAggregate
     // → true map-side hash collapse; its (cdist, cent_id) order is
     // min_by's exact comparator, so the winner — and every hash — is
-    // unchanged. The embedding rides through the grouping key
-    // (functionally dependent on vec_id, the probesOf trick). cdist
-    // stays: consumers (e.g. the exact cell-blocked similarity join)
-    // derive per-cell radii from the assignment angle.
+    // unchanged. The embedding rides through first() (r18: it used to be
+    // part of the GROUPING KEY, so every one of the n·C candidate rows
+    // paid a hash + equality over the ~260 B array; it is functionally
+    // dependent on vec_id — all copies in a group are identical — so
+    // first() is deterministic and the group key is the 8 B id alone).
+    // cdist stays: consumers (e.g. the exact cell-blocked similarity
+    // join) derive per-cell radii from the assignment angle.
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         VectorExpressions.cosine_distance(s, col("embedding"), col("cent_vec"))
           .as("cdist"))
-      .groupBy(col("vec_id"), col("embedding"))
+      .groupBy(col("vec_id"))
       .agg(graft.functions.TopKAgg.top_k_by(s,
-        col("cdist"), col("cent_id"), lit(0), 1).as("m"))
+        col("cdist"), col("cent_id"), lit(0), 1).as("m"),
+        first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("m").getItem(0).getField("id").as("cent_id"),
         col("embedding"), col("m").getItem(0).getField("dist").as("cdist"))
   }
@@ -163,13 +167,17 @@ object Ann {
     // and the same SortAggregate trap (see assignOver): at the retuned
     // training C of a rehearsal tier this runs per Lloyd iteration, so
     // a min_by here sorts n·C rows four times per build
+    // group key narrowed to vec_id + first(embedding), as in assignOver
+    // (r18): the array-valued grouping key hashed ~260 B per candidate
+    // row, four times per training pass
     val assign = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         VectorExpressions.cosine_distance(s, col("embedding"), col("cent_vec"))
           .as("cdist"))
-      .groupBy(col("vec_id"), col("embedding"))
+      .groupBy(col("vec_id"))
       .agg(graft.functions.TopKAgg.top_k_by(s,
-        col("cdist"), col("cent_id"), lit(0), 1).as("m"))
+        col("cdist"), col("cent_id"), lit(0), 1).as("m"),
+        first(col("embedding")).as("embedding"))
       .select(col("m").getItem(0).getField("id").as("cent_id"),
         col("embedding"))
     val means = quantizedMeans(assign, "cent_id").withColumnRenamed("mean_vec", "new_vec")
