@@ -651,8 +651,25 @@ object Ann {
     val queries = Tables.embeddings(s, d).select(col("vec_id").as("qid"))
       .repartition(cutPartitions(s, n,
         rerankLimit(s, d, 1, PqRerankDiv)), col("qid"))
-    val pairs = queries.join(pqCodes(s, d).withColumnRenamed("vec_id", "cid"),
-      col("qid") =!= col("cid"))
+    // Broadcast the CODE side explicitly (r18, guide §3.1 — the sq8Topk
+    // twin): left to its size estimates the planner broadcast the
+    // (smaller) bare-qid QUERY side and streamed the codes, so the pair
+    // stream came out cid-partitioned — the keyed repartition above was
+    // discarded and the ADC heap cut paid a partial/final split whose
+    // exchange carried nearly the full pre-cut volume (≤ rlim per qid
+    // per partition with every qid present in every partition). With the
+    // M-byte code table broadcast (n·~80 B — 4× smaller than the float
+    // vectors the exact tier broadcasts) the query side streams, stays
+    // qid-partitioned through the LUT join, and the cut plans as ONE
+    // complete aggregation. The broadcast is O(n), the same ceiling as
+    // the per-query LUT relation, so the SAME conf governs both: past
+    // it ([[LutBroadcastConf]] false) the join is left to the planner —
+    // the flat n² scan is not the at-scale serving tier (IVFPQ is).
+    val cside = pqCodes(s, d).withColumnRenamed("vec_id", "cid")
+    val csideSized =
+      if (graft.Tables.strictBoolConf(s, LutBroadcastConf)) broadcast(cside)
+      else cside
+    val pairs = queries.join(csideSized, col("qid") =!= col("cid"))
     adcRerankTopk(s, d, pairs)
   }
 
