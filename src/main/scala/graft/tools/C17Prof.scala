@@ -32,6 +32,23 @@ object C17Prof {
       val n = body
       println(f"[c17prof] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ($n rows)")
     }
+    locally {
+      // r18 sub-split of the index build: gram explode+hash (map), df
+      // census, join-back, then the full windowed index
+      import org.apache.spark.sql.functions._
+      val post = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(graft.functions.TextHash
+          .shingle_id_set(col("text"), lit(8))).as("sg"))
+      time("0a post (explode+fnv) noop") {
+        post.write.format("noop").mode("overwrite").save(); post.count()
+      }
+      val dfTab = post.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+      time("0b df census")(dfTab.count())
+      val withDf = post.join(broadcast(dfTab), "sg")
+      time("0c df join-back noop") {
+        withDf.write.format("noop").mode("overwrite").save(); withDf.count()
+      }
+    }
     graft.ops.TextOps.clearCache()
     time("1 shingle index build")(
       graft.ops.TextOps.shingleIndex(spark, sfDir).count())
